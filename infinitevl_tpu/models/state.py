@@ -1,0 +1,60 @@
+"""Decoder inference state: the functional replacement for the reference's
+StaticCachePrealloc (modeling_infinitevl.py:66-443).
+
+The whole cache is one pytree of fixed-shape arrays threaded through jitted
+step functions (and donated for in-place updates under XLA). Branched QA
+"cache cloning" (demo_streaming_inference.py:111-160) degenerates to simply
+reusing the old pytree value — functional state makes the snapshot free.
+
+Layout (S = #SWA layers, L = #DeltaNet layers):
+  swa_k, swa_v : [S, B, cap, Hkv, Dh]   ring KV, cap = window - 1
+  delta_h      : [L, B, H, K, V] fp32   recurrent state (fp32: the reference
+                 kernels emit fp32 final_state, fused_recurrent.py:140)
+  conv_q/k/v   : [L, B, W, D*]          raw-input history for ShortConvolution
+  cum_len      : int32 scalar           total tokens processed (cache_position)
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+
+DecoderState = Dict[str, jax.Array]
+
+
+def init_decoder_state(
+    cfg: TextConfig, batch_size: int, dtype=jnp.bfloat16
+) -> DecoderState:
+    S = cfg.num_swa_layers
+    L = cfg.num_linear_layers
+    cap = cfg.swa_capacity
+    B = batch_size
+    Hkv = cfg.num_key_value_heads
+    Dh = cfg.head_dim
+    H = cfg.num_linear_heads
+    K = cfg.linear_head_dim
+    V = cfg.head_v_dim
+    W = cfg.conv_size
+    return {
+        "swa_k": jnp.zeros((S, B, cap, Hkv, Dh), dtype=dtype),
+        "swa_v": jnp.zeros((S, B, cap, Hkv, Dh), dtype=dtype),
+        "delta_h": jnp.zeros((L, B, H, K, V), dtype=jnp.float32),
+        "conv_q": jnp.zeros((L, B, W, cfg.num_linear_heads * K), dtype=dtype),
+        "conv_k": jnp.zeros((L, B, W, cfg.linear_key_dim), dtype=dtype),
+        "conv_v": jnp.zeros((L, B, W, cfg.linear_value_dim), dtype=dtype),
+        "cum_len": jnp.zeros((), dtype=jnp.int32),
+    }
+
+
+def state_bytes(state: DecoderState) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(state))
+
+
+def clone_state(state: DecoderState) -> DecoderState:
+    """Explicit deep copy. Only needed when the caller intends to donate one
+    branch's buffers; plain branching can just reuse the pytree value."""
+    return jax.tree.map(jnp.copy, state)

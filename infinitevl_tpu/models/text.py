@@ -1,0 +1,275 @@
+"""Hybrid SWA / Gated-DeltaNet text decoder.
+
+Functional re-design of the reference decoder stack
+(modeling_infinitevl.py:987-1591): parameters are a pytree, the inference
+cache is a DecoderState pytree, and the layer loop is a plain Python loop
+over per-layer parameter dicts (unrolled under jit so decode reads each
+layer's weights exactly once — no stacked-slice copies on the hot path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LINEAR, SLIDING, TextConfig
+from ..ops.delta_rule import delta_rule_step, gated_delta_rule
+from ..ops.norms import rms_norm, rms_norm_gated, silu
+from ..ops.rope import apply_rotary, mrope_cos_sin
+from ..ops.short_conv import short_conv, short_conv_step
+from ..ops.swa import swa_cached_attention, swa_prefill_dense
+from .state import DecoderState
+
+Params = Dict[str, Any]
+
+
+def _dense(x: jax.Array, p: Params) -> jax.Array:
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def mlp_forward(p: Params, x: jax.Array) -> jax.Array:
+    """SwiGLU MLP (modeling_infinitevl.py:933-946)."""
+    return _dense(silu(_dense(x, p["gate"])) * _dense(x, p["up"]), p["down"])
+
+
+# ---------------------------------------------------------------------------
+# SWA layer
+# ---------------------------------------------------------------------------
+
+
+def swa_attention_forward(
+    p: Params,
+    cfg: TextConfig,
+    x: jax.Array,  # [B, T, D]
+    cos: jax.Array,  # [B, T, head_dim]
+    sin: jax.Array,
+    ring_k: Optional[jax.Array],  # [B, cap, Hkv, Dh] or None (stateless)
+    ring_v: Optional[jax.Array],
+    cum_len: Optional[jax.Array],
+    segment_ids: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    """Reference InfiniteVLSelfAttention (modeling_infinitevl.py:987-1113):
+    GQA with qkv bias, mRoPE, sliding-window mask, no o_proj bias."""
+    B, T, _ = x.shape
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = _dense(x, p["q_proj"]).reshape(B, T, Hq, Dh)
+    k = _dense(x, p["k_proj"]).reshape(B, T, Hkv, Dh)
+    v = _dense(x, p["v_proj"]).reshape(B, T, Hkv, Dh)
+    q, k = apply_rotary(q, k, cos, sin)
+    if ring_k is None:
+        out = swa_prefill_dense(
+            q, k, v, cfg.sliding_window, segment_ids=segment_ids
+        )
+        new_rk = new_rv = None
+    else:
+        out, new_rk, new_rv = swa_cached_attention(
+            q, k, v, ring_k, ring_v, cum_len, cfg.sliding_window
+        )
+    out = out.reshape(B, T, Hq * Dh)
+    return _dense(out, p["o_proj"]), new_rk, new_rv
+
+
+# ---------------------------------------------------------------------------
+# Gated DeltaNet layer
+# ---------------------------------------------------------------------------
+
+
+def delta_forward(
+    p: Params,
+    cfg: TextConfig,
+    x: jax.Array,  # [B, T, D]
+    conv_q: Optional[jax.Array],  # [B, W, HK] or None
+    conv_k: Optional[jax.Array],
+    conv_v: Optional[jax.Array],
+    h: Optional[jax.Array],  # [B, H, K, V] fp32 or None
+    segment_ids: Optional[jax.Array] = None,
+    mode: Optional[str] = None,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, ...]]]:
+    """Reference GatedDeltaNet.forward (modeling_infinitevl.py:1219-1342)."""
+    B, T, _ = x.shape
+    H = cfg.num_linear_heads
+    K = cfg.linear_head_dim
+    V = cfg.head_v_dim
+
+    q_raw = _dense(x, p["q_proj"])  # [B, T, H*K]
+    k_raw = _dense(x, p["k_proj"])
+    v_raw = _dense(x, p["v_proj"])
+
+    use_cache = conv_q is not None
+    decode = use_cache and T == 1
+
+    if decode:
+        q1, new_cq = short_conv_step(q_raw[:, 0], p["conv_q_w"], p.get("conv_q_b"), conv_q)
+        k1, new_ck = short_conv_step(k_raw[:, 0], p["conv_k_w"], p.get("conv_k_b"), conv_k)
+        v1, new_cv = short_conv_step(v_raw[:, 0], p["conv_v_w"], p.get("conv_v_b"), conv_v)
+        q, k, v = q1[:, None], k1[:, None], v1[:, None]
+    else:
+        q, new_cq = short_conv(
+            q_raw, p["conv_q_w"], p.get("conv_q_b"), conv_q,
+            carry_history=cfg.conv_carry,
+        )
+        k, new_ck = short_conv(
+            k_raw, p["conv_k_w"], p.get("conv_k_b"), conv_k,
+            carry_history=cfg.conv_carry,
+        )
+        v, new_cv = short_conv(
+            v_raw, p["conv_v_w"], p.get("conv_v_b"), conv_v,
+            carry_history=cfg.conv_carry,
+        )
+
+    q = q.reshape(B, T, H, K)
+    k = k.reshape(B, T, H, K)
+    v = v.reshape(B, T, H, V)
+
+    beta = jax.nn.sigmoid(_dense(x, p["b_proj"]).astype(jnp.float32))  # [B,T,H]
+    # g/beta in fp32 (modeling_infinitevl.py:1294)
+    g = -jnp.exp(p["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        _dense(x, p["a_proj"]).astype(jnp.float32) + p["dt_bias"].astype(jnp.float32)
+    )
+
+    h0 = h
+    if decode:
+        o1, new_h = delta_rule_step(
+            q[:, 0], k[:, 0], v[:, 0], g[:, 0], beta[:, 0], h0
+        )
+        o = o1[:, None]
+    else:
+        o, new_h = gated_delta_rule(
+            q, k, v, g, beta,
+            initial_state=h0,
+            chunk_size=cfg.delta_chunk_size,
+            recurrent_threshold=cfg.recurrent_threshold,
+            segment_ids=segment_ids,
+            mode=mode,
+        )
+
+    gate = _dense(x, p["g_proj"]).reshape(B, T, H, V)
+    o = rms_norm_gated(o, gate, p["o_norm"], eps=cfg.norm_eps)
+    o = _dense(o.reshape(B, T, H * V), p["o_proj"])
+    new_state = (new_cq, new_ck, new_cv, new_h) if use_cache else None
+    return o, new_state
+
+
+# ---------------------------------------------------------------------------
+# Decoder stack
+# ---------------------------------------------------------------------------
+
+
+def decoder_layer_forward(
+    p: Params,
+    cfg: TextConfig,
+    role: str,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    layer_state: Optional[Tuple],
+    segment_ids: Optional[jax.Array],
+) -> Tuple[jax.Array, Optional[Tuple]]:
+    """Pre-norm residual block (modeling_infinitevl.py:1350-1429)."""
+    resid = x
+    h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+    if role == SLIDING:
+        ring_k, ring_v, cum_len = layer_state or (None, None, None)
+        attn, new_rk, new_rv = swa_attention_forward(
+            p, cfg, h, cos, sin, ring_k, ring_v, cum_len, segment_ids
+        )
+        new_state = (new_rk, new_rv) if layer_state else None
+    elif role == LINEAR:
+        cq, ck, cv, hst = layer_state or (None, None, None, None)
+        attn, new_state = delta_forward(
+            p, cfg, h, cq, ck, cv, hst, segment_ids
+        )
+    else:
+        raise NotImplementedError(f"layer role {role}")
+    x = resid + attn
+    resid = x
+    h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+    x = resid + mlp_forward(p["mlp"], h)
+    return x, new_state
+
+
+def text_forward(
+    params: Params,
+    cfg: TextConfig,
+    inputs_embeds: jax.Array,  # [B, T, D]
+    position_ids: jax.Array,  # [3, B, T]
+    state: Optional[DecoderState] = None,
+    segment_ids: Optional[jax.Array] = None,
+    output_hidden_states: bool = False,
+):
+    """Run the decoder stack.
+
+    Returns (hidden [B,T,D], new_state or None, hidden_states list or None).
+    """
+    cos, sin = mrope_cos_sin(
+        position_ids,
+        params["inv_freq"],
+        cfg.mrope_section,
+        cfg.attention_scaling,
+        dtype=inputs_embeds.dtype,
+    )
+    x = inputs_embeds
+    new_state = dict(state) if state is not None else None
+    collected = [] if output_hidden_states else None
+
+    swa_i = 0
+    lin_i = 0
+    for idx, layer_p in enumerate(params["layers"]):
+        role = cfg.layer_role(idx)
+        if collected is not None:
+            collected.append(x)
+        if state is not None:
+            if role == SLIDING:
+                layer_state = (
+                    state["swa_k"][swa_i],
+                    state["swa_v"][swa_i],
+                    state["cum_len"],
+                )
+            else:
+                layer_state = (
+                    state["conv_q"][lin_i],
+                    state["conv_k"][lin_i],
+                    state["conv_v"][lin_i],
+                    state["delta_h"][lin_i],
+                )
+        else:
+            layer_state = None
+        x, out_state = decoder_layer_forward(
+            layer_p, cfg, role, x, cos, sin, layer_state, segment_ids
+        )
+        if state is not None:
+            if role == SLIDING:
+                new_state["swa_k"] = new_state["swa_k"].at[swa_i].set(out_state[0])
+                new_state["swa_v"] = new_state["swa_v"].at[swa_i].set(out_state[1])
+                swa_i += 1
+            else:
+                new_state["conv_q"] = new_state["conv_q"].at[lin_i].set(out_state[0])
+                new_state["conv_k"] = new_state["conv_k"].at[lin_i].set(out_state[1])
+                new_state["conv_v"] = new_state["conv_v"].at[lin_i].set(out_state[2])
+                new_state["delta_h"] = new_state["delta_h"].at[lin_i].set(out_state[3])
+                lin_i += 1
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if collected is not None:
+        collected.append(x)
+    if state is not None:
+        new_state["cum_len"] = state["cum_len"] + inputs_embeds.shape[1]
+    return x, new_state, collected
+
+
+def lm_head(params: Params, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
+    """Logits. Tied to the embedding when cfg.tie_word_embeddings."""
+    if "lm_head" in params:
+        w = params["lm_head"]
+    else:
+        w = params["embed"].T
+    return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
+
+
+def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
+    return params["embed"][input_ids]

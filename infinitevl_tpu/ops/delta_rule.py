@@ -1,0 +1,320 @@
+"""Gated delta rule: reference recurrence and chunkwise parallel form.
+
+The per-token recurrence (semantics of the reference Triton kernel
+fla/ops/gated_delta_rule/fused_recurrent.py:85-101), per head, state
+S in R^{K x V} kept in float32:
+
+    S      = exp(g_t) * S                       # gated decay
+    v_eff  = beta_t * (v_t - k_t^T S)           # delta-rule error
+    S      = S + outer(k_t, v_eff)
+    o_t    = (scale * q_t)^T S
+
+with q, k L2-normalized first (use_qk_l2norm_in_kernel=True at every call
+site in the reference, modeling_infinitevl.py:1290-1316) and
+scale = K^-0.5.
+
+Chunkwise form (replaces fla/ops/gated_delta_rule/chunk.py:18-393): for a
+chunk of length C with within-chunk cumulative log-decay g_i and
+b_i = exp(g_i), the recurrence compresses to, per chunk,
+
+    A[i,j]  = beta_i <k_i, k_j> exp(g_i - g_j)          (j < i)
+    T       = (I + A)^{-1} @ diag(beta)                 (the "UT transform")
+    W       = T @ (diag(b) K)      "w" in the reference wy_fast.py
+    U       = T @ V                "u"
+    Y       = U - W @ S                                 (pseudo-values)
+    o       = diag(b) (scale Q) @ S + (tril(Q K^T) .* exp(g_i - g_j)) @ Y
+    S_next  = exp(g_C) S + (K .* exp(g_C - g))^T @ Y
+
+All decay factors appear as exp(g_i - g_j) with i >= j, hence bounded by 1;
+state math is float32 throughout while Q/K/V stay in their input dtype for
+the MXU matmuls. Verified token-exact (to fp32 tolerance) against the naive
+recurrence in tests/test_delta_rule.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .norms import l2norm
+
+
+def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve (I + A) X = rhs for strictly-lower-triangular A.
+
+    a: [..., C, C] strictly lower; rhs: [..., C, M].
+    """
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    return jax.lax.linalg.triangular_solve(
+        a + eye, rhs, left_side=True, lower=True, unit_diagonal=True
+    )
+
+
+def delta_rule_recurrent(
+    q: jax.Array,  # [B, T, H, K]
+    k: jax.Array,  # [B, T, H, K]
+    v: jax.Array,  # [B, T, H, V]
+    g: jax.Array,  # [B, T, H] log-decay (<= 0)
+    beta: jax.Array,  # [B, T, H]
+    initial_state: Optional[jax.Array] = None,  # [B, H, K, V] fp32
+    scale: Optional[float] = None,
+    use_qk_l2norm: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Naive sequential scan; the ground-truth semantics and the decode path.
+
+    Returns (o [B, T, H, V] in v.dtype, final_state [B, H, K, V] fp32)."""
+    B, T, H, K = q.shape
+    V = v.shape[-1]
+    if scale is None:
+        scale = K**-0.5
+    if use_qk_l2norm:
+        q = l2norm(q)
+        k = l2norm(k)
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    bf = beta.astype(jnp.float32)
+
+    if initial_state is None:
+        s0 = jnp.zeros((B, H, K, V), dtype=jnp.float32)
+    else:
+        s0 = initial_state.astype(jnp.float32)
+
+    def step(s, inp):
+        qt, kt, vt, gt, bt = inp  # [B,H,K],[B,H,K],[B,H,V],[B,H],[B,H]
+        s = s * jnp.exp(gt)[..., None, None]
+        pred = jnp.einsum("bhk,bhkv->bhv", kt, s)
+        verr = (vt - pred) * bt[..., None]
+        s = s + kt[..., :, None] * verr[..., None, :]
+        ot = jnp.einsum("bhk,bhkv->bhv", qt, s)
+        return s, ot
+
+    xs = (
+        jnp.moveaxis(qf, 1, 0),
+        jnp.moveaxis(kf, 1, 0),
+        jnp.moveaxis(vf, 1, 0),
+        jnp.moveaxis(gf, 1, 0),
+        jnp.moveaxis(bf, 1, 0),
+    )
+    s_final, o = jax.lax.scan(step, s0, xs)
+    o = jnp.moveaxis(o, 0, 1)  # [B, T, H, V]
+    return o.astype(v.dtype), s_final
+
+
+def delta_rule_step(
+    q: jax.Array,  # [B, H, K]
+    k: jax.Array,
+    v: jax.Array,  # [B, H, V]
+    g: jax.Array,  # [B, H]
+    beta: jax.Array,  # [B, H]
+    state: jax.Array,  # [B, H, K, V] fp32
+    scale: Optional[float] = None,
+    use_qk_l2norm: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-token decode step (state-resident fast path)."""
+    K = q.shape[-1]
+    if scale is None:
+        scale = K**-0.5
+    if use_qk_l2norm:
+        q = l2norm(q)
+        k = l2norm(k)
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    s = state * jnp.exp(g.astype(jnp.float32))[..., None, None]
+    pred = jnp.einsum("bhk,bhkv->bhv", kf, s)
+    verr = (vf - pred) * beta.astype(jnp.float32)[..., None]
+    s = s + kf[..., :, None] * verr[..., None, :]
+    o = jnp.einsum("bhk,bhkv->bhv", qf, s)
+    return o.astype(v.dtype), s
+
+
+def delta_rule_chunk(
+    q: jax.Array,  # [B, T, H, K]
+    k: jax.Array,
+    v: jax.Array,  # [B, T, H, V]
+    g: jax.Array,  # [B, T, H]
+    beta: jax.Array,  # [B, T, H]
+    initial_state: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    use_qk_l2norm: bool = True,
+    chunk_size: int = 64,
+    segment_ids: Optional[jax.Array] = None,  # [B, T] int32; see note
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunkwise-parallel gated delta rule (training / prefill path).
+
+    Packing support: `segment_ids` marks independent sequences packed along
+    T (the TPU-idiomatic replacement for the reference's cu_seqlens,
+    chunk.py:211-214). State is reset at segment boundaries by zeroing the
+    decay carry-over and masking cross-segment interactions. With segment
+    ids present, `initial_state` seeds only the first segment.
+    """
+    B, T, H, K = q.shape
+    V = v.shape[-1]
+    C = chunk_size
+    if scale is None:
+        scale = K**-0.5
+    if use_qk_l2norm:
+        q = l2norm(q)
+        k = l2norm(k)
+
+    is_start = None
+    if segment_ids is not None:
+        # Token t starts a new packed sequence iff its segment id differs
+        # from token t-1's. Token 0 continues from initial_state.
+        is_start = jnp.concatenate(
+            [
+                jnp.zeros((B, 1), dtype=bool),
+                segment_ids[:, 1:] != segment_ids[:, :-1],
+            ],
+            axis=1,
+        )
+
+    pad = (-T) % C
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        beta = jnp.pad(beta, ((0, 0), (0, pad), (0, 0)))
+        if segment_ids is not None:
+            # pad tokens continue the last segment; beta=0 makes them inert
+            segment_ids = jnp.pad(segment_ids, ((0, 0), (0, pad)), mode="edge")
+            is_start = jnp.pad(is_start, ((0, 0), (0, pad)))
+    Tp = T + pad
+    N = Tp // C
+
+    # [B, N, C, H, *] chunked views, head-major for matmuls: [B, H, N, C, *]
+    def chunked(x, d):
+        x = x.reshape(B, N, C, H, d) if d else x.reshape(B, N, C, H)
+        return jnp.moveaxis(x, 3, 1)  # [B, H, N, C, (d)]
+
+    qf = chunked(q, K).astype(jnp.float32) * scale
+    kf = chunked(k, K).astype(jnp.float32)
+    vf = chunked(v, V).astype(jnp.float32)
+    gf = chunked(g, 0).astype(jnp.float32)  # [B, H, N, C]
+    bf = chunked(beta, 0).astype(jnp.float32)
+
+    if segment_ids is not None:
+        seg = segment_ids.reshape(B, 1, N, C)
+        first_of_chunk = seg[..., :1]
+        last_of_chunk = seg[..., -1:]
+        same_as_chunk_start = seg == first_of_chunk
+        # decay resets at segment start: zero g on the first token of a segment
+        starts_c = is_start.reshape(B, 1, N, C)
+        gf = jnp.where(starts_c, 0.0, gf)
+    else:
+        seg = None
+        same_as_chunk_start = None
+
+    gcs = jnp.cumsum(gf, axis=-1)  # within-chunk inclusive cumsum [B,H,N,C]
+    b_end = gcs[..., -1]  # [B, H, N]
+
+    # Pairwise decay ratios within chunk: R[i, j] = exp(g_i - g_j), i >= j
+    gi = gcs[..., :, None]
+    gj = gcs[..., None, :]
+    tril = jnp.tril(jnp.ones((C, C), dtype=bool))
+    stril = jnp.tril(jnp.ones((C, C), dtype=bool), k=-1)
+    ratio = jnp.where(tril, jnp.exp(jnp.minimum(gi - gj, 0.0)), 0.0)
+
+    if seg is not None:
+        same_seg = seg[..., :, None] == seg[..., None, :]
+        ratio = jnp.where(same_seg, ratio, 0.0)
+
+    kk = jnp.einsum("bhnik,bhnjk->bhnij", kf, kf)  # [B,H,N,C,C]
+    a_mat = jnp.where(stril, kk * ratio, 0.0) * bf[..., :, None]
+    # X = (I + A)^{-1} rhs, rhs stacked [diag(b) K | V] to solve once
+    kb = kf * jnp.exp(gcs)[..., None]
+    if seg is not None:
+        # decay-from-chunk-start only valid within first segment of chunk;
+        # cross-segment state terms are masked below anyway, but keep kb finite
+        kb = jnp.where(same_as_chunk_start[..., None], kb, 0.0)
+    rhs = jnp.concatenate([kb, vf], axis=-1) * bf[..., None]
+    x = _solve_unit_lower(a_mat, rhs)
+    w = x[..., :K]  # [B,H,N,C,K]
+    u = x[..., K:]  # [B,H,N,C,V]
+
+    # Output-side precomputables
+    qk = jnp.einsum("bhnik,bhnjk->bhnij", qf, kf)
+    attn = jnp.where(tril, qk * ratio, 0.0)  # includes diagonal
+    q_b = qf * jnp.exp(gcs)[..., None]  # decay-weighted queries for inter term
+    if seg is not None:
+        q_b = jnp.where(same_as_chunk_start[..., None], q_b, 0.0)
+    k_out = kf * jnp.exp(b_end[..., None] - gcs)[..., None]  # decay-to-chunk-end
+    carry = jnp.exp(b_end)  # [B, H, N] state decay across the chunk
+    if seg is not None:
+        # only the chunk's final segment carries state into the next chunk
+        k_out = jnp.where((seg == last_of_chunk)[..., None], k_out, 0.0)
+        # a segment boundary inside the chunk kills the incoming state carry
+        carry = jnp.where((first_of_chunk == last_of_chunk)[..., 0], carry, 0.0)
+
+    if initial_state is None:
+        s0 = jnp.zeros((B, H, K, V), dtype=jnp.float32)
+    else:
+        s0 = initial_state.astype(jnp.float32)
+
+    def chunk_step(s, inp):
+        w_c, u_c, qb_c, attn_c, kout_c, carry_c = inp
+        y = u_c - jnp.einsum("bhck,bhkv->bhcv", w_c, s)
+        o_inter = jnp.einsum("bhck,bhkv->bhcv", qb_c, s)
+        o = o_inter + jnp.einsum("bhij,bhjv->bhiv", attn_c, y)
+        s_new = s * carry_c[..., None, None] + jnp.einsum(
+            "bhck,bhcv->bhkv", kout_c, y
+        )
+        return s_new, o
+
+    xs = (
+        jnp.moveaxis(w, 2, 0),
+        jnp.moveaxis(u, 2, 0),
+        jnp.moveaxis(q_b, 2, 0),
+        jnp.moveaxis(attn, 2, 0),
+        jnp.moveaxis(k_out, 2, 0),
+        jnp.moveaxis(carry, 2, 0),
+    )
+    s_final, o = jax.lax.scan(chunk_step, s0, xs)  # o: [N, B, H, C, V]
+    o = jnp.moveaxis(o, 0, 2).reshape(B, H, Tp, V)[:, :, :T, :]
+    o = jnp.moveaxis(o, 1, 2)  # [B, T, H, V]
+    return o.astype(v.dtype), s_final
+
+
+def gated_delta_rule(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    g: jax.Array,
+    beta: jax.Array,
+    initial_state: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    use_qk_l2norm: bool = True,
+    chunk_size: int = 64,
+    recurrent_threshold: int = 64,
+    segment_ids: Optional[jax.Array] = None,
+    mode: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch: recurrent path for short inputs (T <= threshold, matching
+    the reference's q_len <= 64 switch, modeling_infinitevl.py:1230), else
+    chunkwise. `mode` in {"chunk", "recurrent"} forces a path."""
+    T = q.shape[1]
+    if mode is None:
+        mode = "recurrent" if T <= recurrent_threshold else "chunk"
+    if mode == "recurrent":
+        if segment_ids is not None:
+            raise ValueError("segment_ids only supported in chunk mode")
+        return delta_rule_recurrent(
+            q, k, v, g, beta, initial_state, scale, use_qk_l2norm
+        )
+    return delta_rule_chunk(
+        q,
+        k,
+        v,
+        g,
+        beta,
+        initial_state,
+        scale,
+        use_qk_l2norm,
+        chunk_size,
+        segment_ids,
+    )

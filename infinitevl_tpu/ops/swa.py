@@ -1,0 +1,143 @@
+"""Sliding-window attention over a circular ring KV buffer.
+
+TPU-native replacement for the reference's FlashAttention-2 SWA path plus the
+shift-back preallocated cache (modeling_infinitevl.py:66-227). Instead of
+shifting the whole buffer each update, keys/values live in a fixed ring of
+capacity W-1 indexed by absolute token position mod capacity; the attention
+mask is derived from positions, so no data movement beyond the new tokens'
+writes.
+
+Ring invariant: slot s holds token n = the largest n < cum_len with
+n % cap == s (valid iff such n >= cum_len - cap exists). Slot positions are
+recomputed from `cum_len` — no position buffer needed.
+
+Window semantics match HF's sliding-window causal mask: query at position p
+attends keys in [p - W + 1, p] (W total including itself), which is exactly
+what the W-1-capacity ring plus current tokens can serve.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def ring_slot_positions(cum_len: jax.Array, capacity: int) -> jax.Array:
+    """Absolute token position held by each ring slot; -1 if empty.
+
+    cum_len: scalar int32, number of tokens written so far."""
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    m = (cum_len - 1) % capacity
+    pos = cum_len - 1 - jnp.mod(m - slots, capacity)
+    return jnp.where((pos >= 0) & (cum_len > 0), pos, -1)
+
+
+def ring_write(
+    ring_k: jax.Array,  # [B, cap, Hkv, D]
+    ring_v: jax.Array,
+    new_k: jax.Array,  # [B, T, Hkv, D]
+    new_v: jax.Array,
+    cum_len: jax.Array,  # scalar int32: tokens written before this call
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter T new tokens into their ring slots (position mod capacity).
+
+    If T >= capacity only the last `capacity` tokens land (earlier writes are
+    overwritten by construction of the scatter order)."""
+    cap = ring_k.shape[1]
+    T = new_k.shape[1]
+    idx = jnp.mod(cum_len + jnp.arange(T, dtype=jnp.int32), cap)
+    # dimension_numbers: scatter rows along axis 1
+    ring_k = ring_k.at[:, idx].set(new_k.astype(ring_k.dtype))
+    ring_v = ring_v.at[:, idx].set(new_v.astype(ring_v.dtype))
+    return ring_k, ring_v
+
+
+def attention_dense(
+    q: jax.Array,  # [B, Tq, Hq, D]
+    k: jax.Array,  # [B, Tk, Hkv, D]
+    v: jax.Array,  # [B, Tk, Hkv, D]
+    mask: jax.Array,  # [B, Tq, Tk] bool (True = attend) or [B, 1, Tq, Tk]
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Masked dense GQA attention with fp32 softmax. [B, Tq, Hq, D] out."""
+    B, Tq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    groups = Hq // Hkv
+    if scale is None:
+        scale = D**-0.5
+    qg = q.reshape(B, Tq, Hkv, groups, D)
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if mask.ndim == 3:
+        m = mask[:, None, None, :, :]
+    else:
+        m = mask[:, :, None, :, :]
+    logits = jnp.where(m, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v
+    )
+    return out.reshape(B, Tq, Hq, D)
+
+
+def sliding_window_mask(
+    q_pos: jax.Array,  # [Tq] absolute positions of queries
+    k_pos: jax.Array,  # [Tk] absolute positions of keys (-1 = invalid)
+    window: int,
+) -> jax.Array:
+    """[Tq, Tk] bool: causal AND within the last `window` tokens."""
+    qp = q_pos[:, None]
+    kp = k_pos[None, :]
+    return (kp >= 0) & (kp <= qp) & (kp > qp - window)
+
+
+def swa_prefill_dense(
+    q: jax.Array,  # [B, T, Hq, D], positions = offset + arange(T)
+    k: jax.Array,
+    v: jax.Array,
+    window: int,
+    offset: int | jax.Array = 0,
+    scale: Optional[float] = None,
+    segment_ids: Optional[jax.Array] = None,  # [B, T]
+) -> jax.Array:
+    """Cache-less banded attention for training / long prefill."""
+    T = q.shape[1]
+    pos = jnp.arange(T, dtype=jnp.int32) + offset
+    mask = sliding_window_mask(pos, pos, window)[None]  # [1, T, T]
+    if segment_ids is not None:
+        mask = mask & (segment_ids[:, :, None] == segment_ids[:, None, :])
+    return attention_dense(q, k, v, mask, scale)
+
+
+def swa_cached_attention(
+    q: jax.Array,  # [B, T, Hq, D] current-step queries
+    new_k: jax.Array,  # [B, T, Hkv, D] current-step keys (post-RoPE)
+    new_v: jax.Array,
+    ring_k: jax.Array,  # [B, cap, Hkv, D]
+    ring_v: jax.Array,
+    cum_len: jax.Array,  # scalar int32 tokens seen before this call
+    window: int,
+    scale: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Streaming/decode SWA step: attend over (ring ++ new), then write the
+    new tokens into the ring. Functional analogue of the reference cache
+    `update` + masked attention (modeling_infinitevl.py:133-184,1067-1108).
+
+    Returns (output [B,T,Hq,D], ring_k', ring_v')."""
+    B, T = q.shape[0], q.shape[1]
+    cap = ring_k.shape[1]
+    q_pos = cum_len + jnp.arange(T, dtype=jnp.int32)
+    slot_pos = ring_slot_positions(cum_len, cap)  # [cap]
+    k_pos = jnp.concatenate([slot_pos, q_pos], axis=0)  # [cap + T]
+    k_all = jnp.concatenate([ring_k, new_k.astype(ring_k.dtype)], axis=1)
+    v_all = jnp.concatenate([ring_v, new_v.astype(ring_v.dtype)], axis=1)
+    mask = sliding_window_mask(q_pos, k_pos, window)[None]  # [1, T, cap+T]
+    out = attention_dense(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask, scale)
+    ring_k, ring_v = ring_write(ring_k, ring_v, new_k, new_v, cum_len)
+    return out, ring_k, ring_v
