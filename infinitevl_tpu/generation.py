@@ -1,0 +1,176 @@
+"""Generation: jitted prefill / decode steps with donated state.
+
+The reference reaches its decode speed through CUDA-graph capture and
+preallocated caches (demo_streaming_inference.py:473-489); here the same
+static-shape discipline is a `jax.jit` with `donate_argnums` on the state
+pytree — XLA updates every ring buffer and recurrent state in place.
+
+prepare_inputs semantics (reference modeling_infinitevl.py:2112-2174):
+- prefill computes mRoPE indices via get_rope_index and caches rope_deltas;
+- decode positions are cum_len + rope_delta broadcast to all 3 axes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import InfiniteVLConfig
+from .models.infinitevl import forward, get_rope_index
+from .models.state import DecoderState, init_decoder_state
+from .models.text import embed_tokens, lm_head, text_forward
+
+Params = Dict[str, Any]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "grid_thw"), donate_argnames=("state",)
+)
+def prefill(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    input_ids: jax.Array,  # [B, T]
+    position_ids: jax.Array,  # [3, B, T]
+    state: DecoderState,
+    pixel_values: Optional[jax.Array] = None,
+    grid_thw: Optional[Tuple[Tuple[int, int, int], ...]] = None,
+) -> Tuple[jax.Array, DecoderState]:
+    """Returns (last-token logits [B, vocab], state)."""
+    logits, state = forward(
+        params,
+        cfg,
+        input_ids,
+        position_ids,
+        state=state,
+        pixel_values=pixel_values,
+        grid_thw=grid_thw,
+        logits_to_keep=1,
+    )
+    return logits[:, 0], state
+
+
+def _decode_step_impl(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    token: jax.Array,  # [B, 1]
+    rope_delta: jax.Array,  # [B, 1] int32
+    state: DecoderState,
+) -> Tuple[jax.Array, DecoderState]:
+    """One decode step; position = cum_len + rope_delta on all 3 axes."""
+    pos = (state["cum_len"] + rope_delta.astype(jnp.int32))[None]  # [1, B, 1]
+    pos = jnp.broadcast_to(pos, (3,) + pos.shape[1:])
+    embeds = embed_tokens(params["text"], token)
+    hidden, state, _ = text_forward(params["text"], cfg.text, embeds, pos, state)
+    logits = lm_head(params["text"], cfg.text, hidden[:, -1])
+    return logits, state
+
+
+# Donating variant: the hot path. The caller must not reuse the passed-in
+# state value afterwards — XLA recycles its buffers (ring KV, delta state)
+# for the returned state, giving true in-place cache updates.
+decode_step = jax.jit(
+    _decode_step_impl, static_argnames=("cfg",), donate_argnames=("state",)
+)
+
+# Non-donating variant for branched QA: decoding from a snapshot must leave
+# the main stream's state buffers intact (the functional analogue of the
+# reference's clone_inference_cache, demo_streaming_inference.py:111-160 —
+# except no copy is ever made).
+decode_step_preserve = jax.jit(_decode_step_impl, static_argnames=("cfg",))
+
+
+def sample_token(
+    logits: jax.Array,  # [B, vocab] fp32
+    key: Optional[jax.Array] = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """Greedy (temperature 0) or top-k/top-p sampling. Returns [B] int32."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+class Generator:
+    """Convenience driver for multimodal generate() flows.
+
+    One instance per (config, params); jit caches are shared across calls
+    with the same shapes."""
+
+    def __init__(self, params: Params, cfg: InfiniteVLConfig, dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.dtype = dtype
+
+    def generate(
+        self,
+        input_ids: np.ndarray,  # [B, T]
+        pixel_values: Optional[np.ndarray] = None,
+        image_grid_thw: Optional[np.ndarray] = None,
+        video_grid_thw: Optional[np.ndarray] = None,
+        second_per_grid_ts=None,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        eos_token_id: Optional[int] = None,
+        state: Optional[DecoderState] = None,
+    ) -> np.ndarray:
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
+        pos, deltas = get_rope_index(
+            cfg,
+            input_ids,
+            image_grid_thw,
+            video_grid_thw,
+            second_per_grid_ts,
+        )
+        if state is None:
+            state = init_decoder_state(cfg.text, B, dtype=self.dtype)
+        grid = None
+        pv = None
+        if pixel_values is not None:
+            grids = []
+            if image_grid_thw is not None:
+                grids += [tuple(int(x) for x in g) for g in image_grid_thw]
+            if video_grid_thw is not None:
+                grids += [tuple(int(x) for x in g) for g in video_grid_thw]
+            grid = tuple(grids)
+            pv = jnp.asarray(pixel_values)
+        logits, state = prefill(
+            self.params, cfg, jnp.asarray(input_ids), jnp.asarray(pos), state,
+            pixel_values=pv, grid_thw=grid,
+        )
+        rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
+        key = jax.random.PRNGKey(seed)
+        out = []
+        tok = sample_token(logits, key, temperature, top_k, top_p)
+        for i in range(max_new_tokens):
+            t = np.asarray(tok)
+            out.append(t)
+            if B == 1 and int(t[0]) == eos:
+                break
+            logits, state = decode_step(
+                self.params, cfg, tok[:, None], rope_delta, state
+            )
+            key, sub = jax.random.split(key)
+            tok = sample_token(logits, sub, temperature, top_k, top_p)
+        return np.stack(out, axis=1)

@@ -111,18 +111,17 @@ def vision_cos_sin(
     pos_ids: np.ndarray,  # [S, 2] (h, w)
     head_dim: int,
     theta: float = 10000.0,
-    dtype=jnp.float32,
-) -> Tuple[jax.Array, jax.Array]:
+    dtype=np.float32,
+) -> Tuple[np.ndarray, np.ndarray]:
     """cos/sin of shape [S, head_dim]: freqs for the (h, w) axes concatenated
-    then duplicated (reference modeling_infinitevl.py:823,838-841)."""
+    then duplicated (reference modeling_infinitevl.py:823,838-841).
+
+    Pure numpy so it can run during jit tracing (plans are constants)."""
     inv_freq = default_inv_freq(head_dim // 2, theta)  # [head_dim/4]
     freqs = pos_ids[..., None].astype(np.float64) * inv_freq  # [S, 2, hd/4]
     freqs = freqs.reshape(freqs.shape[0], -1)  # [S, hd/2]
     emb = np.concatenate([freqs, freqs], axis=-1)  # [S, hd]
-    return (
-        jnp.asarray(np.cos(emb), dtype=dtype),
-        jnp.asarray(np.sin(emb), dtype=dtype),
-    )
+    return np.cos(emb).astype(dtype), np.sin(emb).astype(dtype)
 
 
 def apply_rotary_vision(

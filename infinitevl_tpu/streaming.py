@@ -1,0 +1,221 @@
+"""Streaming video inference engine.
+
+TPU-native replacement for the reference CUDA-graph streaming demo
+(inference_examples/demo_streaming_inference.py): the per-frame update is a
+single jitted function with static shapes and a donated state pytree —
+trace once, replay forever, the same property the reference buys with
+torch.cuda.CUDAGraph capture (demo:262,473-489).
+
+Position semantics (demo:237-247,444-467): every stream frame reuses the
+same spatial (h, w) mRoPE base positions; only the temporal axis advances,
+by t_offset = grid_t * tokens_per_grid where grid_t indexes wall-clock time
+in second_per_grid_ts units. QA branches start at max(position)+1.
+
+Branched QA (demo:357-438) needs no cache cloning: the state pytree is a
+value; the branch decodes with non-donating steps while the main stream
+keeps the original buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import InfiniteVLConfig
+from .generation import decode_step_preserve, prefill
+from .models.infinitevl import get_rope_index, scatter_vision_embeds
+from .models.state import DecoderState, init_decoder_state
+from .models.text import embed_tokens, lm_head, text_forward
+from .models.vision import get_vision_plan, vision_forward
+
+Params = Dict[str, Any]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_thw"),
+    donate_argnames=("state",),
+)
+def stream_frame_step(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    pixel_values: jax.Array,  # [n_patches, in_feat] one frame
+    frame_input_ids: jax.Array,  # [1, 1 + n_tok] <vision_start> + image pads
+    pos_base: jax.Array,  # scalar int32: position of <vision_start>
+    t_offset: jax.Array,  # scalar int32: temporal mrope offset for this frame
+    state: DecoderState,
+    grid_thw: Tuple[Tuple[int, int, int], ...] = ((1, 32, 32),),
+) -> DecoderState:
+    """Ingest one video frame into the streaming state. Fully on-device,
+    compiled once per frame-shape bucket."""
+    plan = get_vision_plan(grid_thw, cfg.vision)
+    vis = vision_forward(params["visual"], cfg.vision, pixel_values, plan)
+
+    embeds = embed_tokens(params["text"], frame_input_ids)
+    mask = frame_input_ids == cfg.image_token_id
+    embeds = scatter_vision_embeds(embeds, vis, mask)
+
+    T = frame_input_ids.shape[1]
+    n_tok = T - 1
+    m = cfg.vision.spatial_merge_size
+    lh, lw = grid_thw[0][1] // m, grid_thw[0][2] // m
+    h_idx = jnp.repeat(jnp.arange(lh, dtype=jnp.int32), lw)
+    w_idx = jnp.tile(jnp.arange(lw, dtype=jnp.int32), lh)
+    grid_base = pos_base + 1
+    pos_t = jnp.concatenate(
+        [pos_base[None], grid_base + t_offset + jnp.zeros(n_tok, jnp.int32)]
+    )
+    pos_h = jnp.concatenate([pos_base[None], grid_base + h_idx])
+    pos_w = jnp.concatenate([pos_base[None], grid_base + w_idx])
+    pos = jnp.stack([pos_t, pos_h, pos_w])[:, None, :]  # [3, 1, T]
+
+    _, state, _ = text_forward(params["text"], cfg.text, embeds, pos, state)
+    return state
+
+
+class StreamingEngine:
+    """Frame-by-frame video prefill with branched QA; the functional
+    equivalent of the reference demo's main loop (push_frame / ask / stats)."""
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: InfiniteVLConfig,
+        frame_hw: Tuple[int, int] = (448, 448),
+        dtype=jnp.bfloat16,
+        batch_size: int = 1,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.dtype = dtype
+        p = cfg.vision.patch_size
+        mp = p * cfg.vision.spatial_merge_size
+        if frame_hw[0] % mp or frame_hw[1] % mp:
+            raise ValueError("frame size must be a multiple of patch*merge")
+        gh, gw = frame_hw[0] // p, frame_hw[1] // p
+        self.grid_thw = ((1, gh, gw),)
+        m = cfg.vision.spatial_merge_size
+        self.tokens_per_frame = (gh // m) * (gw // m)
+        ids = [cfg.vision_start_token_id] + [cfg.image_token_id] * self.tokens_per_frame
+        self.frame_input_ids = jnp.asarray([ids], dtype=jnp.int32)
+        self.state: DecoderState = init_decoder_state(cfg.text, batch_size, dtype=dtype)
+        # host-side position bookkeeping (static per frame index)
+        self.pos_base = 0  # position of <vision_start> for stream frames
+        self.pos_max = -1  # running max mrope position
+        self.frame_times_ms: List[float] = []
+        self.frames = 0
+
+    # ------------------------------------------------------------------
+    def prime(
+        self,
+        input_ids: np.ndarray,  # [1, T] initial prompt (may include a frame)
+        pixel_values: Optional[np.ndarray] = None,
+        image_grid_thw: Optional[np.ndarray] = None,
+    ) -> None:
+        """Prefill an initial prompt (reference demo's frame-0 template
+        prefill, demo:325-347). Sets the stream position base."""
+        pos, _ = get_rope_index(self.cfg, input_ids, image_grid_thw)
+        grid = (
+            tuple(tuple(int(x) for x in g) for g in image_grid_thw)
+            if image_grid_thw is not None
+            else None
+        )
+        pv = jnp.asarray(pixel_values, dtype=self.dtype) if pixel_values is not None else None
+        _, self.state = prefill(
+            self.params,
+            self.cfg,
+            jnp.asarray(input_ids),
+            jnp.asarray(pos),
+            self.state,
+            pixel_values=pv,
+            grid_thw=grid,
+        )
+        self.pos_max = int(pos.max())
+        self.pos_base = self.pos_max + 1
+
+    def t_offset_for_frame(self, frame_idx: int, fps: float) -> int:
+        """demo:444-447: grid_t = floor(frame_time / second_per_grid_ts);
+        offset in position units = grid_t * second_per_grid * tokens_per_second."""
+        v = self.cfg.vision
+        second_per_grid = v.temporal_patch_size / fps
+        grid_t = int((frame_idx / fps) / second_per_grid)
+        return int(grid_t * second_per_grid * v.tokens_per_second)
+
+    def push_frame(self, pixel_values: np.ndarray, fps: float = 30.0) -> None:
+        """Ingest one frame (pixel_values: [n_patches, in_feat])."""
+        t_off = self.t_offset_for_frame(self.frames, fps)
+        t0 = time.perf_counter()
+        self.state = stream_frame_step(
+            self.params,
+            self.cfg,
+            jnp.asarray(pixel_values, dtype=self.dtype),
+            self.frame_input_ids,
+            jnp.asarray(self.pos_base, dtype=jnp.int32),
+            jnp.asarray(t_off, dtype=jnp.int32),
+            self.state,
+            self.grid_thw,
+        )
+        jax.block_until_ready(self.state["cum_len"])
+        self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
+        self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
+        self.frames += 1
+
+    def ask(
+        self,
+        question_ids: np.ndarray,  # [1, Tq] tokenized question
+        max_new_tokens: int = 200,
+        eos_token_id: Optional[int] = None,
+    ) -> List[int]:
+        """Branch the stream, prefill <vision_end> + question, greedy decode.
+        The main stream state is untouched."""
+        cfg = self.cfg
+        eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
+        q_ids = np.concatenate(
+            [[[cfg.vision_end_token_id]], np.asarray(question_ids)], axis=1
+        ).astype(np.int32)
+        Tq = q_ids.shape[1]
+        start = self.pos_max + 1
+        pos = np.broadcast_to(
+            np.arange(start, start + Tq)[None, None], (3, 1, Tq)
+        ).astype(np.int32)
+        embeds = embed_tokens(self.params["text"], jnp.asarray(q_ids))
+        hidden, branch, _ = _qa_prefill(
+            self.params, cfg, embeds, jnp.asarray(pos), self.state
+        )
+        logits = lm_head(self.params["text"], cfg.text, hidden[:, -1])
+        tok = int(jnp.argmax(logits, axis=-1)[0])
+        out: List[int] = []
+        # decode positions continue from start+Tq: delta vs branch cum_len
+        delta = start - int(self.state["cum_len"])
+        rope_delta = jnp.asarray([[delta]], dtype=jnp.int32)
+        for _ in range(max_new_tokens):
+            if tok == eos:
+                break
+            out.append(tok)
+            logits, branch = decode_step_preserve(
+                self.params, cfg, jnp.asarray([[tok]]), rope_delta, branch
+            )
+            tok = int(jnp.argmax(logits, axis=-1)[0])
+        return out
+
+    def stats(self) -> Dict[str, float]:
+        if not self.frame_times_ms:
+            return {}
+        arr = np.asarray(self.frame_times_ms[1:] or self.frame_times_ms)
+        return {
+            "frames": self.frames,
+            "avg_ms": float(arr.mean()),
+            "p50_ms": float(np.percentile(arr, 50)),
+            "fps": float(1000.0 / arr.mean()),
+            "tokens": int(self.state["cum_len"]),
+        }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _qa_prefill(params, cfg, embeds, pos, state):
+    return text_forward(params["text"], cfg.text, embeds, pos, state)

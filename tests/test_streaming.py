@@ -1,0 +1,154 @@
+"""Streaming engine: chunked frame ingestion must equal a one-shot forward,
+branched QA must not disturb the main stream, memory must stay flat."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitevl_tpu import tiny_config
+from infinitevl_tpu.config import InfiniteVLConfig, VisionConfig
+from infinitevl_tpu.generation import Generator
+from infinitevl_tpu.models.infinitevl import forward
+from infinitevl_tpu.models.params import init_params
+from infinitevl_tpu.models.state import state_bytes
+from infinitevl_tpu.streaming import StreamingEngine
+
+
+def err_ratio(x, ref):
+    x = np.asarray(x, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    return np.abs(x - ref).mean() / (np.abs(ref).mean() + 1e-12)
+
+
+def make_cfg(conv_carry=False):
+    base = tiny_config()
+    vision = VisionConfig(
+        depth=2,
+        hidden_size=32,
+        intermediate_size=64,
+        num_heads=4,
+        patch_size=2,
+        spatial_merge_size=2,
+        temporal_patch_size=1,
+        window_size=8,
+        out_hidden_size=base.text.hidden_size,
+        fullatt_block_indexes=(1,),
+        tokens_per_second=2,
+    )
+    text = dataclasses.replace(base.text, conv_carry=conv_carry)
+    return dataclasses.replace(base, vision=vision, text=text)
+
+
+def frame_pixels(key, cfg, hw=(8, 8)):
+    p = cfg.vision.patch_size
+    n = (hw[0] // p) * (hw[1] // p)
+    in_feat = cfg.vision.in_channels * cfg.vision.temporal_patch_size * p * p
+    return jax.random.normal(key, (n, in_feat), dtype=jnp.float32)
+
+
+def test_streaming_state_constant_and_branching():
+    cfg = make_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    eng = StreamingEngine(params, cfg, frame_hw=(8, 8), dtype=jnp.float32)
+    bytes0 = state_bytes(eng.state)
+    for i in range(3):
+        eng.push_frame(frame_pixels(jax.random.PRNGKey(i + 1), cfg), fps=30.0)
+    assert state_bytes(eng.state) == bytes0
+    assert int(eng.state["cum_len"]) == 3 * (1 + eng.tokens_per_frame)
+
+    snapshot = jax.tree.map(lambda x: np.asarray(x).copy(), eng.state)
+    ans = eng.ask(np.array([[7, 8, 9]]), max_new_tokens=4, eos_token_id=-1)
+    assert len(ans) == 4
+    # main stream untouched by the QA branch
+    for a, b in zip(jax.tree.leaves(eng.state), jax.tree.leaves(snapshot)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # stream continues fine after QA
+    eng.push_frame(frame_pixels(jax.random.PRNGKey(9), cfg), fps=30.0)
+    assert eng.frames == 4
+
+
+def test_streaming_matches_oneshot_forward():
+    """Two streamed frames + QA prefill == a single stateless forward over
+    the concatenated sequence with identical positions (conv_carry=True so
+    chunk boundaries are exact)."""
+    cfg = make_cfg(conv_carry=True)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    eng = StreamingEngine(params, cfg, frame_hw=(8, 8), dtype=jnp.float32)
+    n_tok = eng.tokens_per_frame  # 4 for 8x8/patch2/merge2
+
+    f1 = frame_pixels(jax.random.PRNGKey(1), cfg)
+    f2 = frame_pixels(jax.random.PRNGKey(2), cfg)
+    eng.push_frame(f1, fps=30.0)
+    eng.push_frame(f2, fps=30.0)
+
+    q = np.array([[5, 6]])
+    # hidden from the engine's QA branch prefill
+    from infinitevl_tpu.models.text import embed_tokens, lm_head
+    from infinitevl_tpu.streaming import _qa_prefill
+
+    q_ids = np.concatenate([[[cfg.vision_end_token_id]], q], axis=1)
+    Tq = q_ids.shape[1]
+    start = eng.pos_max + 1
+    pos_q = np.broadcast_to(
+        np.arange(start, start + Tq)[None, None], (3, 1, Tq)
+    ).astype(np.int32)
+    embeds = embed_tokens(params["text"], jnp.asarray(q_ids))
+    hidden_stream, _, _ = _qa_prefill(
+        params, cfg, embeds, jnp.asarray(pos_q), eng.state
+    )
+    logits_stream = lm_head(params["text"], cfg.text, hidden_stream[:, -1])
+
+    # one-shot reference: [vs, 4 img, vs, 4 img, vision_end, q...]
+    vs, im = cfg.vision_start_token_id, cfg.image_token_id
+    ids = [vs] + [im] * n_tok + [vs] + [im] * n_tok + list(q_ids[0])
+    ids = np.asarray([ids])
+    # positions replicating streaming semantics: fixed spatial base, t offsets
+    lh = lw = 2
+    h_idx = np.repeat(np.arange(lh), lw)
+    w_idx = np.tile(np.arange(lw), lh)
+    toff = [eng.t_offset_for_frame(0, 30.0), eng.t_offset_for_frame(1, 30.0)]
+    pt, ph, pw = [], [], []
+    for fi in range(2):
+        pt += [0] + list(1 + toff[fi] + np.zeros(n_tok, np.int64))
+        ph += [0] + list(1 + h_idx)
+        pw += [0] + list(1 + w_idx)
+    qpos = list(range(start, start + Tq))
+    pos_full = np.asarray([pt + qpos, ph + qpos, pw + qpos])[:, None, :]
+    logits_full, _ = forward(
+        params,
+        cfg,
+        jnp.asarray(ids),
+        jnp.asarray(pos_full),
+        state=None,
+        pixel_values=jnp.concatenate([f1, f2], axis=0),
+        grid_thw=((1, 4, 4), (1, 4, 4)),
+        logits_to_keep=1,
+    )
+    assert err_ratio(logits_stream, logits_full[:, 0]) < 1e-4
+
+
+def test_generator_text_only():
+    cfg = make_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    gen = Generator(params, cfg, dtype=jnp.float32)
+    ids = np.array([[3, 4, 5, 6]])
+    out = gen.generate(ids, max_new_tokens=5, eos_token_id=-1)
+    assert out.shape == (1, 5)
+    # deterministic greedy
+    out2 = gen.generate(ids, max_new_tokens=5, eos_token_id=-1)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_generator_sampling_modes():
+    cfg = make_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    gen = Generator(params, cfg, dtype=jnp.float32)
+    ids = np.array([[3, 4, 5, 6]])
+    out = gen.generate(
+        ids, max_new_tokens=4, temperature=0.8, top_k=10, top_p=0.9,
+        eos_token_id=-1, seed=7,
+    )
+    assert out.shape == (1, 4)
+    assert (out >= 0).all() and (out < cfg.text.vocab_size).all()

@@ -1,0 +1,125 @@
+"""Text decoder: cached prefill+decode must match the stateless forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitevl_tpu import tiny_config
+from infinitevl_tpu.models.params import init_text_params, param_count
+from infinitevl_tpu.models.state import init_decoder_state, state_bytes
+from infinitevl_tpu.models.text import embed_tokens, lm_head, text_forward
+
+
+def err_ratio(x, ref):
+    x = np.asarray(x, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    return np.abs(x - ref).mean() / (np.abs(ref).mean() + 1e-12)
+
+
+def setup(T=24, B=1, dtype=jnp.float32):
+    cfg = tiny_config().text
+    params = init_text_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(T)[None, None], (3, B, T))
+    return cfg, params, ids, pos
+
+
+def test_cached_prefill_matches_stateless():
+    cfg, params, ids, pos = setup(T=24)
+    embeds = embed_tokens(params, ids)
+    h_ref, _, _ = text_forward(params, cfg, embeds, pos, state=None)
+    state = init_decoder_state(cfg, 1, dtype=jnp.float32)
+    h_cached, new_state, _ = text_forward(params, cfg, embeds, pos, state=state)
+    assert err_ratio(h_cached, h_ref) < 1e-4
+    assert int(new_state["cum_len"]) == 24
+
+
+def test_decode_continues_prefill():
+    """prefill(T) + per-token decode == stateless forward over T+n tokens."""
+    cfg, params, ids, pos = setup(T=20)
+    T = 20
+    n_extra = 6
+    extra = jax.random.randint(jax.random.PRNGKey(2), (1, n_extra), 0, cfg.vocab_size)
+    all_ids = jnp.concatenate([ids, extra], axis=1)
+    all_pos = jnp.broadcast_to(
+        jnp.arange(T + n_extra)[None, None], (3, 1, T + n_extra)
+    )
+    h_ref, _, _ = text_forward(
+        params, cfg, embed_tokens(params, all_ids), all_pos, state=None
+    )
+
+    state = init_decoder_state(cfg, 1, dtype=jnp.float32)
+    h_pre, state, _ = text_forward(
+        params, cfg, embed_tokens(params, ids), pos, state=state
+    )
+    outs = [h_pre]
+    for t in range(T, T + n_extra):
+        step_pos = jnp.full((3, 1, 1), t, dtype=jnp.int32)
+        h_t, state, _ = text_forward(
+            params,
+            cfg,
+            embed_tokens(params, all_ids[:, t : t + 1]),
+            step_pos,
+            state=state,
+        )
+        outs.append(h_t)
+    h_steps = jnp.concatenate(outs, axis=1)
+    assert err_ratio(h_steps, h_ref) < 1e-4
+    assert int(state["cum_len"]) == T + n_extra
+
+
+def test_decode_past_window_constant_state():
+    """Decode far past the SWA window: state shapes stay fixed, outputs track
+    a stateless forward restricted to the window."""
+    cfg, params, ids, pos = setup(T=8)
+    state = init_decoder_state(cfg, 1, dtype=jnp.float32)
+    bytes_before = state_bytes(state)
+    _, state, _ = text_forward(params, cfg, embed_tokens(params, ids), pos, state=state)
+    total = cfg.sliding_window + 13  # past the 16-token window
+    tok = jax.random.randint(jax.random.PRNGKey(3), (1, total), 0, cfg.vocab_size)
+    for t in range(8, total):
+        step_pos = jnp.full((3, 1, 1), t, dtype=jnp.int32)
+        _, state, _ = text_forward(
+            params, cfg, embed_tokens(params, tok[:, t : t + 1]), step_pos, state=state
+        )
+    assert state_bytes(state) == bytes_before
+    assert int(state["cum_len"]) == total
+
+
+def test_branching_state_is_free():
+    """Functional state: running a branch does not disturb the original
+    (the reference needs clone_inference_cache, demo:111-160)."""
+    cfg, params, ids, pos = setup(T=12)
+    state = init_decoder_state(cfg, 1, dtype=jnp.float32)
+    _, state, _ = text_forward(params, cfg, embed_tokens(params, ids), pos, state=state)
+    snapshot = jax.tree.map(lambda x: np.asarray(x).copy(), state)
+    # run a QA branch from the same state value
+    branch = state
+    for t in range(12, 15):
+        step_pos = jnp.full((3, 1, 1), t, dtype=jnp.int32)
+        _, branch, _ = text_forward(
+            params, cfg, embed_tokens(params, ids[:, :1]), step_pos, state=branch
+        )
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(snapshot)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_lm_head_tied():
+    cfg, params, ids, pos = setup(T=4)
+    h, _, _ = text_forward(params, cfg, embed_tokens(params, ids), pos)
+    logits = lm_head(params, cfg, h)
+    assert logits.shape == (1, 4, cfg.vocab_size)
+    assert logits.dtype == jnp.float32
+
+
+def test_param_count_3b_scale():
+    """Deployed-config param count lands at ~3B (sanity of dims wiring)."""
+    from infinitevl_tpu import infinitevl_3b
+    from infinitevl_tpu.models.params import init_params
+
+    cfg = infinitevl_3b()
+    shapes = jax.eval_shape(
+        lambda k: init_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert 2.5e9 < n < 4.5e9, n
