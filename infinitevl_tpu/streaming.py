@@ -160,7 +160,7 @@ class StreamingEngine:
             self.state,
             self.grid_thw,
         )
-        jax.block_until_ready(self.state["cum_len"])
+        jax.block_until_ready(self.state)
         self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
         self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
         self.frames += 1

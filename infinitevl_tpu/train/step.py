@@ -1,0 +1,161 @@
+"""Training step: losses + optimizer plumbing.
+
+Covers the reference's three distillation/SFT stages (train/dt/trainer.py):
+- stage 1: per-layer MSE between student layers fed the teacher's layer
+  inputs (LayerDistillationTrainer.compute_loss, trainer.py:137-164)
+- stage 2: temperature-scaled KL on logits (trainer.py:285-308)
+- stage 3 / sft: token cross-entropy with IGNORE_INDEX=-100 labels
+
+Optimizer: AdamW with the reference's no-weight-decay rule on A_log/dt_bias
+(modeling_infinitevl.py:1169,1183 `_no_weight_decay`) and on all 1-D
+norm/bias params (standard HF Trainer behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import InfiniteVLConfig, TextConfig
+from ..models.text import embed_tokens, lm_head, text_forward
+from ..parallel.sharding import _path_str
+
+IGNORE_INDEX = -100
+
+Params = Dict[str, Any]
+
+
+def cross_entropy_loss(
+    logits: jax.Array,  # [B, T, V] fp32
+    labels: jax.Array,  # [B, T] with IGNORE_INDEX masking
+) -> jax.Array:
+    """Shifted next-token CE (labels already aligned by the collator)."""
+    mask = labels != IGNORE_INDEX
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return -(tok * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+
+def kl_distill_loss(
+    student_logits: jax.Array,
+    teacher_logits: jax.Array,
+    temperature: float = 2.0,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """KL(teacher || student) with T^2 scaling (dt/trainer.py:285-308)."""
+    t = temperature
+    s = jax.nn.log_softmax(student_logits / t, axis=-1)
+    p = jax.nn.softmax(teacher_logits / t, axis=-1)
+    kl = (p * (jnp.log(jnp.clip(p, 1e-9)) - s)).sum(-1)
+    if mask is not None:
+        kl = (kl * mask).sum() / jnp.maximum(mask.sum(), 1)
+    else:
+        kl = kl.mean()
+    return kl * (t * t)
+
+
+def layerwise_mse_loss(diffs) -> jax.Array:
+    """Average per-layer MSE (dt/trainer.py:137-164 semantics)."""
+    losses = [jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+              for a, b in diffs]
+    return sum(losses) / len(losses)
+
+
+def _no_decay(path, x) -> bool:
+    name = _path_str(path)
+    return (
+        x.ndim <= 1
+        or name.endswith("A_log")
+        or name.endswith("dt_bias")
+        or "norm" in name.lower()
+    )
+
+
+def make_optimizer(
+    learning_rate=1e-4,
+    weight_decay: float = 0.01,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: float = 1.0,
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    schedule: str = "cosine",
+) -> optax.GradientTransformation:
+    if callable(learning_rate):
+        lr = learning_rate
+    elif total_steps:
+        if schedule == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, learning_rate, warmup_steps, total_steps
+            )
+        elif schedule == "linear":
+            lr = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1)),
+                    optax.linear_schedule(learning_rate, 0.0, max(total_steps - warmup_steps, 1)),
+                ],
+                [warmup_steps],
+            )
+        else:
+            lr = learning_rate
+    else:
+        lr = learning_rate
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(
+            lr,
+            b1=b1,
+            b2=b2,
+            weight_decay=weight_decay,
+            mask=lambda params: jax.tree_util.tree_map_with_path(
+                lambda p, x: not _no_decay(p, x), params
+            ),
+        ),
+    )
+    return tx
+
+
+def sft_loss_fn(
+    params: Params,
+    cfg: TextConfig,
+    input_ids: jax.Array,  # [B, T]
+    labels: jax.Array,  # [B, T]
+    position_ids: jax.Array,  # [3, B, T]
+    segment_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+) -> jax.Array:
+    embeds = inputs_embeds if inputs_embeds is not None else embed_tokens(params, input_ids)
+    hidden, _, _ = text_forward(
+        params, cfg, embeds, position_ids, state=None, segment_ids=segment_ids
+    )
+    logits = lm_head(params, cfg, hidden)
+    return cross_entropy_loss(logits, labels)
+
+
+def make_sft_train_step(cfg: TextConfig, tx: optax.GradientTransformation):
+    """Returns jittable (params, opt_state, batch) -> (params, opt_state, loss).
+    params: full pytree with a "text" subtree (so sharding-rule paths match);
+    batch: dict(input_ids, labels, position_ids[, segment_ids])."""
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            return sft_loss_fn(
+                p["text"] if "text" in p else p,
+                cfg,
+                batch["input_ids"],
+                batch["labels"],
+                batch["position_ids"],
+                batch.get("segment_ids"),
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
