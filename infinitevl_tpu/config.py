@@ -116,6 +116,10 @@ class TextConfig:
     # instead (fla/modules/convolution.py:236-240 never feeds `cache` into
     # `causal_conv1d_fn`); keep False for token-parity with the reference.
     conv_carry: bool = False
+    # Use the Pallas flash kernel for cached SWA attention (TPU backend only;
+    # falls back to the XLA dense path elsewhere or when the ring capacity
+    # isn't block-aligned).
+    use_pallas_swa: bool = True
 
     def __post_init__(self):
         if self.layer_types is None:
@@ -169,9 +173,13 @@ class TextConfig:
 
     @property
     def swa_capacity(self) -> int:
-        """Ring-buffer capacity: window - 1 past entries
-        (reference modeling_infinitevl.py:84-93)."""
-        return max(self.sliding_window - 1, 0)
+        """Ring-buffer capacity. The reference preallocates window - 1 slots
+        (modeling_infinitevl.py:84-93); we round up to the full window so the
+        buffer is 128-lane aligned for the Pallas kernel. Visibility is
+        enforced by the position mask (kp > qp - W), so the extra slot only
+        ever holds a stale, never-visible key — attention outputs are
+        identical."""
+        return self.sliding_window
 
     def layer_role(self, idx: int) -> str:
         t = self.layer_types[idx]

@@ -42,6 +42,15 @@ def mlp_forward(p: Params, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas_swa(cfg: TextConfig, ring_k: jax.Array) -> bool:
+    if not cfg.use_pallas_swa:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    cap = ring_k.shape[1]
+    return cap % 512 == 0 and ring_k.shape[-1] % 128 == 0
+
+
 def swa_attention_forward(
     p: Params,
     cfg: TextConfig,
@@ -66,6 +75,14 @@ def swa_attention_forward(
             q, k, v, cfg.sliding_window, segment_ids=segment_ids
         )
         new_rk = new_rv = None
+    elif _use_pallas_swa(cfg, ring_k):
+        from ..ops.swa import ring_write
+        from ..ops.swa_pallas import swa_ring_flash_attention
+
+        out = swa_ring_flash_attention(
+            q, k, v, ring_k, ring_v, cum_len, cfg.sliding_window
+        )
+        new_rk, new_rv = ring_write(ring_k, ring_v, k, v, cum_len)
     else:
         out, new_rk, new_rv = swa_cached_attention(
             q, k, v, ring_k, ring_v, cum_len, cfg.sliding_window

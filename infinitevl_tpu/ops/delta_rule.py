@@ -33,6 +33,7 @@ recurrence in tests/test_delta_rule.py.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -45,11 +46,19 @@ def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
     """Solve (I + A) X = rhs for strictly-lower-triangular A.
 
     a: [..., C, C] strictly lower; rhs: [..., C, M].
-    """
-    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
-    return jax.lax.linalg.triangular_solve(
-        a + eye, rhs, left_side=True, lower=True, unit_diagonal=True
-    )
+
+    Newton-Schulz iteration X <- X (2I - L X): since the residual squares
+    each step and E_0 = -A is nilpotent of index <= C, ceil(log2(C))
+    iterations give the EXACT inverse — all batched MXU matmuls, far faster
+    on TPU than lax.linalg.triangular_solve's sequential substitution."""
+    C = a.shape[-1]
+    eye = jnp.eye(C, dtype=jnp.float32)
+    l = a.astype(jnp.float32) + eye
+    x = eye - a.astype(jnp.float32)  # first-order seed: E_0 = A^2 terms
+    n_iter = max(int(math.ceil(math.log2(max(C, 2)))) - 1, 0)
+    for _ in range(n_iter):
+        x = x @ (2.0 * eye - l @ x)
+    return (x @ rhs.astype(jnp.float32)).astype(rhs.dtype)
 
 
 def delta_rule_recurrent(
