@@ -1,0 +1,171 @@
+"""Command-line interface.
+
+Reference: src/llamafactory/cli.py:75-127 — subcommands train / chat / api /
+eval / export / version. Multi-host launch is `jax.distributed` env-driven
+rather than a torchrun respawn."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+USAGE = """infinitevl-tpu CLI
+  python -m infinitevl_tpu.cli train <config.yaml>   # pt/sft/dt stages
+  python -m infinitevl_tpu.cli chat <config.yaml>    # interactive CLI chat
+  python -m infinitevl_tpu.cli api <config.yaml>     # OpenAI-compatible server
+  python -m infinitevl_tpu.cli eval <config.yaml>    # MCQ evaluator
+  python -m infinitevl_tpu.cli export <config.yaml>  # HF safetensors export
+  python -m infinitevl_tpu.cli bench                 # run bench.py metrics
+  python -m infinitevl_tpu.cli version
+"""
+
+
+def _load(config_path: str):
+    from .hparams import load_yaml_args
+
+    return load_yaml_args(config_path)
+
+
+def _build_generator(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .generation import Generator
+    from .models.params import init_params, load_hf_checkpoint
+    from .train.trainer import build_config
+
+    cfg = build_config(args)
+    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    if args.model.model_name_or_path:
+        params = load_hf_checkpoint(args.model.model_name_or_path, cfg, dtype)
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg, dtype)
+    return Generator(params, cfg, dtype=dtype), cfg
+
+
+def _tokenizer(args):
+    """HF tokenizer when checkpoint files exist; SimpleTokenizer otherwise."""
+    if args.model.model_name_or_path:
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(args.model.model_name_or_path)
+        except Exception:
+            pass
+    from .data.loader import SimpleTokenizer
+
+    return SimpleTokenizer()
+
+
+def cmd_train(config_path: str):
+    from .train.trainer import run_exp
+
+    args = _load(config_path)
+    run_exp(args, tokenizer=_tokenizer(args))
+
+
+def cmd_chat(config_path: str):
+    from .data.template import get_template
+
+    args = _load(config_path)
+    gen, cfg = _build_generator(args)
+    tok = _tokenizer(args)
+    template = get_template(args.data.template)
+    import numpy as np
+
+    history = []
+    print("Interactive chat. Type 'exit' to quit, 'clear' to reset history.")
+    while True:
+        try:
+            user = input("\nUser: ").strip()
+        except EOFError:
+            break
+        if user == "exit":
+            break
+        if user == "clear":
+            history = []
+            continue
+        history.append({"role": "user", "content": user})
+        prompt = template.render_prompt(history)
+        ids = np.asarray([tok.encode(prompt, add_special_tokens=False)])
+        out = gen.generate(
+            ids,
+            max_new_tokens=args.gen.max_new_tokens,
+            temperature=args.gen.temperature if args.gen.do_sample else 0.0,
+            top_k=args.gen.top_k,
+            top_p=args.gen.top_p,
+        )
+        text = tok.decode(out[0], skip_special_tokens=True)
+        history.append({"role": "assistant", "content": text})
+        print(f"Assistant: {text}")
+
+
+def cmd_api(config_path: str, port: int = 8000):
+    from .serve.api import ChatBackend, run_api
+
+    args = _load(config_path)
+    gen, cfg = _build_generator(args)
+    backend = ChatBackend(gen, _tokenizer(args), args.data.template)
+    run_api(backend, port=port)
+
+
+def cmd_eval(config_path: str):
+    from .eval.mcq import MCQEvaluator
+
+    args = _load(config_path)
+    gen, cfg = _build_generator(args)
+    evaluator = MCQEvaluator(gen, _tokenizer(args))
+    import os
+
+    task_path = os.path.join(args.data.dataset_dir, f"{args.data.dataset}.json")
+    with open(task_path) as f:
+        examples = json.load(f)
+    print(json.dumps(evaluator.evaluate(examples), indent=2))
+
+
+def cmd_export(config_path: str):
+    from .utils.checkpoint import export_hf_safetensors
+
+    args = _load(config_path)
+    gen, cfg = _build_generator(args)
+    out = args.train.output_dir
+    export_hf_safetensors(gen.params, cfg, out)
+    print(f"exported HF safetensors to {out}")
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print(USAGE)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "version":
+        from . import __version__
+
+        print(__version__)
+        return 0
+    if cmd == "bench":
+        import runpy
+
+        runpy.run_path("bench.py", run_name="__main__")
+        return 0
+    if cmd in ("train", "chat", "api", "eval", "export"):
+        if not rest:
+            print(f"error: {cmd} requires a config.yaml path\n{USAGE}")
+            return 2
+        fn = {
+            "train": cmd_train,
+            "chat": cmd_chat,
+            "api": cmd_api,
+            "eval": cmd_eval,
+            "export": cmd_export,
+        }[cmd]
+        fn(*rest[:1])
+        return 0
+    print(f"unknown command {cmd!r}\n{USAGE}")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

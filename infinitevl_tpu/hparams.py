@@ -1,0 +1,129 @@
+"""Hyperparameter dataclasses + YAML config parsing.
+
+Single-YAML -> dataclass-groups design mirroring the reference's hparams
+package (src/llamafactory/hparams: Model / Data / Training / Finetuning /
+Generating args parsed by HfArgumentParser from argv[1]); unknown keys are
+rejected so config typos fail fast."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class ModelArgs:
+    model_name_or_path: Optional[str] = None  # HF checkpoint dir
+    config_preset: str = "infinitevl_3b"  # or "tiny"
+    dtype: str = "bfloat16"
+    use_pallas_swa: bool = True
+    conv_carry: bool = False
+
+
+@dataclasses.dataclass
+class DataArgs:
+    dataset: Optional[str] = None  # registry name
+    dataset_dir: str = "data"
+    template: str = "qwen2_vl"
+    cutoff_len: int = 2048
+    max_samples: Optional[int] = None
+    packing: bool = False
+    image_max_pixels: int = 14 * 14 * 4 * 1280
+    image_min_pixels: int = 56 * 56
+    video_fps: float = 2.0
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    output_dir: str = "output"
+    per_device_train_batch_size: int = 1
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 0
+    num_train_epochs: float = 1.0
+    max_steps: Optional[int] = None
+    lr_scheduler_type: str = "cosine"
+    logging_steps: int = 10
+    save_steps: int = 5000
+    seed: int = 42
+    resume_from_checkpoint: Optional[str] = None
+    max_grad_norm: float = 1.0
+    bf16: bool = True
+    data_parallel: int = 1
+    model_parallel: int = 1
+    param_mode: str = "fsdp"  # tp | fsdp | replicated
+
+
+@dataclasses.dataclass
+class FinetuneArgs:
+    stage: str = "sft"  # pt | sft | dt | rm | dpo | kto | ppo
+    finetuning_type: str = "full"  # full | freeze | lora | customize
+    # --- distillation (dt) fields, finetuning_args.py:390-418 ---
+    mixer: str = "GatedDeltaNet"
+    mse_factor: float = 1000.0
+    distill_temperature: float = 2.0
+    distill_stage: int = 1
+    distill_weights: Tuple[str, ...] = ("self_attn",)
+    softmax_attention: Tuple[int, ...] = tuple(range(0, 36, 4))
+    mixer_config: Optional[Dict[str, Any]] = None
+    checkpoint_path: Optional[str] = None
+    teacher_model_path: Optional[str] = None
+    # --- lora ---
+    lora_rank: int = 8
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    lora_target: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
+
+
+@dataclasses.dataclass
+class GenArgs:
+    max_new_tokens: int = 512
+    temperature: float = 0.7
+    top_k: int = 50
+    top_p: float = 0.9
+    do_sample: bool = True
+
+
+@dataclasses.dataclass
+class AllArgs:
+    model: ModelArgs
+    data: DataArgs
+    train: TrainArgs
+    finetune: FinetuneArgs
+    gen: GenArgs
+
+
+def _fill(cls, src: Dict[str, Any], used: set) -> Any:
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in src.items():
+        if k in fields:
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[k] = v
+            used.add(k)
+    return cls(**kwargs)
+
+
+def parse_args(config: Dict[str, Any]) -> AllArgs:
+    """Parse a flat YAML dict into the five groups; unknown keys raise."""
+    used: set = set()
+    out = AllArgs(
+        model=_fill(ModelArgs, config, used),
+        data=_fill(DataArgs, config, used),
+        train=_fill(TrainArgs, config, used),
+        finetune=_fill(FinetuneArgs, config, used),
+        gen=_fill(GenArgs, config, used),
+    )
+    unknown = set(config) - used
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return out
+
+
+def load_yaml_args(path: str) -> AllArgs:
+    import yaml
+
+    with open(path) as f:
+        return parse_args(yaml.safe_load(f) or {})

@@ -152,10 +152,10 @@ def init_text_params(key, cfg: TextConfig, dtype=jnp.bfloat16) -> Params:
     ks = jax.random.split(key, cfg.num_hidden_layers + 2)
     layers = []
     for i in range(cfg.num_hidden_layers):
-        if cfg.layer_role(i) == SLIDING:
-            layers.append(init_swa_layer(ks[i], cfg, dtype))
-        else:
+        if cfg.layer_role(i) == LINEAR:
             layers.append(init_delta_layer(ks[i], cfg, dtype))
+        else:  # sliding or full attention share the same parameter shape
+            layers.append(init_swa_layer(ks[i], cfg, dtype))
     p = {
         "embed": (
             jax.random.truncated_normal(ks[-1], -2, 2, (cfg.vocab_size, cfg.hidden_size)) * 0.02
@@ -288,6 +288,11 @@ def load_hf_checkpoint(
         )
         params = jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), params
+        )
+        # derived constants are not checkpoint tensors; rebuild from config
+        params["text"]["inv_freq"] = jnp.asarray(
+            default_inv_freq(cfg.text.head_dim, cfg.text.rope_theta),
+            dtype=jnp.float32,
         )
     else:
         params = jax.tree.map(lambda x: x, params)  # shallow copy of tree

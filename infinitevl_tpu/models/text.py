@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import LINEAR, SLIDING, TextConfig
+from ..config import FULL, LINEAR, SLIDING, TextConfig
 from ..ops.delta_rule import delta_rule_step, gated_delta_rule
 from ..ops.norms import rms_norm, rms_norm_gated, silu
 from ..ops.rope import apply_rotary, mrope_cos_sin
@@ -61,31 +61,31 @@ def swa_attention_forward(
     ring_v: Optional[jax.Array],
     cum_len: Optional[jax.Array],
     segment_ids: Optional[jax.Array] = None,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """Reference InfiniteVLSelfAttention (modeling_infinitevl.py:987-1113):
     GQA with qkv bias, mRoPE, sliding-window mask, no o_proj bias."""
     B, T, _ = x.shape
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    window = window if window is not None else cfg.sliding_window
     q = _dense(x, p["q_proj"]).reshape(B, T, Hq, Dh)
     k = _dense(x, p["k_proj"]).reshape(B, T, Hkv, Dh)
     v = _dense(x, p["v_proj"]).reshape(B, T, Hkv, Dh)
     q, k = apply_rotary(q, k, cos, sin)
     if ring_k is None:
-        out = swa_prefill_dense(
-            q, k, v, cfg.sliding_window, segment_ids=segment_ids
-        )
+        out = swa_prefill_dense(q, k, v, window, segment_ids=segment_ids)
         new_rk = new_rv = None
     elif _use_pallas_swa(cfg, ring_k):
         from ..ops.swa import ring_write
         from ..ops.swa_pallas import swa_ring_flash_attention
 
         out = swa_ring_flash_attention(
-            q, k, v, ring_k, ring_v, cum_len, cfg.sliding_window
+            q, k, v, ring_k, ring_v, cum_len, window
         )
         new_rk, new_rv = ring_write(ring_k, ring_v, k, v, cum_len)
     else:
         out, new_rk, new_rv = swa_cached_attention(
-            q, k, v, ring_k, ring_v, cum_len, cfg.sliding_window
+            q, k, v, ring_k, ring_v, cum_len, window
         )
     out = out.reshape(B, T, Hq * Dh)
     return _dense(out, p["o_proj"]), new_rk, new_rv
@@ -190,10 +190,18 @@ def decoder_layer_forward(
     """Pre-norm residual block (modeling_infinitevl.py:1350-1429)."""
     resid = x
     h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-    if role == SLIDING:
+    if role == SLIDING or role == FULL:
+        if role == FULL and layer_state is not None:
+            raise NotImplementedError(
+                "cached decoding with full_attention layers is not supported; "
+                "InfiniteVL's deployed config has none (teacher models run "
+                "stateless during distillation)"
+            )
         ring_k, ring_v, cum_len = layer_state or (None, None, None)
+        window = cfg.sliding_window if role == SLIDING else (1 << 30)
         attn, new_rk, new_rv = swa_attention_forward(
-            p, cfg, h, cos, sin, ring_k, ring_v, cum_len, segment_ids
+            p, cfg, h, cos, sin, ring_k, ring_v, cum_len, segment_ids,
+            window=window,
         )
         new_state = (new_rk, new_rv) if layer_state else None
     elif role == LINEAR:
@@ -240,21 +248,25 @@ def text_forward(
         role = cfg.layer_role(idx)
         if collected is not None:
             collected.append(x)
-        if state is not None:
-            if role == SLIDING:
-                layer_state = (
-                    state["swa_k"][swa_i],
-                    state["swa_v"][swa_i],
-                    state["cum_len"],
-                )
-            else:
-                layer_state = (
-                    state["conv_q"][lin_i],
-                    state["conv_k"][lin_i],
-                    state["conv_v"][lin_i],
-                    state["delta_h"][lin_i],
-                )
+        if state is not None and role == SLIDING:
+            layer_state = (
+                state["swa_k"][swa_i],
+                state["swa_v"][swa_i],
+                state["cum_len"],
+            )
+        elif state is not None and role == LINEAR:
+            layer_state = (
+                state["conv_q"][lin_i],
+                state["conv_k"][lin_i],
+                state["conv_v"][lin_i],
+                state["delta_h"][lin_i],
+            )
         else:
+            if state is not None and role == FULL:
+                raise NotImplementedError(
+                    "cached decoding with full_attention layers is not "
+                    "supported (the deployed InfiniteVL config has none)"
+                )
             layer_state = None
         x, out_state = decoder_layer_forward(
             layer_p, cfg, role, x, cos, sin, layer_state, segment_ids
@@ -264,13 +276,18 @@ def text_forward(
                 new_state["swa_k"] = new_state["swa_k"].at[swa_i].set(out_state[0])
                 new_state["swa_v"] = new_state["swa_v"].at[swa_i].set(out_state[1])
                 swa_i += 1
-            else:
+            elif role == LINEAR:
                 new_state["conv_q"] = new_state["conv_q"].at[lin_i].set(out_state[0])
                 new_state["conv_k"] = new_state["conv_k"].at[lin_i].set(out_state[1])
                 new_state["conv_v"] = new_state["conv_v"].at[lin_i].set(out_state[2])
                 new_state["delta_h"] = new_state["delta_h"].at[lin_i].set(out_state[3])
                 lin_i += 1
 
+    if collected is not None:
+        # collected[i] = layer i's input; collected[n] = last layer's output
+        # (pre final norm, what distillation hooks see); collected[n+1] =
+        # the normed final hidden.
+        collected.append(x)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if collected is not None:
         collected.append(x)

@@ -1,0 +1,185 @@
+"""OpenAI-compatible chat-completions API server.
+
+Surface-compatible with the reference's FastAPI app (src/llamafactory/api/
+app.py:69-127): GET /v1/models, POST /v1/chat/completions (+ SSE streaming),
+optional API-key auth. Built on the stdlib http.server (this image ships no
+fastapi) with a threading server; generation runs under a lock since the
+model is single-stream."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..data.template import get_template
+
+
+class ChatBackend:
+    """Adapter between the HTTP layer and a Generator + tokenizer."""
+
+    def __init__(self, generator, tokenizer, template: str = "qwen2_vl",
+                 model_name: str = "infinitevl-tpu"):
+        self.generator = generator
+        self.tokenizer = tokenizer
+        self.template = get_template(template)
+        self.model_name = model_name
+        self.lock = threading.Lock()
+
+    def complete(
+        self,
+        messages: List[Dict[str, str]],
+        max_tokens: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+    ) -> Dict[str, Any]:
+        prompt = self.template.render_prompt(messages, add_generation_prompt=True)
+        ids = np.asarray(
+            [self.tokenizer.encode(prompt, add_special_tokens=False)], np.int64
+        )
+        with self.lock:
+            out = self.generator.generate(
+                ids,
+                max_new_tokens=max_tokens,
+                temperature=temperature,
+                top_p=top_p,
+            )
+        text = self.tokenizer.decode(out[0], skip_special_tokens=True)
+        return {
+            "text": text,
+            "prompt_tokens": int(ids.shape[1]),
+            "completion_tokens": int(out.shape[1]),
+        }
+
+
+def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:
+    res = backend.complete(
+        req.get("messages", []),
+        max_tokens=req.get("max_tokens", 512),
+        temperature=req.get("temperature", 0.0),
+        top_p=req.get("top_p", 1.0),
+    )
+    return {
+        "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
+        "object": "chat.completion",
+        "created": int(time.time()),
+        "model": req.get("model", backend.model_name),
+        "choices": [
+            {
+                "index": 0,
+                "message": {"role": "assistant", "content": res["text"]},
+                "finish_reason": "stop",
+            }
+        ],
+        "usage": {
+            "prompt_tokens": res["prompt_tokens"],
+            "completion_tokens": res["completion_tokens"],
+            "total_tokens": res["prompt_tokens"] + res["completion_tokens"],
+        },
+    }
+
+
+def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: Dict[str, Any]):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _auth_ok(self) -> bool:
+            if api_key is None:
+                return True
+            header = self.headers.get("Authorization", "")
+            return header == f"Bearer {api_key}"
+
+        def do_GET(self):
+            if not self._auth_ok():
+                return self._send(401, {"error": "invalid api key"})
+            if self.path == "/v1/models":
+                return self._send(
+                    200,
+                    {
+                        "object": "list",
+                        "data": [
+                            {
+                                "id": backend.model_name,
+                                "object": "model",
+                                "owned_by": "infinitevl-tpu",
+                            }
+                        ],
+                    },
+                )
+            return self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if not self._auth_ok():
+                return self._send(401, {"error": "invalid api key"})
+            if self.path != "/v1/chat/completions":
+                return self._send(404, {"error": f"unknown path {self.path}"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._send(400, {"error": f"bad request: {e}"})
+            if not isinstance(req.get("messages"), list) or not req["messages"]:
+                return self._send(400, {"error": "messages must be a non-empty list"})
+            if req.get("stream"):
+                return self._stream(req)
+            try:
+                return self._send(200, _chat_response(backend, req))
+            except Exception as e:  # surface model errors as 500s
+                return self._send(500, {"error": str(e)})
+
+        def _stream(self, req):
+            # SSE: emit the full completion as chunked deltas
+            res = _chat_response(backend, req)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            rid = res["id"]
+            content = res["choices"][0]["message"]["content"]
+            for piece in [content[i : i + 16] for i in range(0, len(content), 16)]:
+                chunk = {
+                    "id": rid,
+                    "object": "chat.completion.chunk",
+                    "choices": [
+                        {"index": 0, "delta": {"content": piece}, "finish_reason": None}
+                    ],
+                }
+                self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            done = {
+                "id": rid,
+                "object": "chat.completion.chunk",
+                "choices": [{"index": 0, "delta": {}, "finish_reason": "stop"}],
+            }
+            self.wfile.write(f"data: {json.dumps(done)}\n\n".encode())
+            self.wfile.write(b"data: [DONE]\n\n")
+
+    return Handler
+
+
+def create_server(
+    backend: ChatBackend,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    api_key: Optional[str] = None,
+) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(backend, api_key))
+
+
+def run_api(backend: ChatBackend, host="0.0.0.0", port=8000, api_key=None):
+    server = create_server(backend, host, port, api_key)
+    print(f"API listening on http://{host}:{port}/v1 (OpenAI-compatible)")
+    server.serve_forever()

@@ -1,0 +1,314 @@
+"""Training driver + stage workflows (run_sft / run_dt / run_pt).
+
+The reference's tuner dispatch (train/tuner.py:53-110) + workflow files
+(train/sft/workflow.py, train/dt/workflow.py:44-263), re-shaped around
+jitted functional train steps: build config/params -> dataset -> optimizer
+-> step loop with JSONL logging and orbax checkpoints."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import InfiniteVLConfig, TextConfig, infinitevl_3b, tiny_config
+from ..data.loader import (
+    SimpleTokenizer,
+    encode_supervised,
+    load_dataset_info,
+    load_examples,
+    pack_examples,
+    shift_labels,
+)
+from ..hparams import AllArgs
+from ..models.convert import convert_attention, trainable_mask
+from ..models.params import init_params, init_text_params, load_hf_checkpoint
+from ..utils.checkpoint import (
+    filter_softmax_layers,
+    merge_params,
+    restore_train_state,
+    save_train_state,
+)
+from ..utils.logging import TrainerLog, get_logger
+from .distill import apply_trainable_mask, make_stage1_step, make_stage2_step
+from .step import make_optimizer, make_sft_train_step
+
+logger = get_logger(__name__)
+
+
+def build_config(args: AllArgs) -> InfiniteVLConfig:
+    cfg = tiny_config() if args.model.config_preset == "tiny" else infinitevl_3b()
+    text = dataclasses.replace(
+        cfg.text,
+        use_pallas_swa=args.model.use_pallas_swa,
+        conv_carry=args.model.conv_carry,
+    )
+    return dataclasses.replace(cfg, text=text)
+
+
+def build_dataset(args: AllArgs, tokenizer=None) -> List[Dict[str, np.ndarray]]:
+    tokenizer = tokenizer or SimpleTokenizer()
+    info_path = os.path.join(args.data.dataset_dir, "dataset_info.json")
+    registry = load_dataset_info(info_path)
+    attr = registry[args.data.dataset]
+    examples = load_examples(attr, args.data.dataset_dir)
+    if args.data.max_samples:
+        examples = examples[: args.data.max_samples]
+    enc = encode_supervised(
+        examples, tokenizer, args.data.template, args.data.cutoff_len
+    )
+    if args.data.packing:
+        return pack_examples(enc, args.data.cutoff_len)
+    return enc
+
+
+def collate(
+    examples: List[Dict[str, np.ndarray]],
+    batch_size: int,
+    cutoff_len: int,
+    pad_id: int = 0,
+    seed: int = 0,
+    epochs: float = 1.0,
+) -> Iterator[Dict[str, jnp.ndarray]]:
+    """Yield fixed-shape [B, cutoff_len] batches forever up to `epochs`."""
+    rng = np.random.RandomState(seed)
+    n = len(examples)
+    total = int(np.ceil(epochs * n / batch_size))
+    order = []
+    for _ in range(int(np.ceil(total * batch_size / n)) + 1):
+        perm = rng.permutation(n)
+        order.extend(perm.tolist())
+    for b in range(total):
+        idxs = order[b * batch_size : (b + 1) * batch_size]
+        ids = np.full((batch_size, cutoff_len), pad_id, np.int64)
+        labels = np.full((batch_size, cutoff_len), -100, np.int64)
+        seg = np.zeros((batch_size, cutoff_len), np.int32)
+        for r, i in enumerate(idxs):
+            e = examples[i]
+            L = min(len(e["input_ids"]), cutoff_len)
+            ids[r, :L] = e["input_ids"][:L]
+            labels[r, :L] = e["labels"][:L]
+            seg[r, :L] = e.get(
+                "segment_ids", np.ones(len(e["input_ids"]), np.int32)
+            )[:L]
+        pos = np.broadcast_to(
+            np.arange(cutoff_len)[None, None], (3, batch_size, cutoff_len)
+        )
+        yield {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(shift_labels(labels)),
+            "position_ids": jnp.asarray(pos),
+            "segment_ids": jnp.asarray(seg),
+        }
+
+
+class Trainer:
+    """Step loop with logging + orbax checkpointing + resume."""
+
+    def __init__(
+        self,
+        step_fn: Callable,  # (params, opt_state, batch) -> (params, opt_state, loss)
+        params,
+        opt_state,
+        output_dir: str,
+        logging_steps: int = 10,
+        save_steps: int = 5000,
+        extra_step_args: tuple = (),
+    ):
+        self.step_fn = step_fn
+        self.params = params
+        self.opt_state = opt_state
+        self.output_dir = output_dir
+        self.logging_steps = logging_steps
+        self.save_steps = save_steps
+        self.extra = extra_step_args
+        self.log = TrainerLog(output_dir)
+        self.step = 0
+
+    def resume(self, path: Optional[str] = None):
+        ckpt_dir = path or os.path.join(self.output_dir, "checkpoints")
+        step, state = restore_train_state(
+            ckpt_dir,
+            template={"params": self.params, "opt_state": self.opt_state},
+        )
+        if state is not None:
+            self.params = state["params"]
+            self.opt_state = state["opt_state"]
+            self.step = step
+            logger.info(f"resumed from step {step}")
+
+    def save(self):
+        save_train_state(
+            os.path.join(self.output_dir, "checkpoints"),
+            self.step,
+            {"params": self.params, "opt_state": self.opt_state},
+        )
+
+    def train(self, batches: Iterable, max_steps: Optional[int] = None):
+        t0 = time.time()
+        tokens = 0
+        for batch in batches:
+            if max_steps is not None and self.step >= max_steps:
+                break
+            if self.extra:
+                self.params, self.opt_state, loss = self.step_fn(
+                    self.params, self.opt_state, *self.extra, batch
+                )
+            else:
+                self.params, self.opt_state, loss = self.step_fn(
+                    self.params, self.opt_state, batch
+                )
+            self.step += 1
+            tokens += int(np.prod(batch["input_ids"].shape))
+            if self.step % self.logging_steps == 0 or self.step == 1:
+                lv = float(loss)
+                tps = tokens / (time.time() - t0)
+                self.log.log(self.step, loss=lv, tokens_per_sec=round(tps, 1))
+                logger.info(f"step {self.step}: loss={lv:.4f} tps={tps:.0f}")
+            if self.step % self.save_steps == 0:
+                self.save()
+        self.save()
+        self.log.plot_loss()
+        return self.params
+
+
+def run_sft(args: AllArgs, tokenizer=None):
+    cfg = build_config(args)
+    tcfg = cfg.text
+    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    if args.model.model_name_or_path:
+        params = {"text": load_hf_checkpoint(args.model.model_name_or_path, cfg, dtype)["text"]}
+    else:
+        params = {"text": init_text_params(jax.random.PRNGKey(args.train.seed), tcfg, dtype)}
+    data = build_dataset(args, tokenizer)
+    steps = args.train.max_steps or int(
+        np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
+    )
+    tx = make_optimizer(
+        args.train.learning_rate,
+        args.train.weight_decay,
+        grad_clip=args.train.max_grad_norm,
+        warmup_steps=args.train.warmup_steps,
+        total_steps=steps,
+        schedule=args.train.lr_scheduler_type,
+    )
+    opt_state = tx.init(params)
+    step_fn = jax.jit(make_sft_train_step(tcfg, tx), donate_argnums=(0, 1))
+    trainer = Trainer(
+        step_fn, params, opt_state, args.train.output_dir,
+        args.train.logging_steps, args.train.save_steps,
+    )
+    if args.train.resume_from_checkpoint:
+        trainer.resume(args.train.resume_from_checkpoint)
+    batches = collate(
+        data,
+        args.train.per_device_train_batch_size,
+        args.data.cutoff_len,
+        seed=args.train.seed,
+        epochs=args.train.num_train_epochs,
+    )
+    return trainer.train(batches, max_steps=steps)
+
+
+def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None):
+    """Distillation-training stage 1 or 2 (train/dt/workflow.py:44-263)."""
+    cfg = build_config(args)
+    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    key = jax.random.PRNGKey(args.train.seed)
+    if teacher_params is None:
+        # teacher: dense full-attention twin of the text config
+        teacher_cfg = dataclasses.replace(
+            cfg.text,
+            layer_types=("full_attention",) * cfg.text.num_hidden_layers,
+        )
+        if args.finetune.teacher_model_path:
+            full = load_hf_checkpoint(
+                args.finetune.teacher_model_path,
+                dataclasses.replace(cfg, text=teacher_cfg),
+                dtype,
+            )
+            teacher_params = full["text"]
+        else:
+            teacher_params = init_text_params(key, teacher_cfg, dtype)
+    student_params, student_cfg = convert_attention(
+        teacher_params,
+        teacher_cfg,
+        jax.random.fold_in(key, 1),
+        softmax_attention=args.finetune.softmax_attention,
+    )
+    if args.finetune.checkpoint_path:
+        # stage handoff: load previous stage weights, keeping preserved
+        # softmax layers pristine (dt/workflow.py:57-75)
+        _, prev = restore_train_state(args.finetune.checkpoint_path)
+        if prev is not None:
+            update = filter_softmax_layers(
+                prev["params"], args.finetune.softmax_attention
+            )
+            student_params = merge_params(student_params, update)
+
+    data = build_dataset(args, tokenizer)
+    steps = args.train.max_steps or int(
+        np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
+    )
+    tx = make_optimizer(
+        args.train.learning_rate,
+        args.train.weight_decay,
+        grad_clip=args.train.max_grad_norm,
+        warmup_steps=args.train.warmup_steps,
+        total_steps=steps,
+        schedule=args.train.lr_scheduler_type,
+    )
+    if args.finetune.distill_stage == 1:
+        mask = trainable_mask(
+            student_params,
+            student_cfg,
+            args.finetune.distill_weights,
+            args.finetune.softmax_attention,
+        )
+        tx = apply_trainable_mask(tx, mask)
+        # no donation: preserved layers alias the teacher's arrays
+        step_fn = jax.jit(
+            make_stage1_step(student_cfg, teacher_cfg, tx, args.finetune.mse_factor)
+        )
+    else:
+        step_fn = jax.jit(
+            make_stage2_step(
+                student_cfg, teacher_cfg, tx, args.finetune.distill_temperature
+            )
+        )
+    opt_state = tx.init(student_params)
+    trainer = Trainer(
+        step_fn,
+        student_params,
+        opt_state,
+        args.train.output_dir,
+        args.train.logging_steps,
+        args.train.save_steps,
+        extra_step_args=(teacher_params,),
+    )
+    batches = collate(
+        data,
+        args.train.per_device_train_batch_size,
+        args.data.cutoff_len,
+        seed=args.train.seed,
+        epochs=args.train.num_train_epochs,
+    )
+    return trainer.train(batches, max_steps=steps)
+
+
+def run_exp(args: AllArgs, tokenizer=None):
+    """Stage dispatch (tuner.py:53-110)."""
+    stage = args.finetune.stage
+    if stage in ("sft", "pt"):
+        return run_sft(args, tokenizer)
+    if stage == "dt":
+        return run_dt(args, tokenizer)
+    raise NotImplementedError(
+        f"stage {stage!r} not implemented yet (available: pt, sft, dt; the "
+        "reference's rm/ppo/dpo/kto stages are future work)"
+    )

@@ -1,0 +1,186 @@
+"""End-to-end workflows: CLI train (sft + dt), checkpoint resume, HF export
+round-trip, API server, MCQ evaluator."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinitevl_tpu import tiny_config
+from infinitevl_tpu.hparams import load_yaml_args, parse_args
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_parse_args_rejects_unknown_keys():
+    with pytest.raises(ValueError, match="unknown config keys"):
+        parse_args({"stage": "sft", "not_a_real_key": 1})
+
+
+def test_sft_workflow_end_to_end(tmp_path):
+    args = load_yaml_args(os.path.join(REPO, "examples", "sft_tiny.yaml"))
+    args.train.output_dir = str(tmp_path)
+    args.data.dataset_dir = os.path.join(REPO, "data")
+    args.train.max_steps = 4
+    from infinitevl_tpu.train.trainer import run_exp
+
+    params = run_exp(args)
+    assert params is not None
+    # jsonl log written, loss plot produced
+    log = os.path.join(str(tmp_path), "trainer_log.jsonl")
+    assert os.path.exists(log)
+    recs = [json.loads(l) for l in open(log)]
+    assert any("loss" in r for r in recs)
+    # checkpoint written and resumable
+    from infinitevl_tpu.utils.checkpoint import latest_step
+
+    assert latest_step(os.path.join(str(tmp_path), "checkpoints")) == 4
+
+
+def test_dt_workflow_end_to_end(tmp_path):
+    args = load_yaml_args(os.path.join(REPO, "examples", "dt_stage1_tiny.yaml"))
+    args.train.output_dir = str(tmp_path)
+    args.data.dataset_dir = os.path.join(REPO, "data")
+    args.finetune.softmax_attention = (0, 4)
+    from infinitevl_tpu.train.trainer import run_exp
+
+    params = run_exp(args)
+    assert params is not None
+
+
+def test_export_roundtrip(tmp_path):
+    from infinitevl_tpu.models.params import (
+        init_params,
+        load_hf_checkpoint,
+        param_count,
+    )
+    from infinitevl_tpu.utils.checkpoint import export_hf_safetensors
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    out = str(tmp_path / "export")
+    export_hf_safetensors(params, cfg, out)
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    assert os.path.exists(os.path.join(out, "config.json"))
+
+    # config round-trips
+    from infinitevl_tpu import from_hf_json
+
+    cfg2 = from_hf_json(os.path.join(out, "config.json"))
+    assert cfg2.text.layer_types == cfg.text.layer_types
+    assert cfg2.vision.depth == cfg.vision.depth
+
+    reloaded = load_hf_checkpoint(out, cfg, dtype=jnp.float32)
+    assert param_count(reloaded) == param_count(params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(reloaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # exported weights produce identical forward outputs
+    from infinitevl_tpu.models.text import embed_tokens, text_forward
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.text.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(8)[None, None], (3, 1, 8))
+    h1, _, _ = text_forward(params["text"], cfg.text, embed_tokens(params["text"], ids), pos)
+    h2, _, _ = text_forward(reloaded["text"], cfg.text, embed_tokens(reloaded["text"], ids), pos)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+
+
+def test_api_server():
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.generation import Generator
+    from infinitevl_tpu.models.params import init_params
+    from infinitevl_tpu.serve.api import ChatBackend, create_server
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    gen = Generator(params, cfg, dtype=jnp.float32)
+    backend = ChatBackend(gen, SimpleTokenizer(), model_name="tiny")
+    server = create_server(backend, host="127.0.0.1", port=0, api_key="sk-test")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # auth required
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/models")
+        assert exc.value.code == 401
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/models",
+            headers={"Authorization": "Bearer sk-test"},
+        )
+        models = json.loads(urllib.request.urlopen(req).read())
+        assert models["data"][0]["id"] == "tiny"
+
+        body = json.dumps(
+            {
+                "model": "tiny",
+                "messages": [{"role": "user", "content": "hello world"}],
+                "max_tokens": 4,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=body,
+            headers={
+                "Authorization": "Bearer sk-test",
+                "Content-Type": "application/json",
+            },
+        )
+        res = json.loads(urllib.request.urlopen(req).read())
+        assert res["object"] == "chat.completion"
+        assert res["choices"][0]["message"]["role"] == "assistant"
+        assert res["usage"]["completion_tokens"] >= 1
+
+        # malformed request -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=b'{"messages": []}',
+            headers={
+                "Authorization": "Bearer sk-test",
+                "Content-Type": "application/json",
+            },
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_mcq_evaluator():
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.eval.mcq import MCQEvaluator, format_example
+    from infinitevl_tpu.generation import Generator
+    from infinitevl_tpu.models.params import init_params
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    gen = Generator(params, cfg, dtype=jnp.float32)
+    tok = SimpleTokenizer()
+    ev = MCQEvaluator(gen, tok)
+    examples = [
+        {"question": "Pick A.", "A": "first", "B": "second", "answer": "A",
+         "category": "demo"},
+        {"question": "Pick B.", "A": "first", "B": "second", "answer": "B",
+         "category": "demo"},
+    ]
+    prompt = format_example(examples[0], support_set=[examples[1]], subject_name="tests")
+    assert "Answer: B" in prompt and prompt.endswith("Answer:")
+    res = ev.evaluate(examples)
+    assert 0.0 <= res["accuracy"] <= 1.0
+    assert "accuracy/demo" in res
+
+
+def test_cli_help_and_version(capsys):
+    from infinitevl_tpu.cli import main
+
+    assert main([]) == 0
+    assert "train" in capsys.readouterr().out
+    assert main(["version"]) == 0
+    assert main(["bogus"]) == 2
