@@ -1,0 +1,125 @@
+"""LoRA adapters for stage-3 long-context SFT.
+
+Reference: model/adapter.py:130-247 (PEFT LoRA path; InfiniteVL's stage-3
+recipe trains 32K-context with LoRA, README.md:134-138). Functional design:
+adapters are a separate pytree {path: {'a': [in, r], 'b': [r, out]}}; the
+forward patches dense kernels as W + a @ b * (alpha / r). Training
+optimizes only the adapter tree; `merge_lora` folds adapters into the base
+weights for export (train/tuner.py export path)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def init_lora(
+    params: Params,
+    key: jax.Array,
+    rank: int = 8,
+    target: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj"),
+    dtype=jnp.float32,
+) -> Params:
+    """Adapter tree mirroring params' structure: for every dict node named in
+    `target` that holds a 'kernel', create {'a','b'} (a ~ N(0, 1/r), b = 0,
+    standard LoRA init)."""
+    counter = [0]
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (
+                    k in target
+                    and isinstance(v, dict)
+                    and "kernel" in v
+                    and getattr(v["kernel"], "ndim", 0) == 2
+                ):
+                    d_in, d_out = v["kernel"].shape
+                    counter[0] += 1
+                    ka = jax.random.fold_in(key, counter[0])
+                    out[k] = {
+                        "a": (
+                            jax.random.normal(ka, (d_in, rank)) / jnp.sqrt(rank)
+                        ).astype(dtype),
+                        "b": jnp.zeros((rank, d_out), dtype=dtype),
+                    }
+                else:
+                    sub = walk(v, path + (k,))
+                    if sub is not None:
+                        out[k] = sub
+            return out or None
+        if isinstance(node, (list, tuple)):
+            subs = [walk(v, path + (i,)) for i, v in enumerate(node)]
+            return type(node)(s if s is not None else {} for s in subs)
+        return None
+
+    return walk(params, ()) or {}
+
+
+def apply_lora(
+    params: Params, lora: Params, alpha: float = 16.0, rank: int = 8
+) -> Params:
+    """Return params with LoRA deltas merged on the fly (functional: the
+    result references base arrays except patched kernels). Used inside the
+    jitted loss so gradients flow to the adapter leaves only when the loss
+    is differentiated w.r.t. `lora`."""
+    scale = alpha / rank
+
+    def walk(p, l):
+        if isinstance(p, dict):
+            out = {}
+            for k, v in p.items():
+                if isinstance(l, dict) and k in l and isinstance(l[k], dict) \
+                        and "a" in l[k]:
+                    new = dict(v)
+                    delta = (l[k]["a"] @ l[k]["b"]) * scale
+                    new["kernel"] = v["kernel"] + delta.astype(v["kernel"].dtype)
+                    out[k] = new
+                else:
+                    out[k] = walk(v, l.get(k) if isinstance(l, dict) else None)
+            return out
+        if isinstance(p, (list, tuple)):
+            ls = l if isinstance(l, (list, tuple)) else [None] * len(p)
+            return type(p)(walk(v, lv) for v, lv in zip(p, ls))
+        return p
+
+    return walk(params, lora)
+
+
+def merge_lora(params: Params, lora: Params, alpha: float = 16.0, rank: int = 8) -> Params:
+    """Fold adapters into base weights (export path)."""
+    return apply_lora(params, lora, alpha, rank)
+
+
+def make_lora_sft_step(cfg, tx, base_params, alpha: float = 16.0, rank: int = 8):
+    """(lora, opt_state, batch) -> (lora, opt_state, loss): only the adapter
+    tree is optimized; base weights stay frozen."""
+    import optax
+
+    from .step import sft_loss_fn
+
+    def step(lora, opt_state, batch):
+        def loss_fn(l):
+            merged = apply_lora(base_params, l, alpha, rank)
+            text = merged["text"] if "text" in merged else merged
+            return sft_loss_fn(
+                text,
+                cfg,
+                batch["input_ids"],
+                batch["labels"],
+                batch["position_ids"],
+                batch.get("segment_ids"),
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(lora)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, loss
+
+    return step
