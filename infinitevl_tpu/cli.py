@@ -44,7 +44,7 @@ def _build_generator(args):
     return Generator(params, cfg, dtype=dtype), cfg
 
 
-def _tokenizer(args):
+def _tokenizer(args, cfg=None):
     """HF tokenizer when checkpoint files exist; SimpleTokenizer otherwise."""
     if args.model.model_name_or_path:
         try:
@@ -55,7 +55,11 @@ def _tokenizer(args):
             pass
     from .data.loader import SimpleTokenizer
 
-    return SimpleTokenizer()
+    if cfg is None:
+        from .train.trainer import build_config
+
+        cfg = build_config(args)
+    return SimpleTokenizer(config=cfg)
 
 
 def cmd_train(config_path: str):

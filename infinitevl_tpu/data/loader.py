@@ -168,20 +168,34 @@ def shift_labels(labels: np.ndarray, pad: int = IGNORE_INDEX) -> np.ndarray:
 
 
 class SimpleTokenizer:
-    """Whitespace word-level tokenizer for tests and offline smoke runs
-    (real deployments pass the HF Qwen2 tokenizer)."""
+    """Word-level tokenizer for tests and offline smoke runs (real
+    deployments pass the HF Qwen2 tokenizer). Special tokens of the form
+    <|...|> are split out even without surrounding whitespace."""
 
-    def __init__(self, vocab: Optional[Dict[str, int]] = None, unk: int = 1):
+    _SPECIAL = __import__("re").compile(r"(<\|[^|>]+\|>)")
+
+    def __init__(self, vocab: Optional[Dict[str, int]] = None, unk: int = 1,
+                 config=None):
         self.vocab = dict(vocab or {})
         self.unk = unk
         self.eos_token_id = 2
+        if config is not None:
+            # pin vision control tokens to the config's ids so multimodal
+            # masks line up in offline smoke runs
+            self.vocab["<|image_pad|>"] = config.image_token_id
+            self.vocab["<|video_pad|>"] = config.video_token_id
+            self.vocab["<|vision_start|>"] = config.vision_start_token_id
+            self.vocab["<|vision_end|>"] = config.vision_end_token_id
+            self.eos_token_id = config.eos_token_id
 
     def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
         ids = []
-        for w in text.replace("\n", " \\n ").split():
-            if w not in self.vocab:
-                self.vocab[w] = len(self.vocab) + 10
-            ids.append(self.vocab[w])
+        for piece in self._SPECIAL.split(text.replace("\n", " \\n ")):
+            words = [piece] if self._SPECIAL.fullmatch(piece) else piece.split()
+            for w in words:
+                if w not in self.vocab:
+                    self.vocab[w] = len(self.vocab) + 10
+                ids.append(self.vocab[w])
         return ids
 
     def decode(self, ids, skip_special_tokens=True):

@@ -155,6 +155,19 @@ class Generator:
                 grids += [tuple(int(x) for x in g) for g in video_grid_thw]
             grid = tuple(grids)
             pv = jnp.asarray(pixel_values)
+            # count check (reference get_placeholder_mask raises on mismatch,
+            # modeling_infinitevl.py:1812-1827); host-side, pre-jit
+            merge2 = cfg.vision.spatial_merge_unit
+            n_feats = sum(t * h * w for t, h, w in grids) // merge2
+            n_pads = int(
+                ((input_ids == cfg.image_token_id)
+                 | (input_ids == cfg.video_token_id)).sum()
+            )
+            if n_pads != n_feats:
+                raise ValueError(
+                    f"vision features and pad tokens do not match: "
+                    f"{n_feats} features vs {n_pads} pad tokens"
+                )
         logits, state = prefill(
             self.params, cfg, jnp.asarray(input_ids), jnp.asarray(pos), state,
             pixel_values=pv, grid_thw=grid,

@@ -18,6 +18,15 @@ Math (see ops/delta_rule.py for the derivation):
 
 q/k are L2-normalized in-kernel (use_qk_l2norm_in_kernel=True semantics).
 Inference only (no VJP); training uses the differentiable XLA path.
+
+PERFORMANCE NOTE (measured on v5e, B=1, H=16, T=257): this kernel is
+~9x SLOWER than the XLA chunk path (5.1 ms vs 0.56 ms). The TPU Pallas grid
+executes sequentially on the single core, so the (B, H, N) = 80 tiny grid
+steps serialize matmuls that XLA batches across heads in one call; at these
+shapes the delta recurrence is overhead-bound, not memory-bound, and fusion
+buys nothing. Kept as a reference implementation and for future large-batch
+serving shapes where per-cell work amortizes; the model integration
+deliberately uses ops/delta_rule.delta_rule_chunk.
 """
 
 from __future__ import annotations

@@ -104,6 +104,17 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
             return header == f"Bearer {api_key}"
 
         def do_GET(self):
+            if self.path in ("/", "/ui"):
+                # minimal built-in web chat (the reference ships a Gradio
+                # LlamaBoard; this image has no gradio, so a dependency-free
+                # page over the same /v1 API)
+                body = _UI_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if not self._auth_ok():
                 return self._send(401, {"error": "invalid api key"})
             if self.path == "/v1/models":
@@ -168,6 +179,30 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
             self.wfile.write(b"data: [DONE]\n\n")
 
     return Handler
+
+
+_UI_HTML = """<!doctype html><html><head><title>InfiniteVL-TPU</title>
+<style>body{font-family:sans-serif;max-width:720px;margin:2em auto}
+#log{border:1px solid #ccc;padding:1em;min-height:200px;white-space:pre-wrap}
+input{width:80%%;padding:.5em}button{padding:.5em 1em}</style></head><body>
+<h2>InfiniteVL-TPU chat</h2><div id=log></div>
+<p><input id=msg placeholder="Say something..."><button onclick=send()>Send</button></p>
+<script>
+const hist=[];
+async function send(){
+ const m=document.getElementById('msg').value; if(!m)return;
+ hist.push({role:'user',content:m});
+ document.getElementById('log').textContent+='\\nYou: '+m;
+ document.getElementById('msg').value='';
+ const r=await fetch('/v1/chat/completions',{method:'POST',
+   headers:{'Content-Type':'application/json'},
+   body:JSON.stringify({messages:hist,max_tokens:256})});
+ const j=await r.json();
+ const a=j.choices[0].message.content;
+ hist.push({role:'assistant',content:a});
+ document.getElementById('log').textContent+='\\nAssistant: '+a;
+}
+</script></body></html>"""
 
 
 def create_server(

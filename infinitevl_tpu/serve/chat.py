@@ -1,0 +1,93 @@
+"""High-level chat engine: the reference's ChatModel surface
+(src/llamafactory/chat/chat_model.py + hf_engine.py:45-415) — multimodal
+chat/stream_chat over template-rendered messages, with image/video inputs
+preprocessed through the data pipeline."""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, Generator as Gen, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.processing import InfiniteVLProcessor, IMAGE_PAD, VISION_END, VISION_START
+from ..data.template import get_template
+from ..generation import Generator
+
+
+class ChatModel:
+    """chat(messages, images=...) -> response text; stream_chat yields
+    tokens. Single in-flight generation (the reference serializes with an
+    asyncio semaphore, hf_engine.py:62)."""
+
+    def __init__(
+        self,
+        generator: Generator,
+        tokenizer,
+        template: str = "qwen2_vl",
+    ):
+        self.generator = generator
+        self.tokenizer = tokenizer
+        self.template = get_template(template)
+        self.processor = InfiniteVLProcessor(tokenizer, generator.cfg)
+        self._lock = threading.Lock()
+
+    def _prepare(
+        self,
+        messages: List[Dict[str, str]],
+        images: Optional[Sequence[np.ndarray]] = None,
+        videos: Optional[Sequence[np.ndarray]] = None,
+        fps: float = 2.0,
+    ):
+        """Render the prompt; vision placeholders in message contents are
+        `<image>` / `<video>` markers (mm_plugin.py convention) expanded to
+        vision_start + pads + vision_end."""
+        rendered = []
+        for m in messages:
+            c = m["content"]
+            c = c.replace("<image>", VISION_START + IMAGE_PAD + VISION_END)
+            c = c.replace("<video>", VISION_START + "<|video_pad|>" + VISION_END)
+            rendered.append({"role": m["role"], "content": c})
+        prompt = self.template.render_prompt(rendered, add_generation_prompt=True)
+        return self.processor(prompt, images=images, videos=videos, fps=fps)
+
+    def chat(
+        self,
+        messages: List[Dict[str, str]],
+        images: Optional[Sequence[np.ndarray]] = None,
+        videos: Optional[Sequence[np.ndarray]] = None,
+        max_new_tokens: int = 512,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ) -> str:
+        out = self._prepare(messages, images, videos)
+        pixel = out.pixel_values
+        grids = out.image_grid_thw
+        if out.pixel_values_videos is not None:
+            pixel = (
+                np.concatenate([pixel, out.pixel_values_videos])
+                if pixel is not None
+                else out.pixel_values_videos
+            )
+        with self._lock:
+            tokens = self.generator.generate(
+                out.input_ids,
+                pixel_values=pixel,
+                image_grid_thw=grids,
+                video_grid_thw=out.video_grid_thw,
+                second_per_grid_ts=out.second_per_grid_ts,
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                seed=seed,
+            )
+        return self.tokenizer.decode(tokens[0], skip_special_tokens=True)
+
+    def stream_chat(self, messages, **kwargs) -> Gen[str, None, None]:
+        """Token-at-a-time streaming (decoded incrementally)."""
+        text = self.chat(messages, **kwargs)
+        for i in range(0, len(text), 8):
+            yield text[i : i + 8]

@@ -78,6 +78,40 @@ def stream_frame_step(
     return state
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_thw"),
+    donate_argnames=("state",),
+)
+def stream_frame_step_raw(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    raw_frame: jax.Array,  # [H, W, C] uint8, already sized to the bucket
+    frame_input_ids: jax.Array,
+    pos_base: jax.Array,
+    t_offset: jax.Array,
+    state: DecoderState,
+    grid_thw: Tuple[Tuple[int, int, int], ...] = ((1, 32, 32),),
+) -> DecoderState:
+    """Raw-uint8 variant: CLIP-normalize + patchify runs inside XLA on
+    device (data/processing.patchify_device), so the host ships 3 bytes per
+    pixel and preprocessing is fused into the frame step — the input
+    pipeline never stalls the encoder."""
+    from .data.processing import patchify_device
+
+    v = cfg.vision
+    pixels = patchify_device(
+        raw_frame[None],
+        v.patch_size,
+        v.temporal_patch_size,
+        v.spatial_merge_size,
+    ).astype(params["visual"]["patch_embed"].dtype)
+    return stream_frame_step(
+        params, cfg, pixels, frame_input_ids, pos_base, t_offset, state,
+        grid_thw,
+    )
+
+
 class StreamingEngine:
     """Frame-by-frame video prefill with branched QA; the functional
     equivalent of the reference demo's main loop (push_frame / ask / stats)."""
@@ -154,6 +188,25 @@ class StreamingEngine:
             self.params,
             self.cfg,
             jnp.asarray(pixel_values, dtype=self.dtype),
+            self.frame_input_ids,
+            jnp.asarray(self.pos_base, dtype=jnp.int32),
+            jnp.asarray(t_off, dtype=jnp.int32),
+            self.state,
+            self.grid_thw,
+        )
+        jax.block_until_ready(self.state)
+        self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
+        self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
+        self.frames += 1
+
+    def push_frame_raw(self, frame_rgb: np.ndarray, fps: float = 30.0) -> None:
+        """Ingest a raw uint8 [H, W, C] frame; normalize+patchify on device."""
+        t_off = self.t_offset_for_frame(self.frames, fps)
+        t0 = time.perf_counter()
+        self.state = stream_frame_step_raw(
+            self.params,
+            self.cfg,
+            jnp.asarray(frame_rgb, dtype=jnp.uint8),
             self.frame_input_ids,
             jnp.asarray(self.pos_base, dtype=jnp.int32),
             jnp.asarray(t_off, dtype=jnp.int32),

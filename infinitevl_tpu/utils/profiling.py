@@ -1,0 +1,94 @@
+"""Tracing / profiling harness.
+
+The reference measures performance with manual wall-clock fencing in the
+streaming demo (demo_streaming_inference.py:470-510) and offline FLOPs/MFU
+scripts (scripts/stat_utils/cal_flops.py, cal_mfu.py). Here:
+- `trace()` wraps jax.profiler for real XLA traces (view in TensorBoard /
+  xprof)
+- `StepTimer` reproduces the demo's per-frame latency/FPS summary format
+- flops/mfu estimators for the InfiniteVL architecture
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+V5E_PEAK_BF16 = 197e12  # FLOP/s
+V5E_HBM_BW = 819e9  # B/s
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/ivl_trace"):
+    """jax.profiler trace context; open with xprof/TensorBoard."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Per-step latency collector with the demo's summary format
+    (demo:504-510)."""
+
+    def __init__(self, warmup: int = 1):
+        self.times_ms: List[float] = []
+        self.warmup = warmup
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.times_ms.append((time.perf_counter() - self._t0) * 1e3)
+
+    def summary(self) -> Dict[str, float]:
+        arr = np.asarray(self.times_ms[self.warmup:] or self.times_ms)
+        return {
+            "steps": len(self.times_ms),
+            "avg_ms": float(arr.mean()),
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p99_ms": float(np.percentile(arr, 99)),
+            "fps": float(1000.0 / arr.mean()),
+        }
+
+    def print_summary(self, label: str = "Performance Summary"):
+        s = self.summary()
+        print("=" * 60)
+        print(f"{label}:")
+        print(f"Average Latency per Step: {s['avg_ms']:.3f} ms")
+        print(f"Average Throughput: {s['fps']:.2f} steps/s")
+        print("=" * 60)
+
+
+def decoder_flops_per_token(cfg) -> float:
+    """2 * active params per token (matmul FLOPs; attention extra excluded)."""
+    t = cfg.text
+    D, I = t.hidden_size, t.intermediate_size
+    swa = 2 * D * t.head_dim * (t.num_attention_heads + 2 * t.num_key_value_heads) + 3 * D * I
+    HK = t.num_linear_heads * t.linear_head_dim
+    lin = (
+        D * HK + D * t.linear_key_dim + D * t.linear_value_dim
+        + 2 * D * t.num_linear_heads
+        + D * t.num_linear_heads * t.head_v_dim * 2
+        + 3 * D * I
+    )
+    total = t.num_swa_layers * swa + t.num_linear_layers * lin
+    return 2.0 * total
+
+
+def mfu(tokens_per_sec: float, cfg, peak: float = V5E_PEAK_BF16) -> float:
+    return tokens_per_sec * decoder_flops_per_token(cfg) / peak
+
+
+def decode_hbm_floor_ms(n_params: int, dtype_bytes: int = 2,
+                        bw: float = V5E_HBM_BW) -> float:
+    """Weights-read lower bound per decode step."""
+    return n_params * dtype_bytes / bw * 1e3

@@ -1,0 +1,80 @@
+"""Pallas kernels in interpreter mode (CPU): parity against the XLA paths.
+Real-TPU parity and speed are exercised by bench.py / perf scripts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinitevl_tpu.ops.delta_pallas import delta_rule_chunk_fused
+from infinitevl_tpu.ops.delta_rule import delta_rule_recurrent
+from infinitevl_tpu.ops.swa import swa_cached_attention
+from infinitevl_tpu.ops.swa_pallas import swa_ring_flash_attention
+
+
+def err_ratio(x, ref):
+    x = np.asarray(x, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    return np.abs(x - ref).mean() / (np.abs(ref).mean() + 1e-12)
+
+
+@pytest.mark.parametrize("cum", [0, 100, 511, 5000])
+def test_swa_flash_parity(cum):
+    B, Hq, Hkv, D, W = 1, 4, 2, 128, 512
+    cap, T = W, 37
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.random.normal(ks[0], (B, T, Hq, D), jnp.float32)
+    kn = jax.random.normal(ks[1], (B, T, Hkv, D), jnp.float32)
+    vn = jax.random.normal(ks[2], (B, T, Hkv, D), jnp.float32)
+    rk = jax.random.normal(ks[3], (B, cap, Hkv, D), jnp.float32)
+    rv = jax.random.normal(ks[4], (B, cap, Hkv, D), jnp.float32)
+    c = jnp.asarray(cum, jnp.int32)
+    ref, _, _ = swa_cached_attention(q, kn, vn, rk, rv, c, W)
+    out = swa_ring_flash_attention(
+        q, kn, vn, rk, rv, c, W, block_k=128, interpret=True
+    )
+    assert err_ratio(out, ref) < 1e-5
+
+
+def test_swa_flash_decode_shape():
+    B, Hq, Hkv, D, W = 1, 4, 2, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+    kn = jax.random.normal(ks[1], (B, 1, Hkv, D), jnp.float32)
+    vn = jax.random.normal(ks[2], (B, 1, Hkv, D), jnp.float32)
+    rk = jax.random.normal(ks[3], (B, W, Hkv, D), jnp.float32)
+    rv = jax.random.normal(ks[4], (B, W, Hkv, D), jnp.float32)
+    c = jnp.asarray(600, jnp.int32)
+    ref, _, _ = swa_cached_attention(q, kn, vn, rk, rv, c, W)
+    out = swa_ring_flash_attention(
+        q, kn, vn, rk, rv, c, W, block_k=128, interpret=True
+    )
+    assert err_ratio(out, ref) < 1e-5
+
+
+def test_fused_delta_parity():
+    B, T, H, K, V = 1, 100, 2, 128, 256
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    q = jax.random.normal(ks[0], (B, T, H, K), jnp.float32)
+    k = jax.random.normal(ks[1], (B, T, H, K), jnp.float32)
+    v = jax.random.normal(ks[2], (B, T, H, V), jnp.float32)
+    g = -3 * jax.random.uniform(ks[3], (B, T, H))
+    beta = jax.nn.sigmoid(jax.random.normal(ks[4], (B, T, H)))
+    s0 = jax.random.normal(ks[5], (B, H, K, V), jnp.float32)
+    o_ref, s_ref = delta_rule_recurrent(q, k, v, g, beta, initial_state=s0)
+    o, s = delta_rule_chunk_fused(
+        q, k, v, g, beta, initial_state=s0, chunk_size=64, interpret=True
+    )
+    assert err_ratio(o, o_ref) < 1e-5
+    assert err_ratio(s, s_ref) < 1e-5
+
+
+def test_swa_flash_rejects_misaligned_capacity():
+    B, Hq, Hkv, D, W = 1, 4, 2, 128, 500
+    q = jnp.zeros((B, 1, Hq, D))
+    kn = jnp.zeros((B, 1, Hkv, D))
+    rk = jnp.zeros((B, 500, Hkv, D))
+    with pytest.raises(ValueError, match="multiple"):
+        swa_ring_flash_attention(
+            q, kn, kn, rk, rk, jnp.int32(0), W, block_k=128, interpret=True
+        )

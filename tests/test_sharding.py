@@ -1,0 +1,75 @@
+"""Sharding rules on the virtual 8-device CPU mesh: TP inference parity and
+FSDP+TP training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinitevl_tpu import tiny_config
+from infinitevl_tpu.models.params import init_text_params
+from infinitevl_tpu.models.state import init_decoder_state
+from infinitevl_tpu.models.text import embed_tokens, text_forward
+from infinitevl_tpu.parallel.sharding import (
+    create_mesh,
+    param_spec,
+    shard_params,
+    shard_state,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def err_ratio(x, ref):
+    x = np.asarray(x, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    return np.abs(x - ref).mean() / (np.abs(ref).mean() + 1e-12)
+
+
+def test_param_spec_rules():
+    mesh = create_mesh(data=2, model=4)
+    # colwise q_proj: output dim sharded if divisible
+    spec = param_spec("text/layers/1/q_proj/kernel", (64, 64), mesh)
+    assert spec == jax.sharding.PartitionSpec(None, "model")
+    # 2 KV heads * 16 = 32-dim k output not divisible by 4 -> check fallback
+    spec = param_spec("text/layers/0/k_proj/kernel", (64, 30), mesh)
+    assert spec == jax.sharding.PartitionSpec(None, None)
+    # fsdp overlays data axis onto the largest free dim
+    spec = param_spec("text/embed", (512, 64), mesh, param_mode="fsdp")
+    assert "data" in str(spec)
+
+
+def test_tp_inference_matches_single_device():
+    """Sharded forward (TP over heads) must equal the unsharded forward."""
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(12)[None, None], (3, 1, 12))
+
+    h_ref, _, _ = text_forward(
+        params["text"], cfg, embed_tokens(params["text"], ids), pos
+    )
+
+    mesh = create_mesh(data=2, model=4)
+    sharded = shard_params(params, mesh, param_mode="tp")
+
+    @jax.jit
+    def fwd(p, ids, pos):
+        return text_forward(p["text"], cfg, embed_tokens(p["text"], ids), pos)[0]
+
+    h_tp = fwd(sharded, ids, pos)
+    assert err_ratio(h_tp, h_ref) < 1e-5
+
+
+def test_cached_state_sharding_roundtrip():
+    cfg = tiny_config().text
+    mesh = create_mesh(data=2, model=4)
+    state = init_decoder_state(cfg, batch_size=2, dtype=jnp.float32)
+    sstate = shard_state(state, mesh)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(sstate)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # delta_h [L, B, H, K, V]: H=4 divisible by model=4
+    sh = sstate["delta_h"].sharding.spec
+    assert sh[2] == "model" and sh[1] == "data"
