@@ -7,7 +7,9 @@ step functions (and donated for in-place updates under XLA). Branched QA
 reusing the old pytree value — functional state makes the snapshot free.
 
 Layout (S = #SWA layers, L = #DeltaNet layers):
-  swa_k, swa_v : [S, B, cap, Hkv, Dh]   ring KV, cap = window - 1
+  swa_k, swa_v : [S, B, Hkv, cap, Dh]   ring KV, head-major so the Pallas
+                 flash kernel streams (cap, Dh) tiles with no transposes on
+                 the decode hot path; cap = window (128-aligned)
   delta_h      : [L, B, H, K, V] fp32   recurrent state (fp32: the reference
                  kernels emit fp32 final_state, fused_recurrent.py:140)
   conv_q/k/v   : [L, B, W, D*]          raw-input history for ShortConvolution
@@ -40,8 +42,8 @@ def init_decoder_state(
     V = cfg.head_v_dim
     W = cfg.conv_size
     return {
-        "swa_k": jnp.zeros((S, B, cap, Hkv, Dh), dtype=dtype),
-        "swa_v": jnp.zeros((S, B, cap, Hkv, Dh), dtype=dtype),
+        "swa_k": jnp.zeros((S, B, Hkv, cap, Dh), dtype=dtype),
+        "swa_v": jnp.zeros((S, B, Hkv, cap, Dh), dtype=dtype),
         "delta_h": jnp.zeros((L, B, H, K, V), dtype=jnp.float32),
         "conv_q": jnp.zeros((L, B, W, cfg.num_linear_heads * K), dtype=dtype),
         "conv_k": jnp.zeros((L, B, W, cfg.linear_key_dim), dtype=dtype),

@@ -47,7 +47,7 @@ def _use_pallas_swa(cfg: TextConfig, ring_k: jax.Array) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    cap = ring_k.shape[1]
+    cap = ring_k.shape[2]
     return cap % 512 == 0 and ring_k.shape[-1] % 128 == 0
 
 
@@ -77,12 +77,21 @@ def swa_attention_forward(
         new_rk = new_rv = None
     elif _use_pallas_swa(cfg, ring_k):
         from ..ops.swa import ring_write
-        from ..ops.swa_pallas import swa_ring_flash_attention
-
-        out = swa_ring_flash_attention(
-            q, k, v, ring_k, ring_v, cum_len, window
+        from ..ops.swa_pallas import (
+            swa_ring_flash_attention,
+            swa_ring_flash_decode,
         )
-        new_rk, new_rv = ring_write(ring_k, ring_v, k, v, cum_len)
+
+        if T == 1:
+            # write-then-attend over the ring alone: no concat copies
+            out, new_rk, new_rv = swa_ring_flash_decode(
+                q, k, v, ring_k, ring_v, cum_len, window
+            )
+        else:
+            out = swa_ring_flash_attention(
+                q, k, v, ring_k, ring_v, cum_len, window
+            )
+            new_rk, new_rv = ring_write(ring_k, ring_v, k, v, cum_len)
     else:
         out, new_rk, new_rv = swa_cached_attention(
             q, k, v, ring_k, ring_v, cum_len, window

@@ -37,7 +37,7 @@ def ring_slot_positions(cum_len: jax.Array, capacity: int) -> jax.Array:
 
 
 def ring_write(
-    ring_k: jax.Array,  # [B, cap, Hkv, D]
+    ring_k: jax.Array,  # [B, Hkv, cap, D] (head-major)
     ring_v: jax.Array,
     new_k: jax.Array,  # [B, T, Hkv, D]
     new_v: jax.Array,
@@ -47,12 +47,15 @@ def ring_write(
 
     If T >= capacity only the last `capacity` tokens land (earlier writes are
     overwritten by construction of the scatter order)."""
-    cap = ring_k.shape[1]
+    cap = ring_k.shape[2]
     T = new_k.shape[1]
     idx = jnp.mod(cum_len + jnp.arange(T, dtype=jnp.int32), cap)
-    # dimension_numbers: scatter rows along axis 1
-    ring_k = ring_k.at[:, idx].set(new_k.astype(ring_k.dtype))
-    ring_v = ring_v.at[:, idx].set(new_v.astype(ring_v.dtype))
+    ring_k = ring_k.at[:, :, idx].set(
+        new_k.transpose(0, 2, 1, 3).astype(ring_k.dtype)
+    )
+    ring_v = ring_v.at[:, :, idx].set(
+        new_v.transpose(0, 2, 1, 3).astype(ring_v.dtype)
+    )
     return ring_k, ring_v
 
 
@@ -119,7 +122,7 @@ def swa_cached_attention(
     q: jax.Array,  # [B, T, Hq, D] current-step queries
     new_k: jax.Array,  # [B, T, Hkv, D] current-step keys (post-RoPE)
     new_v: jax.Array,
-    ring_k: jax.Array,  # [B, cap, Hkv, D]
+    ring_k: jax.Array,  # [B, Hkv, cap, D] (head-major)
     ring_v: jax.Array,
     cum_len: jax.Array,  # scalar int32 tokens seen before this call
     window: int,
@@ -131,12 +134,14 @@ def swa_cached_attention(
 
     Returns (output [B,T,Hq,D], ring_k', ring_v')."""
     B, T = q.shape[0], q.shape[1]
-    cap = ring_k.shape[1]
+    cap = ring_k.shape[2]
     q_pos = cum_len + jnp.arange(T, dtype=jnp.int32)
     slot_pos = ring_slot_positions(cum_len, cap)  # [cap]
     k_pos = jnp.concatenate([slot_pos, q_pos], axis=0)  # [cap + T]
-    k_all = jnp.concatenate([ring_k, new_k.astype(ring_k.dtype)], axis=1)
-    v_all = jnp.concatenate([ring_v, new_v.astype(ring_v.dtype)], axis=1)
+    ring_k_t = ring_k.transpose(0, 2, 1, 3)  # [B, cap, Hkv, D]
+    ring_v_t = ring_v.transpose(0, 2, 1, 3)
+    k_all = jnp.concatenate([ring_k_t, new_k.astype(ring_k.dtype)], axis=1)
+    v_all = jnp.concatenate([ring_v_t, new_v.astype(ring_v.dtype)], axis=1)
     mask = sliding_window_mask(q_pos, k_pos, window)[None]  # [1, T, cap+T]
     out = attention_dense(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask, scale)
     ring_k, ring_v = ring_write(ring_k, ring_v, new_k, new_v, cum_len)

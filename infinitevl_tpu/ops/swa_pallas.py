@@ -103,7 +103,7 @@ def swa_ring_flash_attention(
     q: jax.Array,  # [B, T, Hq, D]
     new_k: jax.Array,  # [B, T, Hkv, D]
     new_v: jax.Array,
-    ring_k: jax.Array,  # [B, cap, Hkv, D], cap % block_k == 0
+    ring_k: jax.Array,  # [B, Hkv, cap, D] head-major, cap % block_k == 0
     ring_v: jax.Array,
     cum_len: jax.Array,  # scalar int32
     window: int,
@@ -116,18 +116,18 @@ def swa_ring_flash_attention(
     B, T, Hq, D = q.shape
     Hkv = new_k.shape[2]
     G = Hq // Hkv
-    cap = ring_k.shape[1]
+    cap = ring_k.shape[2]
     if cap % block_k:
         raise ValueError(f"ring capacity {cap} must be a multiple of {block_k}")
     if scale is None:
         scale = D**-0.5
     Tp = ((T + block_k - 1) // block_k) * block_k
     pad = Tp - T
-    kn = jnp.pad(new_k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    vn = jnp.pad(new_v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    kn = jnp.pad(new_k, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    vn = jnp.pad(new_v, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     # head-major [B, Hkv, cap+Tp, D]
-    keys = jnp.concatenate([ring_k, kn], axis=1).transpose(0, 2, 1, 3)
-    vals = jnp.concatenate([ring_v, vn], axis=1).transpose(0, 2, 1, 3)
+    keys = jnp.concatenate([ring_k, kn], axis=2)
+    vals = jnp.concatenate([ring_v, vn], axis=2)
     R = T * G
     qg = q.reshape(B, T, Hkv, G, D).transpose(0, 2, 1, 3, 4).reshape(B, Hkv, R, D)
 
@@ -168,3 +168,137 @@ def swa_ring_flash_attention(
     )(cum_len.reshape(1), qg, keys, vals)
     out = out.reshape(B, Hkv, T, G, D).transpose(0, 2, 1, 3, 4)
     return out.reshape(B, T, Hq, D)
+
+
+# ---------------------------------------------------------------------------
+# Decode fast path: write-then-attend over the ring only (no concat/copies).
+#
+# Correct for T == 1: writing token n = cum_len evicts token n - cap. That
+# evicted token is visible to a query at position qp only if
+# (n - cap) > qp - window; with cap == window and the single query at
+# qp == n this reads n - window > n - window — false. So the eviction can
+# never remove a key the current query needs, and the freshly-written slot
+# provides the query's self-attention key. (For T > 1 earlier queries in the
+# step could still need evicted keys — the prefill path above handles that.)
+# ---------------------------------------------------------------------------
+
+
+def _swa_decode_kernel(
+    cum_incl_ref,  # [1] int32: tokens INCLUDING the one just written
+    q_ref,  # [1, 1, G, D]
+    k_ref,  # [1, 1, block_k, D] ring block
+    v_ref,
+    o_ref,  # [1, 1, G, D]
+    acc_ref,  # [G, D] f32
+    m_ref,  # [G, 128] f32
+    l_ref,  # [G, 128] f32
+    *,
+    window: int,
+    block_k: int,
+    cap: int,
+    scale: float,
+):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    G, D = q_ref.shape[2], q_ref.shape[3]
+    cum_incl = cum_incl_ref[0]
+    qp = cum_incl - 1  # the query's position
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    s = jnp.dot(q, k_ref[0, 0].T.astype(jnp.float32),
+                preferred_element_type=jnp.float32)  # [G, block_k]
+
+    slot = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
+    m0 = (cum_incl - 1) % cap
+    kp = cum_incl - 1 - jnp.mod(m0 - slot, cap)
+    mask = (kp >= 0) & (kp <= qp) & (kp > qp - window)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur)
+    l_ref[:, :1] = l_ref[:, :1] * alpha + p.sum(axis=-1, keepdims=True)
+    m_ref[:, :1] = m_cur
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        o_ref[0, 0] = (
+            acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "scale", "block_k", "interpret")
+)
+def swa_ring_flash_decode(
+    q: jax.Array,  # [B, 1, Hq, D]
+    new_k: jax.Array,  # [B, 1, Hkv, D]
+    new_v: jax.Array,
+    ring_k: jax.Array,  # [B, Hkv, cap, D]
+    ring_v: jax.Array,
+    cum_len: jax.Array,  # scalar int32 (tokens BEFORE this one)
+    window: int,
+    scale: Optional[float] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Single-token decode: write the token's KV into the ring, then flash
+    over the ring alone. Returns (out [B,1,Hq,D], ring_k', ring_v')."""
+    from .swa import ring_write
+
+    B, T, Hq, D = q.shape
+    assert T == 1, "decode path requires T == 1"
+    Hkv = new_k.shape[2]
+    G = Hq // Hkv
+    cap = ring_k.shape[2]
+    if block_k is None:
+        # G query rows make the per-block matmul tiny; large KV blocks
+        # amortize the per-grid-step overhead (matters for huge windows)
+        block_k = next(
+            (b for b in (4096, 2048, 1024, 512) if cap % b == 0), 512
+        )
+    if cap % block_k:
+        raise ValueError(f"ring capacity {cap} must be a multiple of {block_k}")
+    if scale is None:
+        scale = D**-0.5
+    ring_k, ring_v = ring_write(ring_k, ring_v, new_k, new_v, cum_len)
+    qg = q.reshape(B, 1, Hkv, G, D).transpose(0, 2, 1, 3, 4).reshape(B, Hkv, G, D)
+    NK = cap // block_k
+    out = pl.pallas_call(
+        functools.partial(
+            _swa_decode_kernel,
+            window=window,
+            block_k=block_k,
+            cap=cap,
+            scale=scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hkv, NK),
+            in_specs=[
+                pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, c: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, c: (b, h, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((G, D), jnp.float32),
+                pltpu.VMEM((G, 128), jnp.float32),
+                pltpu.VMEM((G, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        interpret=interpret,
+    )((cum_len + 1).reshape(1), qg, ring_k, ring_v)
+    out = out.reshape(B, Hkv, 1, G, D).transpose(0, 2, 1, 3, 4).reshape(B, 1, Hq, D)
+    return out, ring_k, ring_v

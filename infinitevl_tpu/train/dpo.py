@@ -115,6 +115,58 @@ def make_dpo_step(
     return step
 
 
+def kto_loss(
+    policy_logps: jax.Array,  # [B] sequence log-probs
+    ref_logps: jax.Array,  # [B]
+    is_desirable: jax.Array,  # [B] bool
+    kl_baseline: jax.Array,  # scalar: batch KL estimate E[policy - ref]
+    beta: float = 0.1,
+    desirable_weight: float = 1.0,
+    undesirable_weight: float = 1.0,
+) -> jax.Array:
+    """Kahneman-Tversky optimization loss (train/kto): unpaired feedback;
+    desirable examples push log-ratio above the KL baseline, undesirable
+    below."""
+    ratio = policy_logps - ref_logps
+    d = jax.nn.sigmoid(beta * (ratio - kl_baseline))
+    u = jax.nn.sigmoid(beta * (kl_baseline - ratio))
+    loss = jnp.where(
+        is_desirable,
+        desirable_weight * (1.0 - d),
+        undesirable_weight * (1.0 - u),
+    )
+    return loss.mean()
+
+
+def make_kto_step(
+    cfg: TextConfig,
+    tx: optax.GradientTransformation,
+    beta: float = 0.1,
+):
+    """(policy, opt_state, ref_params, batch) -> (policy, opt_state, loss).
+    batch: input_ids/labels/position_ids/is_desirable [B]."""
+
+    def step(policy, opt_state, ref_params, batch):
+        pos = batch["position_ids"]
+        ref_lp = sequence_logprobs(
+            ref_params, cfg, batch["input_ids"], batch["labels"], pos
+        )
+
+        def loss_fn(p):
+            lp = sequence_logprobs(
+                p, cfg, batch["input_ids"], batch["labels"], pos
+            )
+            kl = jax.lax.stop_gradient(jnp.clip((lp - ref_lp).mean(), 0.0))
+            return kto_loss(lp, ref_lp, batch["is_desirable"], kl, beta)
+
+        loss, grads = jax.value_and_grad(loss_fn)(policy)
+        updates, opt_state = tx.update(grads, opt_state, policy)
+        policy = optax.apply_updates(policy, updates)
+        return policy, opt_state, loss
+
+    return step
+
+
 def rm_pairwise_loss(
     chosen_rewards: jax.Array, rejected_rewards: jax.Array
 ) -> jax.Array:

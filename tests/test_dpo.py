@@ -54,6 +54,31 @@ def test_dpo_step_improves_margin(loss_type):
     assert losses[-1] < losses[0]
 
 
+def test_kto_step_runs():
+    from infinitevl_tpu.train.dpo import make_kto_step
+
+    cfg = tiny_config().text
+    policy = init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    ref = jax.tree.map(lambda x: x, policy)
+    tx = make_optimizer(learning_rate=3e-3, weight_decay=0.0)
+    opt_state = tx.init(policy)
+    step = jax.jit(make_kto_step(cfg, tx, beta=0.1))
+    ids = jax.random.randint(jax.random.PRNGKey(5), (4, 10), 0, cfg.vocab_size)
+    labels = ids.at[:, :3].set(-100)
+    batch = {
+        "input_ids": ids,
+        "labels": labels,
+        "position_ids": jnp.broadcast_to(jnp.arange(10)[None, None], (3, 4, 10)),
+        "is_desirable": jnp.array([True, False, True, False]),
+    }
+    losses = []
+    for _ in range(3):
+        policy, opt_state, loss = step(policy, opt_state, ref, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
 def test_rm_step_runs():
     cfg = tiny_config().text
     params = init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)

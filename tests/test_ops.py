@@ -178,8 +178,8 @@ def test_swa_cached_matches_dense_reference():
     # ground truth: full dense with window mask
     ref = swa_prefill_dense(qs, ks, vs, window=W)
 
-    ring_k = jnp.zeros((B, cap, Hkv, D))
-    ring_v = jnp.zeros((B, cap, Hkv, D))
+    ring_k = jnp.zeros((B, Hkv, cap, D))
+    ring_v = jnp.zeros((B, Hkv, cap, D))
     cum = jnp.int32(0)
     outs = []
     for step in [1, 4, 2, 7, 1, 1, 5, 2]:
@@ -197,8 +197,8 @@ def test_swa_memory_is_constant():
     """Ring state shape is independent of how many tokens were processed."""
     B, Hkv, D, W = 1, 2, 8, 6
     cap = W - 1
-    ring_k = jnp.zeros((B, cap, Hkv, D))
-    ring_v = jnp.zeros((B, cap, Hkv, D))
+    ring_k = jnp.zeros((B, Hkv, cap, D))
+    ring_v = jnp.zeros((B, Hkv, cap, D))
     cum = jnp.int32(0)
     q = jax.random.normal(jax.random.PRNGKey(16), (B, 3, 4, D))
     k = jax.random.normal(jax.random.PRNGKey(17), (B, 3, Hkv, D))
@@ -208,7 +208,7 @@ def test_swa_memory_is_constant():
             q, k, v, ring_k, ring_v, cum, window=W
         )
         cum = cum + 3
-    assert ring_k.shape == (B, cap, Hkv, D)
+    assert ring_k.shape == (B, Hkv, cap, D)
 
 
 def test_sliding_window_mask_semantics():

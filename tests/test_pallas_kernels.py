@@ -26,8 +26,8 @@ def test_swa_flash_parity(cum):
     q = jax.random.normal(ks[0], (B, T, Hq, D), jnp.float32)
     kn = jax.random.normal(ks[1], (B, T, Hkv, D), jnp.float32)
     vn = jax.random.normal(ks[2], (B, T, Hkv, D), jnp.float32)
-    rk = jax.random.normal(ks[3], (B, cap, Hkv, D), jnp.float32)
-    rv = jax.random.normal(ks[4], (B, cap, Hkv, D), jnp.float32)
+    rk = jax.random.normal(ks[3], (B, Hkv, cap, D), jnp.float32)
+    rv = jax.random.normal(ks[4], (B, Hkv, cap, D), jnp.float32)
     c = jnp.asarray(cum, jnp.int32)
     ref, _, _ = swa_cached_attention(q, kn, vn, rk, rv, c, W)
     out = swa_ring_flash_attention(
@@ -42,8 +42,8 @@ def test_swa_flash_decode_shape():
     q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
     kn = jax.random.normal(ks[1], (B, 1, Hkv, D), jnp.float32)
     vn = jax.random.normal(ks[2], (B, 1, Hkv, D), jnp.float32)
-    rk = jax.random.normal(ks[3], (B, W, Hkv, D), jnp.float32)
-    rv = jax.random.normal(ks[4], (B, W, Hkv, D), jnp.float32)
+    rk = jax.random.normal(ks[3], (B, Hkv, W, D), jnp.float32)
+    rv = jax.random.normal(ks[4], (B, Hkv, W, D), jnp.float32)
     c = jnp.asarray(600, jnp.int32)
     ref, _, _ = swa_cached_attention(q, kn, vn, rk, rv, c, W)
     out = swa_ring_flash_attention(
@@ -69,11 +69,34 @@ def test_fused_delta_parity():
     assert err_ratio(s, s_ref) < 1e-5
 
 
+def test_swa_flash_decode_write_first_parity():
+    """The T=1 write-then-attend kernel must match the concat reference,
+    including the ring updates."""
+    from infinitevl_tpu.ops.swa_pallas import swa_ring_flash_decode
+
+    B, Hq, Hkv, D, W = 1, 4, 2, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+    kn = jax.random.normal(ks[1], (B, 1, Hkv, D), jnp.float32)
+    vn = jax.random.normal(ks[2], (B, 1, Hkv, D), jnp.float32)
+    rk = jax.random.normal(ks[3], (B, Hkv, W, D), jnp.float32)
+    rv = jax.random.normal(ks[4], (B, Hkv, W, D), jnp.float32)
+    for cum in [0, 511, 512, 9001]:
+        c = jnp.asarray(cum, jnp.int32)
+        ref, rrk, rrv = swa_cached_attention(q, kn, vn, rk, rv, c, W)
+        out, nrk, nrv = swa_ring_flash_decode(
+            q, kn, vn, rk, rv, c, W, block_k=128, interpret=True
+        )
+        assert err_ratio(out, ref) < 1e-5, cum
+        np.testing.assert_allclose(np.asarray(nrk), np.asarray(rrk))
+        np.testing.assert_allclose(np.asarray(nrv), np.asarray(rrv))
+
+
 def test_swa_flash_rejects_misaligned_capacity():
     B, Hq, Hkv, D, W = 1, 4, 2, 128, 500
     q = jnp.zeros((B, 1, Hq, D))
     kn = jnp.zeros((B, 1, Hkv, D))
-    rk = jnp.zeros((B, 500, Hkv, D))
+    rk = jnp.zeros((B, Hkv, 500, D))
     with pytest.raises(ValueError, match="multiple"):
         swa_ring_flash_attention(
             q, kn, kn, rk, rk, jnp.int32(0), W, block_k=128, interpret=True
