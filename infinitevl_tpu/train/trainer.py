@@ -96,13 +96,28 @@ def collate(
             seg[r, :L] = e.get(
                 "segment_ids", np.ones(len(e["input_ids"]), np.int32)
             )[:L]
-        pos = np.broadcast_to(
-            np.arange(cutoff_len)[None, None], (3, batch_size, cutoff_len)
-        )
+        # rope positions restart at every packed-segment boundary (the
+        # reference collator computes per-segment mrope positions,
+        # data/collator.py:186-196)
+        pos = np.zeros((batch_size, cutoff_len), np.int64)
+        ar = np.arange(cutoff_len)
+        for r in range(batch_size):
+            boundary = np.zeros(cutoff_len, bool)
+            boundary[0] = True
+            boundary[1:] = seg[r, 1:] != seg[r, :-1]
+            starts = np.where(boundary, ar, 0)
+            last_start = np.maximum.accumulate(starts)
+            pos[r] = ar - last_start
+        pos3 = np.broadcast_to(pos[None], (3, batch_size, cutoff_len))
+        shifted = shift_labels(labels)
+        # never supervise across a packed-segment boundary
+        cross = np.zeros_like(seg, dtype=bool)
+        cross[:, :-1] = seg[:, 1:] != seg[:, :-1]
+        shifted[cross] = -100
         yield {
             "input_ids": jnp.asarray(ids),
-            "labels": jnp.asarray(shift_labels(labels)),
-            "position_ids": jnp.asarray(pos),
+            "labels": jnp.asarray(shifted),
+            "position_ids": jnp.asarray(pos3),
             "segment_ids": jnp.asarray(seg),
         }
 
