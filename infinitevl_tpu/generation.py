@@ -175,14 +175,18 @@ class Generator:
         rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
         key = jax.random.PRNGKey(seed)
         out = []
+        finished = np.zeros(B, dtype=bool)
         tok = sample_token(logits, key, temperature, top_k, top_p)
         for i in range(max_new_tokens):
             t = np.asarray(tok)
+            # sequences that already hit EOS keep emitting EOS (HF-style pad)
+            t = np.where(finished, eos, t)
             out.append(t)
-            if B == 1 and int(t[0]) == eos:
+            finished |= t == eos
+            if finished.all():
                 break
             logits, state = decode_step(
-                self.params, cfg, tok[:, None], rope_delta, state
+                self.params, cfg, jnp.asarray(t)[:, None], rope_delta, state
             )
             key, sub = jax.random.split(key)
             tok = sample_token(logits, sub, temperature, top_k, top_p)

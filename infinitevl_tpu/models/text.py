@@ -9,6 +9,7 @@ layer's weights exactly once — no stacked-slice copies on the hot path).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -235,6 +236,7 @@ def text_forward(
     state: Optional[DecoderState] = None,
     segment_ids: Optional[jax.Array] = None,
     output_hidden_states: bool = False,
+    remat: bool = False,
 ):
     """Run the decoder stack.
 
@@ -277,9 +279,19 @@ def text_forward(
                     "supported (the deployed InfiniteVL config has none)"
                 )
             layer_state = None
-        x, out_state = decoder_layer_forward(
-            layer_p, cfg, role, x, cos, sin, layer_state, segment_ids
-        )
+        layer_fn = decoder_layer_forward
+        if remat and state is None:
+            # gradient checkpointing: recompute each layer's internals in the
+            # backward pass (reference model_utils/checkpointing.py role)
+            layer_fn = jax.checkpoint(
+                functools.partial(decoder_layer_forward, layer_p, cfg, role),
+                static_argnums=(),
+            )
+            x, out_state = layer_fn(x, cos, sin, layer_state, segment_ids)
+        else:
+            x, out_state = layer_fn(
+                layer_p, cfg, role, x, cos, sin, layer_state, segment_ids
+            )
         if state is not None:
             if role == SLIDING:
                 new_state["swa_k"] = new_state["swa_k"].at[swa_i].set(out_state[0])

@@ -109,13 +109,66 @@ def swa_prefill_dense(
     scale: Optional[float] = None,
     segment_ids: Optional[jax.Array] = None,  # [B, T]
 ) -> jax.Array:
-    """Cache-less banded attention for training / long prefill."""
+    """Cache-less banded attention for training / long prefill.
+
+    On TPU with long sequences this dispatches to the splash-attention
+    Pallas kernel (full VJP, O(T*W) memory) — the dense-mask path
+    materializes [T, T] logits (4 GB at T=8K) and OOMs long-context
+    training."""
     T = q.shape[1]
+    if (
+        jax.default_backend() == "tpu"
+        and T >= 1024
+        and T % 512 == 0
+        and q.shape[-1] % 128 == 0
+        and isinstance(offset, int)
+        and offset == 0
+    ):
+        return _swa_prefill_splash(q, k, v, window, scale, segment_ids)
     pos = jnp.arange(T, dtype=jnp.int32) + offset
     mask = sliding_window_mask(pos, pos, window)[None]  # [1, T, T]
     if segment_ids is not None:
         mask = mask & (segment_ids[:, :, None] == segment_ids[:, None, :])
     return attention_dense(q, k, v, mask, scale)
+
+
+def _swa_prefill_splash(
+    q: jax.Array,  # [B, T, Hq, D]
+    k: jax.Array,  # [B, T, Hkv, D]
+    v: jax.Array,
+    window: int,
+    scale: Optional[float],
+    segment_ids: Optional[jax.Array],
+) -> jax.Array:
+    """Sliding-window training attention via jax's splash kernel (causal
+    local mask == our kp in (qp-W, qp] band), GQA KV repeated to Hq."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sak,
+        splash_attention_mask as sam,
+    )
+
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[2]
+    groups = Hq // Hkv
+    if scale is None:
+        scale = D**-0.5
+    qh = (q * scale).transpose(0, 2, 1, 3)  # [B, Hq, T, D]
+    kh = jnp.repeat(k.transpose(0, 2, 1, 3), groups, axis=1)
+    vh = jnp.repeat(v.transpose(0, 2, 1, 3), groups, axis=1)
+    mask = sam.LocalMask((T, T), window_size=(window - 1, 0), offset=0)
+    kernel = sak.make_splash_mha(
+        sam.MultiHeadMask([mask] * Hq), head_shards=1, q_seq_shards=1
+    )
+    if segment_ids is not None:
+        seg = segment_ids.astype(jnp.int32)
+        out = jax.vmap(
+            lambda qq, kk, vv, s: kernel(
+                qq, kk, vv, segment_ids=sak.SegmentIds(q=s, kv=s)
+            )
+        )(qh, kh, vh, seg)
+    else:
+        out = jax.vmap(kernel)(qh, kh, vh)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
 def swa_cached_attention(

@@ -97,16 +97,26 @@ def merge_lora(params: Params, lora: Params, alpha: float = 16.0, rank: int = 8)
     return apply_lora(params, lora, alpha, rank)
 
 
-def make_lora_sft_step(cfg, tx, base_params, alpha: float = 16.0, rank: int = 8):
-    """(lora, opt_state, batch) -> (lora, opt_state, loss): only the adapter
-    tree is optimized; base weights stay frozen."""
+def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
+                       rank: int = 8, remat: bool = False):
+    """Only the adapter tree is optimized; base weights stay frozen.
+    remat=True enables per-layer gradient checkpointing (the stage-3
+    32K-context recipe).
+
+    With base_params given at factory time the step is
+    (lora, opt_state, batch); with base_params=None it is
+    (lora, opt_state, base_params, batch) — pass the base as a jit ARGUMENT
+    for big models, otherwise the closure bakes the weights into the
+    executable as constants and doubles their HBM footprint."""
     import optax
 
     from .step import sft_loss_fn
 
-    def step(lora, opt_state, batch):
+    def step(lora, opt_state, batch, _base=None):
+        base = base_params if base_params is not None else _base
+
         def loss_fn(l):
-            merged = apply_lora(base_params, l, alpha, rank)
+            merged = apply_lora(base, l, alpha, rank)
             text = merged["text"] if "text" in merged else merged
             return sft_loss_fn(
                 text,
@@ -115,6 +125,7 @@ def make_lora_sft_step(cfg, tx, base_params, alpha: float = 16.0, rank: int = 8)
                 batch["labels"],
                 batch["position_ids"],
                 batch.get("segment_ids"),
+                remat=remat,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(lora)
@@ -122,4 +133,10 @@ def make_lora_sft_step(cfg, tx, base_params, alpha: float = 16.0, rank: int = 8)
         lora = optax.apply_updates(lora, updates)
         return lora, opt_state, loss
 
-    return step
+    if base_params is not None:
+        return step
+
+    def step_with_base(lora, opt_state, base, batch):
+        return step(lora, opt_state, batch, _base=base)
+
+    return step_with_base

@@ -41,6 +41,44 @@ def cross_entropy_loss(
     return -(tok * mask).sum() / jnp.maximum(mask.sum(), 1)
 
 
+def fused_linear_cross_entropy(
+    hidden: jax.Array,  # [B, T, D]
+    lm_w: jax.Array,  # [D, V]
+    labels: jax.Array,  # [B, T]
+    chunk: int = 1024,
+) -> jax.Array:
+    """CE without ever materializing the [T, V] logits: scan over sequence
+    chunks, each checkpointed so the backward recomputes its logits.
+    Counterpart of the reference's fla fused_linear_cross_entropy module
+    (the [8192, 151936] fp32 logits tensor alone is 4.6 GB)."""
+    B, T, D = hidden.shape
+    pad = (-T) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
+    N = (T + pad) // chunk
+    h = hidden.reshape(B, N, chunk, D).transpose(1, 0, 2, 3)
+    lb = labels.reshape(B, N, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_nll(h_c, lb_c):
+        logits = (h_c @ lm_w.astype(h_c.dtype)).astype(jnp.float32)
+        mask = lb_c != IGNORE_INDEX
+        safe = jnp.where(mask, lb_c, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return -(tok * mask).sum(), mask.sum()
+
+    def body(carry, xs):
+        nll, cnt = carry
+        h_c, lb_c = xs
+        n, c = chunk_nll(h_c, lb_c)
+        return (nll + n, cnt + c), None
+
+    (nll, cnt), _ = jax.lax.scan(body, (jnp.float32(0), jnp.int32(0)), (h, lb))
+    return nll / jnp.maximum(cnt, 1)
+
+
 def kl_distill_loss(
     student_logits: jax.Array,
     teacher_logits: jax.Array,
@@ -128,19 +166,28 @@ def sft_loss_fn(
     position_ids: jax.Array,  # [3, B, T]
     segment_ids: Optional[jax.Array] = None,
     inputs_embeds: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jax.Array:
     embeds = inputs_embeds if inputs_embeds is not None else embed_tokens(params, input_ids)
     hidden, _, _ = text_forward(
-        params, cfg, embeds, position_ids, state=None, segment_ids=segment_ids
+        params, cfg, embeds, position_ids, state=None, segment_ids=segment_ids,
+        remat=remat,
     )
+    if remat:
+        # long-context path: chunked CE avoids the [T, V] logits tensor
+        w = params.get("lm_head", params["embed"].T)
+        return fused_linear_cross_entropy(hidden, w, labels)
     logits = lm_head(params, cfg, hidden)
     return cross_entropy_loss(logits, labels)
 
 
-def make_sft_train_step(cfg: TextConfig, tx: optax.GradientTransformation):
+def make_sft_train_step(
+    cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False
+):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, loss).
     params: full pytree with a "text" subtree (so sharding-rule paths match);
-    batch: dict(input_ids, labels, position_ids[, segment_ids])."""
+    batch: dict(input_ids, labels, position_ids[, segment_ids]).
+    remat=True enables per-layer gradient checkpointing for long contexts."""
 
     def step(params, opt_state, batch):
         def loss_fn(p):
@@ -151,6 +198,7 @@ def make_sft_train_step(cfg: TextConfig, tx: optax.GradientTransformation):
                 batch["labels"],
                 batch["position_ids"],
                 batch.get("segment_ids"),
+                remat=remat,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -141,6 +141,20 @@ def test_generator_text_only():
     np.testing.assert_array_equal(out, out2)
 
 
+def test_generator_batched_eos_padding():
+    cfg = make_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    gen = Generator(params, cfg, dtype=jnp.float32)
+    ids = np.array([[3, 4, 5, 6], [7, 8, 9, 10]])
+    out = gen.generate(ids, max_new_tokens=5, eos_token_id=-1)
+    assert out.shape == (2, 5)
+    # with a real eos: pick whatever token the greedy head emits first for
+    # row 0 and force it as eos -> row 0 should be all-eos after it
+    first = int(out[0, 0])
+    out2 = gen.generate(ids, max_new_tokens=5, eos_token_id=first)
+    assert (out2[0] == first).all()
+
+
 def test_generator_sampling_modes():
     cfg = make_cfg()
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)

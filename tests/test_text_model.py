@@ -112,6 +112,25 @@ def test_lm_head_tied():
     assert logits.dtype == jnp.float32
 
 
+def test_remat_matches_dense_gradients():
+    """Gradient checkpointing must not change values or gradients."""
+    import jax
+
+    from infinitevl_tpu.train.step import sft_loss_fn
+
+    cfg, params, ids, pos = setup(T=16)
+    labels = ids
+
+    def loss(p, remat):
+        return sft_loss_fn(p, cfg, ids, labels, pos, remat=remat)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_param_count_3b_scale():
     """Deployed-config param count lands at ~3B (sanity of dims wiring)."""
     from infinitevl_tpu import infinitevl_3b
