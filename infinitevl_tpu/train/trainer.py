@@ -42,7 +42,19 @@ logger = get_logger(__name__)
 
 
 def build_config(args: AllArgs) -> InfiniteVLConfig:
-    cfg = tiny_config() if args.model.config_preset == "tiny" else infinitevl_3b()
+    ckpt_cfg = (
+        os.path.join(args.model.model_name_or_path, "config.json")
+        if args.model.model_name_or_path
+        else None
+    )
+    if ckpt_cfg and os.path.exists(ckpt_cfg):
+        from ..config import from_hf_json
+
+        cfg = from_hf_json(ckpt_cfg)
+    elif args.model.config_preset == "tiny":
+        cfg = tiny_config()
+    else:
+        cfg = infinitevl_3b()
     text = dataclasses.replace(
         cfg.text,
         use_pallas_swa=args.model.use_pallas_swa,
