@@ -181,6 +181,71 @@ def sft_loss_fn(
     return cross_entropy_loss(logits, labels)
 
 
+def mm_sft_loss_fn(
+    params: Params,  # full pytree: {"text": ..., "visual": ...}
+    cfg: InfiniteVLConfig,
+    input_ids: jax.Array,  # [B, T]
+    labels: jax.Array,  # [B, T]
+    position_ids: jax.Array,  # [3, B, T] vision-aware mrope indices
+    pixel_values: Optional[jax.Array] = None,  # [n_patches, in_feat] packed
+    grid_thw: Optional[tuple] = None,  # static tuple of (t, h, w)
+    segment_ids: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Multimodal SFT loss: ViT features scattered into the token embeds
+    (the reference trains the full VLM on image batches — collator emits
+    pixel_values/image_grid_thw, data/collator.py:124-196)."""
+    from ..models.infinitevl import encode_vision, scatter_vision_embeds
+
+    tp = params["text"]
+    embeds = embed_tokens(tp, input_ids)
+    if pixel_values is not None:
+        vis = encode_vision(params, cfg, pixel_values, grid_thw)
+        vmask = (input_ids == cfg.image_token_id) | (
+            input_ids == cfg.video_token_id
+        )
+        embeds = scatter_vision_embeds(embeds, vis, vmask)
+    hidden, _, _ = text_forward(
+        tp, cfg.text, embeds, position_ids, state=None, segment_ids=segment_ids,
+        remat=remat,
+    )
+    if remat:
+        w = tp.get("lm_head", tp["embed"].T)
+        return fused_linear_cross_entropy(hidden, w, labels)
+    logits = lm_head(tp, cfg.text, hidden)
+    return cross_entropy_loss(logits, labels)
+
+
+def make_mm_sft_train_step(
+    cfg: InfiniteVLConfig, tx: optax.GradientTransformation, remat: bool = False
+):
+    """Multimodal train step. Returns (params, opt_state, batch, grid_thw) ->
+    (params, opt_state, loss); jit with static_argnums for grid_thw — one
+    compile per distinct grid signature (training configs bucket images to a
+    fixed resolution so this stays O(1))."""
+
+    def step(params, opt_state, batch, grid_thw=None):
+        def loss_fn(p):
+            return mm_sft_loss_fn(
+                p,
+                cfg,
+                batch["input_ids"],
+                batch["labels"],
+                batch["position_ids"],
+                pixel_values=batch.get("pixel_values"),
+                grid_thw=grid_thw,
+                segment_ids=batch.get("segment_ids"),
+                remat=remat,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def make_sft_train_step(
     cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False
 ):
