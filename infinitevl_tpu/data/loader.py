@@ -117,6 +117,147 @@ def encode_supervised(
     return out
 
 
+IMAGE_PLACEHOLDER = "<image>"
+VIDEO_PLACEHOLDER = "<video>"
+
+
+def load_media(path: str) -> np.ndarray:
+    """Load an image ([H, W, C] uint8) or video clip ([T, H, W, C] uint8).
+    Supports .npy arrays (fixtures / pre-decoded clips) and anything PIL can
+    open; a directory is read as an ordered sequence of frame images."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    if os.path.isdir(path):
+        frames = [load_media(os.path.join(path, f)) for f in sorted(os.listdir(path))]
+        return np.stack(frames)
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def encode_supervised_mm(
+    examples: Iterable[Dict[str, Any]],
+    tokenizer,
+    cfg,  # InfiniteVLConfig (vision geometry + special-token ids)
+    template: Template | str = "qwen2_vl",
+    cutoff_len: int = 2048,
+    dataset_dir: str = "data",
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 14 * 14 * 4 * 1280,
+    video_fps: float = 2.0,
+    video_src_fps: float = 30.0,
+    video_max_frames: int = 64,
+    video_min_pixels: int = 128 * 28 * 28,
+    video_max_pixels: int = 768 * 28 * 28,
+) -> List[Dict[str, np.ndarray]]:
+    """Multimodal supervised encoding: <image>/<video> placeholders in the
+    message contents are expanded to <|vision_start|> + N pad tokens +
+    <|vision_end|> (N = grid.prod()/merge^2), and each example carries its
+    packed patch tensors. Mirrors the reference mm_plugin.process_messages +
+    _get_mm_inputs (data/mm_plugin.py:1129-1291).
+
+    Vision examples are never truncated — cutting through a pad-token run
+    would break the feature/token count contract — so an over-long example
+    raises instead."""
+    from .processing import (
+        IMAGE_PAD,
+        VIDEO_PAD,
+        VISION_END,
+        VISION_START,
+        preprocess_image,
+        preprocess_video,
+        sample_frames,
+    )
+
+    if isinstance(template, str):
+        template = get_template(template)
+    v = cfg.vision
+    merge2 = v.spatial_merge_size**2
+    out = []
+    for ex in examples:
+        image_paths = ex.get("images") or []
+        video_paths = ex.get("videos") or []
+        img_feats, img_grids = [], []
+        for p in image_paths:
+            flat, grid = preprocess_image(
+                load_media(os.path.join(dataset_dir, p)),
+                v.patch_size, v.temporal_patch_size, v.spatial_merge_size,
+                min_pixels, max_pixels,
+            )
+            img_feats.append(flat)
+            img_grids.append(grid)
+        vid_feats, vid_grids, spgs = [], [], []
+        for p in video_paths:
+            clip = sample_frames(
+                load_media(os.path.join(dataset_dir, p)),
+                src_fps=video_src_fps,
+                target_fps=video_fps,
+                max_frames=video_max_frames,
+                temporal_patch_size=v.temporal_patch_size,
+            )
+            flat, grid, spg = preprocess_video(
+                clip, video_fps, v.patch_size, v.temporal_patch_size,
+                v.spatial_merge_size, video_min_pixels, video_max_pixels,
+            )
+            vid_feats.append(flat)
+            vid_grids.append(grid)
+            spgs.append(spg)
+
+        # expand placeholders in message order, consuming grids in order
+        img_i = vid_i = 0
+        messages = []
+        for m in ex["messages"]:
+            content = m["content"]
+            while IMAGE_PLACEHOLDER in content:
+                if img_i >= len(img_grids):
+                    raise ValueError(
+                        f"more {IMAGE_PLACEHOLDER} placeholders than images"
+                    )
+                t, h, w = img_grids[img_i]
+                n = t * h * w // merge2
+                content = content.replace(
+                    IMAGE_PLACEHOLDER, VISION_START + IMAGE_PAD * n + VISION_END, 1
+                )
+                img_i += 1
+            while VIDEO_PLACEHOLDER in content:
+                if vid_i >= len(vid_grids):
+                    raise ValueError(
+                        f"more {VIDEO_PLACEHOLDER} placeholders than videos"
+                    )
+                t, h, w = vid_grids[vid_i]
+                n = t * h * w // merge2
+                content = content.replace(
+                    VIDEO_PLACEHOLDER, VISION_START + VIDEO_PAD * n + VISION_END, 1
+                )
+                vid_i += 1
+            messages.append({"role": m["role"], "content": content})
+        if img_i < len(img_grids) or vid_i < len(vid_grids):
+            raise ValueError("more media files than placeholders in messages")
+
+        ids, labels = template.encode_turns(tokenizer, messages)
+        has_vision = bool(img_feats or vid_feats)
+        if has_vision and len(ids) > cutoff_len:
+            raise ValueError(
+                f"multimodal example length {len(ids)} exceeds cutoff_len "
+                f"{cutoff_len}; raise cutoff_len or shrink image_max_pixels"
+            )
+        out.append(
+            {
+                "input_ids": np.asarray(ids[:cutoff_len], np.int64),
+                "labels": np.asarray(labels[:cutoff_len], np.int64),
+                "pixel_values": np.concatenate(img_feats) if img_feats else None,
+                "image_grid_thw": np.asarray(img_grids) if img_grids else None,
+                "pixel_values_videos": (
+                    np.concatenate(vid_feats) if vid_feats else None
+                ),
+                "video_grid_thw": np.asarray(vid_grids) if vid_grids else None,
+                "second_per_grid_ts": spgs or None,
+            }
+        )
+    return out
+
+
 def greedy_knapsack(lengths: Sequence[int], capacity: int) -> List[List[int]]:
     """Pack example indices into bins of <= capacity total length
     (processor_utils.py:48-64 strategy: sort desc, first-fit)."""

@@ -166,6 +166,31 @@ def preprocess_video(
     return flat, grid, temporal_patch_size / fps
 
 
+def sample_frames(
+    frames: np.ndarray,  # [T, H, W, C] uint8, decoded at src_fps
+    src_fps: float,
+    target_fps: float = 2.0,
+    min_frames: int = 4,
+    max_frames: int = 64,
+    temporal_patch_size: int = 2,
+) -> np.ndarray:
+    """fps-sample a decoded clip for training/inference: pick frames at
+    `target_fps`, clamp count to [min_frames, max_frames], and pad to a
+    multiple of temporal_patch_size by repeating the last frame (the
+    reference's _regularize_videos fps sampling + even-frame padding,
+    mm_plugin.py:1129-1185)."""
+    T = frames.shape[0]
+    n = T / max(src_fps, 1e-6) * target_fps
+    n = int(np.clip(round(n), min(min_frames, T), max_frames))
+    n = max(n, 1)
+    idx = np.linspace(0, T - 1, n).round().astype(int)
+    out = frames[idx]
+    if out.shape[0] % temporal_patch_size:
+        reps = temporal_patch_size - out.shape[0] % temporal_patch_size
+        out = np.concatenate([out, np.repeat(out[-1:], reps, axis=0)], axis=0)
+    return out
+
+
 def patchify_device(frames, patch_size=14, temporal_patch_size=2, merge_size=2):
     """jnp twin of normalize+patchify for on-device preprocessing: ship raw
     uint8 [T, H, W, C] to the device, run this inside the jitted frame step

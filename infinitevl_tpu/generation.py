@@ -28,7 +28,9 @@ Params = Dict[str, Any]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "grid_thw"), donate_argnames=("state",)
+    jax.jit,
+    static_argnames=("cfg", "grid_thw", "video_grid_thw"),
+    donate_argnames=("state",),
 )
 def prefill(
     params: Params,
@@ -38,6 +40,8 @@ def prefill(
     state: DecoderState,
     pixel_values: Optional[jax.Array] = None,
     grid_thw: Optional[Tuple[Tuple[int, int, int], ...]] = None,
+    pixel_values_videos: Optional[jax.Array] = None,
+    video_grid_thw: Optional[Tuple[Tuple[int, int, int], ...]] = None,
 ) -> Tuple[jax.Array, DecoderState]:
     """Returns (last-token logits [B, vocab], state)."""
     logits, state = forward(
@@ -48,6 +52,8 @@ def prefill(
         state=state,
         pixel_values=pixel_values,
         grid_thw=grid_thw,
+        pixel_values_videos=pixel_values_videos,
+        video_grid_thw=video_grid_thw,
         logits_to_keep=1,
     )
     return logits[:, 0], state
@@ -123,6 +129,7 @@ class Generator:
         input_ids: np.ndarray,  # [B, T]
         pixel_values: Optional[np.ndarray] = None,
         image_grid_thw: Optional[np.ndarray] = None,
+        pixel_values_videos: Optional[np.ndarray] = None,
         video_grid_thw: Optional[np.ndarray] = None,
         second_per_grid_ts=None,
         max_new_tokens: int = 128,
@@ -145,32 +152,42 @@ class Generator:
         )
         if state is None:
             state = init_decoder_state(cfg.text, B, dtype=self.dtype)
-        grid = None
-        pv = None
-        if pixel_values is not None:
-            grids = []
-            if image_grid_thw is not None:
-                grids += [tuple(int(x) for x in g) for g in image_grid_thw]
-            if video_grid_thw is not None:
-                grids += [tuple(int(x) for x in g) for g in video_grid_thw]
-            grid = tuple(grids)
-            pv = jnp.asarray(pixel_values)
-            # count check (reference get_placeholder_mask raises on mismatch,
-            # modeling_infinitevl.py:1812-1827); host-side, pre-jit
-            merge2 = cfg.vision.spatial_merge_unit
+        # count check (reference get_placeholder_mask raises on mismatch,
+        # modeling_infinitevl.py:1812-1827); host-side, pre-jit
+        merge2 = cfg.vision.spatial_merge_unit
+
+        def _check(grids_arr, token_id, kind):
+            grids = tuple(tuple(int(x) for x in g) for g in grids_arr)
             n_feats = sum(t * h * w for t, h, w in grids) // merge2
-            n_pads = int(
-                ((input_ids == cfg.image_token_id)
-                 | (input_ids == cfg.video_token_id)).sum()
-            )
+            n_pads = int((input_ids == token_id).sum())
             if n_pads != n_feats:
                 raise ValueError(
-                    f"vision features and pad tokens do not match: "
+                    f"{kind} features and pad tokens do not match: "
                     f"{n_feats} features vs {n_pads} pad tokens"
                 )
+            return grids
+
+        grid = vgrid = None
+        pv = pvv = None
+        if pixel_values is not None:
+            # legacy call pattern: images and videos pre-concatenated into
+            # pixel_values with no separate video tensor
+            if pixel_values_videos is None and video_grid_thw is not None:
+                grids = []
+                if image_grid_thw is not None:
+                    grids += [tuple(int(x) for x in g) for g in image_grid_thw]
+                grids += [tuple(int(x) for x in g) for g in video_grid_thw]
+                grid = tuple(grids)
+            else:
+                grid = _check(image_grid_thw, cfg.image_token_id, "image")
+            pv = jnp.asarray(pixel_values)
+        if pixel_values_videos is not None:
+            vgrid = _check(video_grid_thw, cfg.video_token_id, "video")
+            pvv = jnp.asarray(pixel_values_videos)
         logits, state = prefill(
             self.params, cfg, jnp.asarray(input_ids), jnp.asarray(pos), state,
             pixel_values=pv, grid_thw=grid,
+            pixel_values_videos=pvv, video_grid_thw=vgrid,
         )
         rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
         key = jax.random.PRNGKey(seed)

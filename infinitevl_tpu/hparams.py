@@ -31,6 +31,8 @@ class DataArgs:
     image_max_pixels: int = 14 * 14 * 4 * 1280
     image_min_pixels: int = 56 * 56
     video_fps: float = 2.0
+    video_min_pixels: int = 128 * 28 * 28
+    video_max_pixels: int = 768 * 28 * 28
 
 
 @dataclasses.dataclass
@@ -69,6 +71,8 @@ class FinetuneArgs:
     mixer_config: Optional[Dict[str, Any]] = None
     checkpoint_path: Optional[str] = None
     teacher_model_path: Optional[str] = None
+    # --- freeze ---
+    freeze_trainable_layers: int = 2
     # --- lora ---
     lora_rank: int = 8
     lora_alpha: int = 16

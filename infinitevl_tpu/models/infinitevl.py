@@ -163,23 +163,38 @@ def forward(
     input_ids: jax.Array,  # [B, T]
     position_ids: jax.Array,  # [3, B, T]
     state: Optional[DecoderState] = None,
-    pixel_values: Optional[jax.Array] = None,
+    pixel_values: Optional[jax.Array] = None,  # packed image patches
     grid_thw: Optional[Tuple[Tuple[int, int, int], ...]] = None,
+    pixel_values_videos: Optional[jax.Array] = None,  # packed video patches
+    video_grid_thw: Optional[Tuple[Tuple[int, int, int], ...]] = None,
     vision_mask: Optional[jax.Array] = None,  # [B, T]
     segment_ids: Optional[jax.Array] = None,
     logits_to_keep: int = 0,
 ) -> Tuple[jax.Array, Optional[DecoderState]]:
     """Full multimodal forward. `logits_to_keep`: 0 = all positions, n > 0 =
     only the last n positions (reference logits_to_keep slice,
-    modeling_infinitevl.py:2092)."""
+    modeling_infinitevl.py:2092).
+
+    Images and videos are encoded and scattered separately, each into its
+    own pad-token mask (the reference's get_image_features /
+    get_video_features split, modeling_infinitevl.py:1829-1887) — so
+    interleaved image/video prompts stay correct regardless of order. When
+    only `pixel_values` is given with no explicit mask, the mask covers both
+    pad kinds (legacy single-modality call pattern)."""
     embeds = embed_tokens(params["text"], input_ids)
     if pixel_values is not None:
         vis = encode_vision(params, cfg, pixel_values, grid_thw)
-        if vision_mask is None:
-            vision_mask = (input_ids == cfg.image_token_id) | (
-                input_ids == cfg.video_token_id
-            )
-        embeds = scatter_vision_embeds(embeds, vis, vision_mask)
+        mask = vision_mask
+        if mask is None:
+            mask = input_ids == cfg.image_token_id
+            if pixel_values_videos is None:
+                mask = mask | (input_ids == cfg.video_token_id)
+        embeds = scatter_vision_embeds(embeds, vis, mask)
+    if pixel_values_videos is not None:
+        vis = encode_vision(params, cfg, pixel_values_videos, video_grid_thw)
+        embeds = scatter_vision_embeds(
+            embeds, vis, input_ids == cfg.video_token_id
+        )
     hidden, new_state, _ = text_forward(
         params["text"], cfg.text, embeds, position_ids, state, segment_ids
     )

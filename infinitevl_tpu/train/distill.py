@@ -91,21 +91,67 @@ def stage1_loss(
     return total / n * mse_factor
 
 
+def _mm_embeds(
+    text_params: Params,
+    full_params: Params,  # tree holding "visual" (teacher's, shared + frozen)
+    full_cfg,  # InfiniteVLConfig
+    batch: Dict[str, Any],
+    grid_thw,
+    video_grid_thw,
+) -> jax.Array:
+    """Token embeds with vision features scattered in. The ViT is shared
+    between teacher and student and frozen during dt stages (the reference
+    distills from Qwen2.5-VL with distill_weights=self_attn — only text
+    mixers train), so features are computed ONCE under stop_gradient."""
+    from ..models.infinitevl import encode_vision, scatter_vision_embeds
+
+    embeds = embed_tokens(text_params, batch["input_ids"])
+    if batch.get("pixel_values") is not None:
+        vis = encode_vision(full_params, full_cfg, batch["pixel_values"], grid_thw)
+        embeds = scatter_vision_embeds(
+            embeds, jax.lax.stop_gradient(vis),
+            batch["input_ids"] == full_cfg.image_token_id,
+        )
+    if batch.get("pixel_values_videos") is not None:
+        vis = encode_vision(
+            full_params, full_cfg, batch["pixel_values_videos"], video_grid_thw
+        )
+        embeds = scatter_vision_embeds(
+            embeds, jax.lax.stop_gradient(vis),
+            batch["input_ids"] == full_cfg.video_token_id,
+        )
+    return embeds
+
+
 def make_stage1_step(
     student_cfg: TextConfig,
     teacher_cfg: TextConfig,
     tx: optax.GradientTransformation,
     mse_factor: float = 1000.0,
+    full_cfg=None,  # InfiniteVLConfig => multimodal batches supported
 ):
-    """(student, opt_state, teacher, batch) -> (student, opt_state, loss).
-    batch: input_ids [B,T], position_ids [3,B,T][, segment_ids]."""
+    """(student, opt_state, teacher, batch[, grid_thw, video_grid_thw]) ->
+    (student, opt_state, loss). batch: input_ids [B,T], position_ids [3,B,T]
+    [, segment_ids, pixel_values, pixel_values_videos]. With full_cfg, the
+    teacher may be a full {"text", "visual"} tree and vision features are
+    scattered into the shared embeds (the reference distills a VLM on image
+    data, examples/train_linear/*.yaml)."""
 
-    def step(student_params, opt_state, teacher_params, batch):
-        embeds = embed_tokens(teacher_params, batch["input_ids"])
+    def step(student_params, opt_state, teacher_params, batch,
+             grid_thw=None, video_grid_thw=None):
+        t_text = (
+            teacher_params["text"] if "text" in teacher_params else teacher_params
+        )
         if batch.get("inputs_embeds") is not None:
             embeds = batch["inputs_embeds"]
+        elif full_cfg is not None:
+            embeds = _mm_embeds(
+                t_text, teacher_params, full_cfg, batch, grid_thw, video_grid_thw
+            )
+        else:
+            embeds = embed_tokens(t_text, batch["input_ids"])
         hidden = teacher_layer_io(
-            teacher_params, teacher_cfg, embeds, batch["position_ids"],
+            t_text, teacher_cfg, embeds, batch["position_ids"],
             batch.get("segment_ids"),
         )
 
@@ -128,23 +174,42 @@ def make_stage2_step(
     teacher_cfg: TextConfig,
     tx: optax.GradientTransformation,
     temperature: float = 2.0,
+    full_cfg=None,  # InfiniteVLConfig => multimodal batches supported
 ):
-    """End-to-end logit KL distillation step."""
+    """End-to-end logit KL distillation step. With full_cfg, vision features
+    from the shared frozen ViT are scattered into both the teacher's and the
+    student's embeds."""
 
-    def step(student_params, opt_state, teacher_params, batch):
+    def step(student_params, opt_state, teacher_params, batch,
+             grid_thw=None, video_grid_thw=None):
         pos = batch["position_ids"]
         seg = batch.get("segment_ids")
-        t_embeds = embed_tokens(teacher_params, batch["input_ids"])
-        t_hidden, _, _ = text_forward(
-            teacher_params, teacher_cfg, t_embeds, pos, None, seg
+        t_text = (
+            teacher_params["text"] if "text" in teacher_params else teacher_params
         )
-        t_logits = lm_head(teacher_params, teacher_cfg, t_hidden)
+        if full_cfg is not None:
+            t_embeds = _mm_embeds(
+                t_text, teacher_params, full_cfg, batch, grid_thw, video_grid_thw
+            )
+        else:
+            t_embeds = embed_tokens(t_text, batch["input_ids"])
+        t_hidden, _, _ = text_forward(
+            t_text, teacher_cfg, t_embeds, pos, None, seg
+        )
+        t_logits = lm_head(t_text, teacher_cfg, t_hidden)
         mask = None
         if batch.get("labels") is not None:
             mask = (batch["labels"] != -100).astype(jnp.float32)
 
         def loss_fn(sp):
-            s_embeds = embed_tokens(sp, batch["input_ids"])
+            if full_cfg is not None:
+                # student embed table trains; vision features stay shared +
+                # frozen (stop_gradient inside _mm_embeds)
+                s_embeds = _mm_embeds(
+                    sp, teacher_params, full_cfg, batch, grid_thw, video_grid_thw
+                )
+            else:
+                s_embeds = embed_tokens(sp, batch["input_ids"])
             s_hidden, _, _ = text_forward(sp, student_cfg, s_embeds, pos, None, seg)
             s_logits = lm_head(sp, student_cfg, s_hidden)
             loss = kl_distill_loss(s_logits, t_logits, temperature, mask)

@@ -103,20 +103,44 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
     remat=True enables per-layer gradient checkpointing (the stage-3
     32K-context recipe).
 
+    `cfg` may be a TextConfig (text-only SFT) or a full InfiniteVLConfig —
+    with the latter, batches carrying pixel_values train multimodally (the
+    grid tuples are trailing static args).
+
     With base_params given at factory time the step is
-    (lora, opt_state, batch); with base_params=None it is
-    (lora, opt_state, base_params, batch) — pass the base as a jit ARGUMENT
-    for big models, otherwise the closure bakes the weights into the
-    executable as constants and doubles their HBM footprint."""
+    (lora, opt_state, batch[, grid_thw, video_grid_thw]); with
+    base_params=None it is (lora, opt_state, base_params, batch[, grids...])
+    — pass the base as a jit ARGUMENT for big models, otherwise the closure
+    bakes the weights into the executable as constants and doubles their HBM
+    footprint."""
     import optax
 
-    from .step import sft_loss_fn
+    from .step import mm_sft_loss_fn, sft_loss_fn
 
-    def step(lora, opt_state, batch, _base=None):
+    full_cfg = cfg if hasattr(cfg, "text") else None
+
+    def step(lora, opt_state, batch, grid_thw=None, video_grid_thw=None,
+             _base=None):
         base = base_params if base_params is not None else _base
 
         def loss_fn(l):
             merged = apply_lora(base, l, alpha, rank)
+            if full_cfg is not None:
+                if "text" not in merged:
+                    merged = {"text": merged}
+                return mm_sft_loss_fn(
+                    merged,
+                    full_cfg,
+                    batch["input_ids"],
+                    batch["labels"],
+                    batch["position_ids"],
+                    pixel_values=batch.get("pixel_values"),
+                    grid_thw=grid_thw,
+                    pixel_values_videos=batch.get("pixel_values_videos"),
+                    video_grid_thw=video_grid_thw,
+                    segment_ids=batch.get("segment_ids"),
+                    remat=remat,
+                )
             text = merged["text"] if "text" in merged else merged
             return sft_loss_fn(
                 text,
@@ -136,7 +160,8 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
     if base_params is not None:
         return step
 
-    def step_with_base(lora, opt_state, base, batch):
-        return step(lora, opt_state, batch, _base=base)
+    def step_with_base(lora, opt_state, base, batch, grid_thw=None,
+                       video_grid_thw=None):
+        return step(lora, opt_state, batch, grid_thw, video_grid_thw, _base=base)
 
     return step_with_base

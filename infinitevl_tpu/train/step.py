@@ -189,6 +189,8 @@ def mm_sft_loss_fn(
     position_ids: jax.Array,  # [3, B, T] vision-aware mrope indices
     pixel_values: Optional[jax.Array] = None,  # [n_patches, in_feat] packed
     grid_thw: Optional[tuple] = None,  # static tuple of (t, h, w)
+    pixel_values_videos: Optional[jax.Array] = None,
+    video_grid_thw: Optional[tuple] = None,
     segment_ids: Optional[jax.Array] = None,
     remat: bool = False,
 ) -> jax.Array:
@@ -201,10 +203,14 @@ def mm_sft_loss_fn(
     embeds = embed_tokens(tp, input_ids)
     if pixel_values is not None:
         vis = encode_vision(params, cfg, pixel_values, grid_thw)
-        vmask = (input_ids == cfg.image_token_id) | (
-            input_ids == cfg.video_token_id
+        embeds = scatter_vision_embeds(
+            embeds, vis, input_ids == cfg.image_token_id
         )
-        embeds = scatter_vision_embeds(embeds, vis, vmask)
+    if pixel_values_videos is not None:
+        vis = encode_vision(params, cfg, pixel_values_videos, video_grid_thw)
+        embeds = scatter_vision_embeds(
+            embeds, vis, input_ids == cfg.video_token_id
+        )
     hidden, _, _ = text_forward(
         tp, cfg.text, embeds, position_ids, state=None, segment_ids=segment_ids,
         remat=remat,
@@ -219,12 +225,12 @@ def mm_sft_loss_fn(
 def make_mm_sft_train_step(
     cfg: InfiniteVLConfig, tx: optax.GradientTransformation, remat: bool = False
 ):
-    """Multimodal train step. Returns (params, opt_state, batch, grid_thw) ->
-    (params, opt_state, loss); jit with static_argnums for grid_thw — one
-    compile per distinct grid signature (training configs bucket images to a
-    fixed resolution so this stays O(1))."""
+    """Multimodal train step. Returns (params, opt_state, batch, grid_thw,
+    video_grid_thw) -> (params, opt_state, loss); jit with static_argnums for
+    the grids — one compile per distinct grid signature (training configs
+    bucket images to a fixed resolution so this stays O(1))."""
 
-    def step(params, opt_state, batch, grid_thw=None):
+    def step(params, opt_state, batch, grid_thw=None, video_grid_thw=None):
         def loss_fn(p):
             return mm_sft_loss_fn(
                 p,
@@ -234,6 +240,8 @@ def make_mm_sft_train_step(
                 batch["position_ids"],
                 pixel_values=batch.get("pixel_values"),
                 grid_thw=grid_thw,
+                pixel_values_videos=batch.get("pixel_values_videos"),
+                video_grid_thw=video_grid_thw,
                 segment_ids=batch.get("segment_ids"),
                 remat=remat,
             )

@@ -20,6 +20,7 @@ from ..config import InfiniteVLConfig, TextConfig, infinitevl_3b, tiny_config
 from ..data.loader import (
     SimpleTokenizer,
     encode_supervised,
+    encode_supervised_mm,
     load_dataset_info,
     load_examples,
     pack_examples,
@@ -36,7 +37,7 @@ from ..utils.checkpoint import (
 )
 from ..utils.logging import TrainerLog, get_logger
 from .distill import apply_trainable_mask, make_stage1_step, make_stage2_step
-from .step import make_optimizer, make_sft_train_step
+from .step import make_mm_sft_train_step, make_optimizer, make_sft_train_step
 
 logger = get_logger(__name__)
 
@@ -63,20 +64,49 @@ def build_config(args: AllArgs) -> InfiniteVLConfig:
     return dataclasses.replace(cfg, text=text)
 
 
-def build_dataset(args: AllArgs, tokenizer=None) -> List[Dict[str, np.ndarray]]:
-    tokenizer = tokenizer or SimpleTokenizer()
+def build_dataset(
+    args: AllArgs, tokenizer=None, cfg: Optional[InfiniteVLConfig] = None
+) -> List[Dict[str, np.ndarray]]:
     info_path = os.path.join(args.data.dataset_dir, "dataset_info.json")
     registry = load_dataset_info(info_path)
     attr = registry[args.data.dataset]
     examples = load_examples(attr, args.data.dataset_dir)
     if args.data.max_samples:
         examples = examples[: args.data.max_samples]
+    has_media = any(ex.get("images") or ex.get("videos") for ex in examples)
+    if has_media:
+        cfg = cfg or build_config(args)
+        tokenizer = tokenizer or SimpleTokenizer(config=cfg)
+        if args.data.packing:
+            logger.warning("packing is not supported for multimodal datasets; disabled")
+        return encode_supervised_mm(
+            examples,
+            tokenizer,
+            cfg,
+            args.data.template,
+            args.data.cutoff_len,
+            dataset_dir=args.data.dataset_dir,
+            min_pixels=args.data.image_min_pixels,
+            max_pixels=args.data.image_max_pixels,
+            video_fps=args.data.video_fps,
+            video_min_pixels=args.data.video_min_pixels,
+            video_max_pixels=args.data.video_max_pixels,
+        )
+    tokenizer = tokenizer or SimpleTokenizer()
     enc = encode_supervised(
         examples, tokenizer, args.data.template, args.data.cutoff_len
     )
     if args.data.packing:
         return pack_examples(enc, args.data.cutoff_len)
     return enc
+
+
+def is_multimodal(data: List[Dict[str, Any]]) -> bool:
+    return any(
+        e.get("pixel_values") is not None
+        or e.get("pixel_values_videos") is not None
+        for e in data
+    )
 
 
 def collate(
@@ -131,7 +161,81 @@ def collate(
             "labels": jnp.asarray(shifted),
             "position_ids": jnp.asarray(pos3),
             "segment_ids": jnp.asarray(seg),
+            "_n_tokens": np.int64((seg > 0).sum()),
         }
+
+
+def _grids_key(grids) -> Optional[tuple]:
+    """Hashable static grid signature for jit caching."""
+    if grids is None or len(grids) == 0:
+        return None
+    return tuple(tuple(int(x) for x in g) for g in grids)
+
+
+def collate_mm(
+    examples: List[Dict[str, Any]],
+    cfg: InfiniteVLConfig,
+    batch_size: int,
+    cutoff_len: int,
+    pad_id: int = 0,
+    seed: int = 0,
+    epochs: float = 1.0,
+) -> Iterator[tuple]:
+    """Multimodal collator: yields (batch, image_grids, video_grids) with the
+    batch carrying packed pixel tensors and vision-aware mrope positions from
+    get_rope_index — the reference MultiModalDataCollatorForSeq2Seq
+    (data/collator.py:124-196). Grids are returned separately because they
+    are static jit arguments (one compile per grid signature; keep images
+    bucketed to a fixed resolution in training configs)."""
+    from ..models.infinitevl import get_rope_index
+
+    rng = np.random.RandomState(seed)
+    n = len(examples)
+    total = int(np.ceil(epochs * n / batch_size))
+    order: List[int] = []
+    for _ in range(int(np.ceil(total * batch_size / n)) + 1):
+        order.extend(rng.permutation(n).tolist())
+    for b in range(total):
+        idxs = order[b * batch_size : (b + 1) * batch_size]
+        ids = np.full((batch_size, cutoff_len), pad_id, np.int64)
+        labels = np.full((batch_size, cutoff_len), -100, np.int64)
+        am = np.zeros((batch_size, cutoff_len), np.int64)
+        pvs, igrids, pvvs, vgrids, spgs = [], [], [], [], []
+        for r, i in enumerate(idxs):
+            e = examples[i]
+            L = min(len(e["input_ids"]), cutoff_len)
+            ids[r, :L] = e["input_ids"][:L]
+            labels[r, :L] = e["labels"][:L]
+            am[r, :L] = 1
+            if e.get("pixel_values") is not None:
+                pvs.append(e["pixel_values"])
+                igrids.extend(map(tuple, e["image_grid_thw"].tolist()))
+            if e.get("pixel_values_videos") is not None:
+                pvvs.append(e["pixel_values_videos"])
+                vgrids.extend(map(tuple, e["video_grid_thw"].tolist()))
+                spgs.extend(e["second_per_grid_ts"])
+        pos, _ = get_rope_index(
+            cfg,
+            ids,
+            image_grid_thw=np.asarray(igrids) if igrids else None,
+            video_grid_thw=np.asarray(vgrids) if vgrids else None,
+            second_per_grid_ts=spgs or None,
+            attention_mask=am,
+        )
+        shifted = shift_labels(labels)
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(shifted),
+            "position_ids": jnp.asarray(pos),
+            # 1 = real token, 0 = padding (masked in attention/delta kernels)
+            "segment_ids": jnp.asarray(am.astype(np.int32)),
+            "_n_tokens": np.int64(am.sum()),
+        }
+        if pvs:
+            batch["pixel_values"] = jnp.asarray(np.concatenate(pvs))
+        if pvvs:
+            batch["pixel_values_videos"] = jnp.asarray(np.concatenate(pvvs))
+        yield batch, _grids_key(igrids), _grids_key(vgrids)
 
 
 class Trainer:
@@ -179,19 +283,22 @@ class Trainer:
     def train(self, batches: Iterable, max_steps: Optional[int] = None):
         t0 = time.time()
         tokens = 0
-        for batch in batches:
+        for item in batches:
             if max_steps is not None and self.step >= max_steps:
                 break
-            if self.extra:
-                self.params, self.opt_state, loss = self.step_fn(
-                    self.params, self.opt_state, *self.extra, batch
-                )
+            # collators may yield (batch, *static_args) — e.g. grid
+            # signatures for the multimodal step's jit cache
+            if isinstance(item, tuple):
+                batch, statics = item[0], item[1:]
             else:
-                self.params, self.opt_state, loss = self.step_fn(
-                    self.params, self.opt_state, batch
-                )
+                batch, statics = item, ()
+            # honest tokens/sec: collators report real (non-pad) counts
+            ntok = int(batch.pop("_n_tokens", np.prod(batch["input_ids"].shape)))
+            self.params, self.opt_state, loss = self.step_fn(
+                self.params, self.opt_state, *self.extra, batch, *statics
+            )
             self.step += 1
-            tokens += int(np.prod(batch["input_ids"].shape))
+            tokens += ntok
             if self.step % self.logging_steps == 0 or self.step == 1:
                 lv = float(loss)
                 tps = tokens / (time.time() - t0)
@@ -204,18 +311,12 @@ class Trainer:
         return self.params
 
 
-def run_sft(args: AllArgs, tokenizer=None):
-    cfg = build_config(args)
-    tcfg = cfg.text
-    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
-    if args.model.model_name_or_path:
-        params = {"text": load_hf_checkpoint(args.model.model_name_or_path, cfg, dtype)["text"]}
-    else:
-        params = {"text": init_text_params(jax.random.PRNGKey(args.train.seed), tcfg, dtype)}
-    data = build_dataset(args, tokenizer)
-    steps = args.train.max_steps or int(
-        np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
-    )
+def _make_tx(args: AllArgs, steps: int):
+    """Optimizer from TrainArgs, wrapped for gradient accumulation when
+    gradient_accumulation_steps > 1 (HF Trainer semantics: one optimizer
+    update per k micro-batches)."""
+    import optax
+
     tx = make_optimizer(
         args.train.learning_rate,
         args.train.weight_decay,
@@ -224,29 +325,129 @@ def run_sft(args: AllArgs, tokenizer=None):
         total_steps=steps,
         schedule=args.train.lr_scheduler_type,
     )
-    opt_state = tx.init(params)
-    step_fn = jax.jit(make_sft_train_step(tcfg, tx), donate_argnums=(0, 1))
-    trainer = Trainer(
-        step_fn, params, opt_state, args.train.output_dir,
-        args.train.logging_steps, args.train.save_steps,
-    )
-    if args.train.resume_from_checkpoint:
-        trainer.resume(args.train.resume_from_checkpoint)
-    batches = collate(
+    ga = args.train.gradient_accumulation_steps
+    if ga > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=ga)
+    return tx
+
+
+def _load_or_init_params(args: AllArgs, cfg, mm: bool, dtype):
+    """Full (text+visual) tree for multimodal training, text-only otherwise."""
+    if args.model.model_name_or_path:
+        full = load_hf_checkpoint(args.model.model_name_or_path, cfg, dtype)
+        return full if mm else {"text": full["text"]}
+    key = jax.random.PRNGKey(args.train.seed)
+    if mm:
+        return init_params(key, cfg, dtype)
+    return {"text": init_text_params(key, cfg.text, dtype)}
+
+
+def _batches(args: AllArgs, data, cfg, mm: bool):
+    if mm:
+        return collate_mm(
+            data,
+            cfg,
+            args.train.per_device_train_batch_size,
+            args.data.cutoff_len,
+            seed=args.train.seed,
+            epochs=args.train.num_train_epochs,
+        )
+    return collate(
         data,
         args.train.per_device_train_batch_size,
         args.data.cutoff_len,
         seed=args.train.seed,
         epochs=args.train.num_train_epochs,
     )
-    return trainer.train(batches, max_steps=steps)
+
+
+def run_sft(args: AllArgs, tokenizer=None):
+    """SFT / PT workflow: text-only or multimodal, full / freeze / lora
+    finetuning (reference train/sft/workflow.py + model/adapter.py)."""
+    cfg = build_config(args)
+    tcfg = cfg.text
+    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    data = build_dataset(args, tokenizer, cfg=cfg)
+    mm = is_multimodal(data)
+    params = _load_or_init_params(args, cfg, mm, dtype)
+    steps = args.train.max_steps or int(
+        np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
+    )
+    tx = _make_tx(args, steps)
+    ft = args.finetune.finetuning_type
+    if ft == "lora":
+        from .lora import init_lora, make_lora_sft_step, merge_lora
+
+        lora = init_lora(
+            params,
+            jax.random.PRNGKey(args.train.seed + 1),
+            rank=args.finetune.lora_rank,
+            target=args.finetune.lora_target,
+        )
+        opt_state = tx.init(lora)
+        step_fn = jax.jit(
+            make_lora_sft_step(
+                cfg,
+                tx,
+                alpha=args.finetune.lora_alpha,
+                rank=args.finetune.lora_rank,
+            ),
+            static_argnums=(4, 5),
+            donate_argnums=(0, 1),
+        )
+        trainer = Trainer(
+            step_fn, lora, opt_state, args.train.output_dir,
+            args.train.logging_steps, args.train.save_steps,
+            extra_step_args=(params,),
+        )
+        if args.train.resume_from_checkpoint:
+            trainer.resume(args.train.resume_from_checkpoint)
+        lora = trainer.train(_batches(args, data, cfg, mm), max_steps=steps)
+        return merge_lora(
+            params, lora, alpha=args.finetune.lora_alpha, rank=args.finetune.lora_rank
+        )
+    if ft == "freeze":
+        # train only the last freeze_trainable_layers decoder layers
+        # (reference _setup_freeze_tuning, model/adapter.py:60-128)
+        n = tcfg.num_hidden_layers
+        k = args.finetune.freeze_trainable_layers
+        mask = jax.tree.map(lambda _: False, params)
+        mask["text"]["layers"] = [
+            jax.tree.map(lambda _: i >= n - k, lp)
+            for i, lp in enumerate(params["text"]["layers"])
+        ]
+        tx = apply_trainable_mask(tx, mask)
+    elif ft != "full":
+        raise ValueError(f"unknown finetuning_type {ft!r} (full | freeze | lora)")
+    opt_state = tx.init(params)
+    if mm:
+        step_fn = jax.jit(
+            make_mm_sft_train_step(cfg, tx),
+            static_argnums=(3, 4),
+            donate_argnums=(0, 1),
+        )
+    else:
+        step_fn = jax.jit(make_sft_train_step(tcfg, tx), donate_argnums=(0, 1))
+    trainer = Trainer(
+        step_fn, params, opt_state, args.train.output_dir,
+        args.train.logging_steps, args.train.save_steps,
+    )
+    if args.train.resume_from_checkpoint:
+        trainer.resume(args.train.resume_from_checkpoint)
+    return trainer.train(_batches(args, data, cfg, mm), max_steps=steps)
 
 
 def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None):
-    """Distillation-training stage 1 or 2 (train/dt/workflow.py:44-263)."""
+    """Distillation-training stage 1 or 2 (train/dt/workflow.py:44-263).
+
+    The teacher is the dense full-attention VLM being converted (Qwen2.5-VL
+    in the reference); on multimodal data the ViT is shared between teacher
+    and student and stays frozen — only the student's mixers train."""
     cfg = build_config(args)
     dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
     key = jax.random.PRNGKey(args.train.seed)
+    data = build_dataset(args, tokenizer, cfg=cfg)
+    mm = is_multimodal(data)
     if teacher_params is None:
         # teacher: dense full-attention twin of the text config
         teacher_cfg = dataclasses.replace(
@@ -259,11 +460,23 @@ def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None)
                 dataclasses.replace(cfg, text=teacher_cfg),
                 dtype,
             )
-            teacher_params = full["text"]
+            teacher_params = full if mm else full["text"]
+        elif mm:
+            teacher_params = init_params(
+                key, dataclasses.replace(cfg, text=teacher_cfg), dtype
+            )
         else:
             teacher_params = init_text_params(key, teacher_cfg, dtype)
+    t_text = (
+        teacher_params["text"] if "text" in teacher_params else teacher_params
+    )
+    if mm and "visual" not in teacher_params:
+        raise ValueError(
+            "multimodal distillation needs a teacher with a visual tree; "
+            "pass a full checkpoint via teacher_model_path"
+        )
     student_params, student_cfg = convert_attention(
-        teacher_params,
+        t_text,
         teacher_cfg,
         jax.random.fold_in(key, 1),
         softmax_attention=args.finetune.softmax_attention,
@@ -278,18 +491,11 @@ def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None)
             )
             student_params = merge_params(student_params, update)
 
-    data = build_dataset(args, tokenizer)
     steps = args.train.max_steps or int(
         np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
     )
-    tx = make_optimizer(
-        args.train.learning_rate,
-        args.train.weight_decay,
-        grad_clip=args.train.max_grad_norm,
-        warmup_steps=args.train.warmup_steps,
-        total_steps=steps,
-        schedule=args.train.lr_scheduler_type,
-    )
+    tx = _make_tx(args, steps)
+    full_cfg = cfg if mm else None
     if args.finetune.distill_stage == 1:
         mask = trainable_mask(
             student_params,
@@ -300,13 +506,19 @@ def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None)
         tx = apply_trainable_mask(tx, mask)
         # no donation: preserved layers alias the teacher's arrays
         step_fn = jax.jit(
-            make_stage1_step(student_cfg, teacher_cfg, tx, args.finetune.mse_factor)
+            make_stage1_step(
+                student_cfg, teacher_cfg, tx, args.finetune.mse_factor,
+                full_cfg=full_cfg,
+            ),
+            static_argnums=(4, 5),
         )
     else:
         step_fn = jax.jit(
             make_stage2_step(
-                student_cfg, teacher_cfg, tx, args.finetune.distill_temperature
-            )
+                student_cfg, teacher_cfg, tx, args.finetune.distill_temperature,
+                full_cfg=full_cfg,
+            ),
+            static_argnums=(4, 5),
         )
     opt_state = tx.init(student_params)
     trainer = Trainer(
@@ -318,14 +530,7 @@ def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None)
         args.train.save_steps,
         extra_step_args=(teacher_params,),
     )
-    batches = collate(
-        data,
-        args.train.per_device_train_batch_size,
-        args.data.cutoff_len,
-        seed=args.train.seed,
-        epochs=args.train.num_train_epochs,
-    )
-    return trainer.train(batches, max_steps=steps)
+    return trainer.train(_batches(args, data, cfg, mm), max_steps=steps)
 
 
 def run_exp(args: AllArgs, tokenizer=None):

@@ -1,0 +1,152 @@
+"""Multimodal training path: mm encoding, collator positions, and e2e
+sft/dt steps over image batches (reference trains on mllm_demo images,
+examples/train_linear/*.yaml; collator contract data/collator.py:124-196)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinitevl_tpu import tiny_config
+from infinitevl_tpu.data.loader import (
+    SimpleTokenizer,
+    encode_supervised_mm,
+    load_dataset_info,
+    load_examples,
+)
+from infinitevl_tpu.hparams import parse_args
+from infinitevl_tpu.models.infinitevl import get_rope_index
+from infinitevl_tpu.train.trainer import collate_mm, run_dt, run_exp, run_sft
+
+DATA_DIR = "data"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_config()
+
+
+@pytest.fixture(scope="module")
+def mm_examples(cfg):
+    registry = load_dataset_info(f"{DATA_DIR}/dataset_info.json")
+    raw = load_examples(registry["mllm_demo"], DATA_DIR)
+    return encode_supervised_mm(
+        raw, SimpleTokenizer(config=cfg), cfg, cutoff_len=128,
+        dataset_dir=DATA_DIR, video_min_pixels=56 * 56, video_max_pixels=64 * 64,
+    )
+
+
+def test_encode_mm_pad_counts(cfg, mm_examples):
+    merge2 = cfg.vision.spatial_merge_unit
+    for e in mm_examples:
+        n_img_pads = int((e["input_ids"] == cfg.image_token_id).sum())
+        n_vid_pads = int((e["input_ids"] == cfg.video_token_id).sum())
+        want_img = (
+            int(np.prod(e["image_grid_thw"], axis=1).sum()) // merge2
+            if e["image_grid_thw"] is not None
+            else 0
+        )
+        want_vid = (
+            int(np.prod(e["video_grid_thw"], axis=1).sum()) // merge2
+            if e["video_grid_thw"] is not None
+            else 0
+        )
+        assert n_img_pads == want_img
+        assert n_vid_pads == want_vid
+        # patch rows match grid product
+        if e["pixel_values"] is not None:
+            assert e["pixel_values"].shape[0] == int(
+                np.prod(e["image_grid_thw"], axis=1).sum()
+            )
+        # vision tokens never supervised
+        vis = (e["input_ids"] == cfg.image_token_id) | (
+            e["input_ids"] == cfg.video_token_id
+        )
+        assert (e["labels"][vis] == -100).all()
+
+
+def test_collate_mm_positions(cfg, mm_examples):
+    img_only = [e for e in mm_examples if e.get("pixel_values") is not None][:2]
+    batch, igrids, vgrids = next(
+        collate_mm(img_only, cfg, batch_size=2, cutoff_len=64, seed=0)
+    )
+    assert vgrids is None
+    ids = np.asarray(batch["input_ids"])
+    am = (np.asarray(batch["segment_ids"]) > 0).astype(np.int64)
+    pos_ref, _ = get_rope_index(
+        cfg, ids, image_grid_thw=np.asarray(igrids), attention_mask=am
+    )
+    np.testing.assert_array_equal(np.asarray(batch["position_ids"]), pos_ref)
+    # packed patch rows = sum of grid products over the batch
+    assert batch["pixel_values"].shape[0] == sum(
+        t * h * w for t, h, w in igrids
+    )
+
+
+def _args(extra):
+    base = {
+        "config_preset": "tiny",
+        "dataset": "mllm_demo",
+        "dataset_dir": DATA_DIR,
+        "cutoff_len": 128,
+        "per_device_train_batch_size": 1,
+        "max_steps": 2,
+        "logging_steps": 1,
+        "save_steps": 1000,
+        "bf16": False,
+        "learning_rate": 1e-3,
+        "video_min_pixels": 56 * 56,
+        "video_max_pixels": 64 * 64,
+    }
+    base.update(extra)
+    return parse_args(base)
+
+
+def test_run_sft_multimodal(tmp_path):
+    args = _args({"output_dir": str(tmp_path), "max_samples": 2})
+    params = run_sft(args)
+    assert "visual" in params  # the visual tree was loaded and trained
+    for leaf in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_run_sft_multimodal_video(tmp_path):
+    args = _args({"output_dir": str(tmp_path), "max_steps": 1})
+    # single video example -> exercises the pixel_values_videos path
+    registry = load_dataset_info(f"{DATA_DIR}/dataset_info.json")
+    raw = [ex for ex in load_examples(registry["mllm_demo"], DATA_DIR)]
+    assert any(ex.get("videos") for ex in raw)
+    params = run_sft(args)
+    assert "visual" in params
+
+
+def test_run_dt_stage1_multimodal(tmp_path):
+    args = _args(
+        {
+            "output_dir": str(tmp_path),
+            "max_samples": 2,
+            "stage": "dt",
+            "distill_stage": 1,
+            "softmax_attention": [0, 4],
+            "max_steps": 2,
+        }
+    )
+    student = run_exp(args)
+    for leaf in jax.tree.leaves(student):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_run_sft_mm_lora(tmp_path):
+    args = _args(
+        {
+            "output_dir": str(tmp_path),
+            "max_samples": 2,
+            "finetuning_type": "lora",
+            "lora_rank": 2,
+            "max_steps": 2,
+        }
+    )
+    merged = run_sft(args)
+    assert "visual" in merged
