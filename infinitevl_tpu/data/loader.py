@@ -31,6 +31,7 @@ class DatasetAttr:
     formatting: str = "alpaca"  # alpaca | sharegpt
     columns: Optional[Dict[str, str]] = None
     split: str = "train"
+    ranking: bool = False  # preference pairs (chosen/rejected)
 
 
 def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
@@ -44,12 +45,22 @@ def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
             formatting=meta.get("formatting", "alpaca"),
             columns=meta.get("columns"),
             split=meta.get("split", "train"),
+            ranking=meta.get("ranking", False),
         )
     return out
 
 
+def _pref_value(v) -> str:
+    """Preference responses may be raw strings or sharegpt turn dicts."""
+    if isinstance(v, dict):
+        return v.get("value", v.get("content", ""))
+    return v
+
+
 def convert_alpaca(ex: Dict[str, Any], columns: Optional[Dict[str, str]] = None):
-    """{'instruction', 'input', 'output'[, 'system','history']} -> messages."""
+    """{'instruction', 'input', 'output'[, 'system','history']} -> messages.
+    Ranking rows carry 'chosen'/'rejected' instead of 'output'; KTO rows add
+    'kto_tag' (reference data/converter.py preference handling)."""
     c = columns or {}
     prompt = ex.get(c.get("prompt", "instruction"), "") or ""
     query = ex.get(c.get("query", "input"), "") or ""
@@ -63,8 +74,16 @@ def convert_alpaca(ex: Dict[str, Any], columns: Optional[Dict[str, str]] = None)
         msgs.append({"role": "assistant", "content": h[1]})
     user = prompt + ("\n" + query if query else "")
     msgs.append({"role": "user", "content": user})
-    msgs.append({"role": "assistant", "content": response})
-    return {"messages": msgs, "images": ex.get("images"), "videos": ex.get("videos")}
+    out = {"images": ex.get("images"), "videos": ex.get("videos")}
+    if "chosen" in ex:
+        out["chosen"] = _pref_value(ex["chosen"])
+        out["rejected"] = _pref_value(ex.get("rejected", ""))
+    else:
+        msgs.append({"role": "assistant", "content": response})
+    if "kto_tag" in ex:
+        out["kto_tag"] = bool(ex["kto_tag"])
+    out["messages"] = msgs
+    return out
 
 
 def convert_sharegpt(ex: Dict[str, Any], columns: Optional[Dict[str, str]] = None):
@@ -80,7 +99,17 @@ def convert_sharegpt(ex: Dict[str, Any], columns: Optional[Dict[str, str]] = Non
         msgs.append({"role": role, "content": turn.get("value", turn.get("content", ""))})
     if ex.get(c.get("system", "system")):
         msgs.insert(0, {"role": "system", "content": ex[c.get("system", "system")]})
-    return {"messages": msgs, "images": ex.get("images"), "videos": ex.get("videos")}
+    out = {
+        "messages": msgs,
+        "images": ex.get("images"),
+        "videos": ex.get("videos"),
+    }
+    if "chosen" in ex:
+        out["chosen"] = _pref_value(ex["chosen"])
+        out["rejected"] = _pref_value(ex.get("rejected", ""))
+    if "kto_tag" in ex:
+        out["kto_tag"] = bool(ex["kto_tag"])
+    return out
 
 
 def load_examples(
@@ -112,6 +141,63 @@ def encode_supervised(
             {
                 "input_ids": np.asarray(ids[:cutoff_len], np.int64),
                 "labels": np.asarray(labels[:cutoff_len], np.int64),
+            }
+        )
+    return out
+
+
+def encode_pairwise(
+    examples: Iterable[Dict[str, Any]],
+    tokenizer,
+    template: Template | str = "qwen2_vl",
+    cutoff_len: int = 2048,
+) -> List[Dict[str, np.ndarray]]:
+    """Preference pairs for rm/dpo: encode prompt+chosen and prompt+rejected
+    through the chat template (the reference PairwiseDataCollator path,
+    data/processor/pairwise.py). Each example needs messages ending with a
+    user turn plus 'chosen'/'rejected' response strings."""
+    if isinstance(template, str):
+        template = get_template(template)
+    out = []
+    for ex in examples:
+        if "chosen" not in ex:
+            raise ValueError(
+                "pairwise encoding needs 'chosen'/'rejected' responses; "
+                "mark the dataset with \"ranking\": true and use a "
+                "preference-format file"
+            )
+        enc = {}
+        for side in ("chosen", "rejected"):
+            msgs = list(ex["messages"]) + [
+                {"role": "assistant", "content": ex[side]}
+            ]
+            ids, labels = template.encode_turns(tokenizer, msgs)
+            enc[f"{side}_ids"] = np.asarray(ids[:cutoff_len], np.int64)
+            enc[f"{side}_labels"] = np.asarray(labels[:cutoff_len], np.int64)
+        out.append(enc)
+    return out
+
+
+def encode_kto(
+    examples: Iterable[Dict[str, Any]],
+    tokenizer,
+    template: Template | str = "qwen2_vl",
+    cutoff_len: int = 2048,
+) -> List[Dict[str, np.ndarray]]:
+    """Unpaired feedback for KTO: supervised encoding plus the per-example
+    desirability tag (reference data/processor/feedback.py kto_tag)."""
+    if isinstance(template, str):
+        template = get_template(template)
+    out = []
+    for ex in examples:
+        if "kto_tag" not in ex:
+            raise ValueError("kto encoding needs a 'kto_tag' bool per example")
+        ids, labels = template.encode_turns(tokenizer, ex["messages"])
+        out.append(
+            {
+                "input_ids": np.asarray(ids[:cutoff_len], np.int64),
+                "labels": np.asarray(labels[:cutoff_len], np.int64),
+                "is_desirable": np.bool_(ex["kto_tag"]),
             }
         )
     return out

@@ -71,6 +71,18 @@ class FinetuneArgs:
     mixer_config: Optional[Dict[str, Any]] = None
     checkpoint_path: Optional[str] = None
     teacher_model_path: Optional[str] = None
+    # --- preference stages (rm/dpo/kto/ppo), finetuning_args RLHF group ---
+    pref_beta: float = 0.1
+    pref_loss: str = "sigmoid"  # sigmoid | ipo | simpo | orpo
+    # --- ppo ---
+    ppo_epochs: int = 1
+    ppo_clip_range: float = 0.2
+    ppo_kl_coef: float = 0.05
+    ppo_vf_coef: float = 0.1
+    ppo_gamma: float = 1.0
+    ppo_lam: float = 0.95
+    ppo_rollout_len: int = 32
+    reward_model_path: Optional[str] = None
     # --- freeze ---
     freeze_trainable_layers: int = 2
     # --- lora ---

@@ -19,6 +19,8 @@ import numpy as np
 from ..config import InfiniteVLConfig, TextConfig, infinitevl_3b, tiny_config
 from ..data.loader import (
     SimpleTokenizer,
+    encode_kto,
+    encode_pairwise,
     encode_supervised,
     encode_supervised_mm,
     load_dataset_info,
@@ -238,6 +240,102 @@ def collate_mm(
         yield batch, _grids_key(igrids), _grids_key(vgrids)
 
 
+def build_preference_dataset(
+    args: AllArgs, tokenizer=None, kind: str = "pairwise"
+) -> List[Dict[str, np.ndarray]]:
+    """Pairwise (rm/dpo) or unpaired-feedback (kto) dataset encoding."""
+    info_path = os.path.join(args.data.dataset_dir, "dataset_info.json")
+    registry = load_dataset_info(info_path)
+    attr = registry[args.data.dataset]
+    examples = load_examples(attr, args.data.dataset_dir)
+    if args.data.max_samples:
+        examples = examples[: args.data.max_samples]
+    tokenizer = tokenizer or SimpleTokenizer()
+    if kind == "pairwise":
+        return encode_pairwise(
+            examples, tokenizer, args.data.template, args.data.cutoff_len
+        )
+    return encode_kto(
+        examples, tokenizer, args.data.template, args.data.cutoff_len
+    )
+
+
+def _pad_rows(rows: List[np.ndarray], cutoff_len: int, fill) -> np.ndarray:
+    out = np.full((len(rows), cutoff_len), fill, np.int64)
+    for r, row in enumerate(rows):
+        L = min(len(row), cutoff_len)
+        out[r, :L] = row[:L]
+    return out
+
+
+def _epoch_order(n: int, batch_size: int, seed: int, epochs: float):
+    rng = np.random.RandomState(seed)
+    total = int(np.ceil(epochs * n / batch_size))
+    order: List[int] = []
+    for _ in range(int(np.ceil(total * batch_size / n)) + 1):
+        order.extend(rng.permutation(n).tolist())
+    return total, order
+
+
+def collate_pairwise(
+    examples: List[Dict[str, np.ndarray]],
+    batch_size: int,
+    cutoff_len: int,
+    pad_id: int = 0,
+    seed: int = 0,
+    epochs: float = 1.0,
+) -> Iterator[Dict[str, jnp.ndarray]]:
+    """Chosen/rejected batches for rm/dpo (reference PairwiseDataCollator,
+    data/collator.py:219-253). Labels are next-token shifted; pads stay
+    right-aligned so causal attention never sees them from real tokens."""
+    total, order = _epoch_order(len(examples), batch_size, seed, epochs)
+    ar = np.arange(cutoff_len)
+    pos3 = np.broadcast_to(ar[None, None], (3, batch_size, cutoff_len))
+    for b in range(total):
+        idxs = order[b * batch_size : (b + 1) * batch_size]
+        batch = {"position_ids": jnp.asarray(pos3)}
+        n_tok = 0
+        for side in ("chosen", "rejected"):
+            ids = _pad_rows(
+                [examples[i][f"{side}_ids"] for i in idxs], cutoff_len, pad_id
+            )
+            labels = _pad_rows(
+                [examples[i][f"{side}_labels"] for i in idxs], cutoff_len, -100
+            )
+            batch[f"{side}_ids"] = jnp.asarray(ids)
+            batch[f"{side}_labels"] = jnp.asarray(shift_labels(labels))
+            n_tok += sum(len(examples[i][f"{side}_ids"]) for i in idxs)
+        batch["_n_tokens"] = np.int64(n_tok)
+        yield batch
+
+
+def collate_kto(
+    examples: List[Dict[str, np.ndarray]],
+    batch_size: int,
+    cutoff_len: int,
+    pad_id: int = 0,
+    seed: int = 0,
+    epochs: float = 1.0,
+) -> Iterator[Dict[str, jnp.ndarray]]:
+    """Unpaired feedback batches (reference KTODataCollatorWithPadding)."""
+    total, order = _epoch_order(len(examples), batch_size, seed, epochs)
+    ar = np.arange(cutoff_len)
+    pos3 = np.broadcast_to(ar[None, None], (3, batch_size, cutoff_len))
+    for b in range(total):
+        idxs = order[b * batch_size : (b + 1) * batch_size]
+        ids = _pad_rows([examples[i]["input_ids"] for i in idxs], cutoff_len, pad_id)
+        labels = _pad_rows([examples[i]["labels"] for i in idxs], cutoff_len, -100)
+        yield {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(shift_labels(labels)),
+            "position_ids": jnp.asarray(pos3),
+            "is_desirable": jnp.asarray(
+                np.array([examples[i]["is_desirable"] for i in idxs], bool)
+            ),
+            "_n_tokens": np.int64(sum(len(examples[i]["input_ids"]) for i in idxs)),
+        }
+
+
 class Trainer:
     """Step loop with logging + orbax checkpointing + resume."""
 
@@ -293,7 +391,11 @@ class Trainer:
             else:
                 batch, statics = item, ()
             # honest tokens/sec: collators report real (non-pad) counts
-            ntok = int(batch.pop("_n_tokens", np.prod(batch["input_ids"].shape)))
+            ntok = batch.pop("_n_tokens", None)
+            if ntok is None:
+                ids = batch.get("input_ids")
+                ntok = np.prod(ids.shape) if ids is not None else 0
+            ntok = int(ntok)
             self.params, self.opt_state, loss = self.step_fn(
                 self.params, self.opt_state, *self.extra, batch, *statics
             )
@@ -533,6 +635,117 @@ def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None)
     return trainer.train(_batches(args, data, cfg, mm), max_steps=steps)
 
 
+def _policy_params(args: AllArgs, cfg, dtype):
+    if args.model.model_name_or_path:
+        return load_hf_checkpoint(args.model.model_name_or_path, cfg, dtype)["text"]
+    return init_text_params(jax.random.PRNGKey(args.train.seed), cfg.text, dtype)
+
+
+def run_rm(args: AllArgs, tokenizer=None):
+    """Reward-model training: decoder + scalar value head over pairwise data
+    (reference train/rm/workflow.py)."""
+    from .dpo import make_rm_step
+
+    cfg = build_config(args)
+    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    data = build_preference_dataset(args, tokenizer, kind="pairwise")
+    params = _policy_params(args, cfg, dtype)
+    params["value_head"] = {
+        "kernel": (
+            jax.random.normal(
+                jax.random.PRNGKey(args.train.seed + 2),
+                (cfg.text.hidden_size, 1),
+            )
+            * 0.02
+        ).astype(dtype)
+    }
+    steps = args.train.max_steps or int(
+        np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
+    )
+    tx = _make_tx(args, steps)
+    opt_state = tx.init(params)
+    step_fn = jax.jit(make_rm_step(cfg.text, tx), donate_argnums=(0, 1))
+    trainer = Trainer(
+        step_fn, params, opt_state, args.train.output_dir,
+        args.train.logging_steps, args.train.save_steps,
+    )
+    if args.train.resume_from_checkpoint:
+        trainer.resume(args.train.resume_from_checkpoint)
+    batches = collate_pairwise(
+        data, args.train.per_device_train_batch_size, args.data.cutoff_len,
+        seed=args.train.seed, epochs=args.train.num_train_epochs,
+    )
+    return trainer.train(batches, max_steps=steps)
+
+
+def run_dpo(args: AllArgs, tokenizer=None):
+    """DPO-family preference optimization (reference train/dpo/workflow.py).
+    The frozen reference model is the initial policy tree — functional
+    updates never mutate it, so no copy is needed."""
+    from .dpo import make_dpo_step
+
+    cfg = build_config(args)
+    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    data = build_preference_dataset(args, tokenizer, kind="pairwise")
+    policy = _policy_params(args, cfg, dtype)
+    ref_params = policy  # frozen snapshot (pytree values are immutable)
+    steps = args.train.max_steps or int(
+        np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
+    )
+    tx = _make_tx(args, steps)
+    opt_state = tx.init(policy)
+    step_fn = jax.jit(
+        make_dpo_step(
+            cfg.text, tx,
+            beta=args.finetune.pref_beta,
+            loss_type=args.finetune.pref_loss,
+        ),
+    )
+    trainer = Trainer(
+        step_fn, policy, opt_state, args.train.output_dir,
+        args.train.logging_steps, args.train.save_steps,
+        extra_step_args=(ref_params,),
+    )
+    if args.train.resume_from_checkpoint:
+        trainer.resume(args.train.resume_from_checkpoint)
+    batches = collate_pairwise(
+        data, args.train.per_device_train_batch_size, args.data.cutoff_len,
+        seed=args.train.seed, epochs=args.train.num_train_epochs,
+    )
+    return trainer.train(batches, max_steps=steps)
+
+
+def run_kto(args: AllArgs, tokenizer=None):
+    """KTO unpaired-feedback stage (reference train/kto/workflow.py)."""
+    from .dpo import make_kto_step
+
+    cfg = build_config(args)
+    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    data = build_preference_dataset(args, tokenizer, kind="kto")
+    policy = _policy_params(args, cfg, dtype)
+    ref_params = policy
+    steps = args.train.max_steps or int(
+        np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
+    )
+    tx = _make_tx(args, steps)
+    opt_state = tx.init(policy)
+    step_fn = jax.jit(
+        make_kto_step(cfg.text, tx, beta=args.finetune.pref_beta)
+    )
+    trainer = Trainer(
+        step_fn, policy, opt_state, args.train.output_dir,
+        args.train.logging_steps, args.train.save_steps,
+        extra_step_args=(ref_params,),
+    )
+    if args.train.resume_from_checkpoint:
+        trainer.resume(args.train.resume_from_checkpoint)
+    batches = collate_kto(
+        data, args.train.per_device_train_batch_size, args.data.cutoff_len,
+        seed=args.train.seed, epochs=args.train.num_train_epochs,
+    )
+    return trainer.train(batches, max_steps=steps)
+
+
 def run_exp(args: AllArgs, tokenizer=None):
     """Stage dispatch (tuner.py:53-110)."""
     stage = args.finetune.stage
@@ -540,7 +753,20 @@ def run_exp(args: AllArgs, tokenizer=None):
         return run_sft(args, tokenizer)
     if stage == "dt":
         return run_dt(args, tokenizer)
+    if stage == "rm":
+        return run_rm(args, tokenizer)
+    if stage == "dpo":
+        return run_dpo(args, tokenizer)
+    if stage == "kto":
+        return run_kto(args, tokenizer)
+    if stage == "ppo":
+        return run_ppo(args, tokenizer)
     raise NotImplementedError(
-        f"stage {stage!r} not implemented yet (available: pt, sft, dt; the "
-        "reference's rm/ppo/dpo/kto stages are future work)"
+        f"unknown stage {stage!r} (pt | sft | dt | rm | dpo | kto | ppo)"
     )
+
+
+def run_ppo(args: AllArgs, tokenizer=None):
+    from .ppo import run_ppo as _run
+
+    return _run(args, tokenizer)
