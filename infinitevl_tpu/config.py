@@ -15,6 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 SLIDING = "sliding_attention"
 FULL = "full_attention"
 LINEAR = "linear_attention"
+MAMBA2 = "mamba2"
 
 # Layer-type aliases accepted by the reference cache container
 # (modeling_infinitevl.py:366-443).
@@ -190,6 +191,8 @@ class TextConfig:
             return LINEAR
         if t in _SLIDING_ALIASES:
             return SLIDING
+        if t == MAMBA2:
+            return MAMBA2
         return FULL
 
 

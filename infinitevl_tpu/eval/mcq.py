@@ -43,35 +43,81 @@ def _one(ex: Dict[str, Any], with_answer: bool) -> str:
     return s
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _mcq_prefill(params, cfg, ids, pos, seg):
+    """Last-position logits over a LEFT-padded batch: pads live in segment 0
+    (masked from the real tokens by the packing masks), real tokens in
+    segment 1 with positions starting at 0."""
+    from ..models.infinitevl import forward
+
+    logits, _ = forward(
+        params, cfg, ids, pos, state=None, segment_ids=seg, logits_to_keep=1
+    )
+    return logits[:, 0]
+
+
+def _bucket_len(n: int, quantum: int = 128) -> int:
+    return max(quantum, -(-n // quantum) * quantum)
+
+
 class MCQEvaluator:
-    def __init__(self, generator, tokenizer):
+    """Choice-logit MCQ scoring with LENGTH BUCKETING: prompts are
+    left-padded to the next 128 multiple and scored in fixed-shape batches,
+    so the evaluator compiles O(#buckets) programs instead of one per prompt
+    length (each XLA compile costs 30-250 s through the relay)."""
+
+    def __init__(self, generator, tokenizer, batch_size: int = 8):
         self.generator = generator
         self.tokenizer = tokenizer
+        self.batch_size = batch_size
         self.choice_ids = [
             self.tokenizer.encode(f" {c}", add_special_tokens=False)[-1]
             for c in CHOICES
         ]
 
+    def _score_prompts(self, prompts: Sequence[str]) -> List[str]:
+        cfg = self.generator.cfg
+        params = self.generator.params
+        encoded = [
+            np.asarray(self.tokenizer.encode(p, add_special_tokens=False), np.int64)
+            for p in prompts
+        ]
+        preds: List[Optional[str]] = [None] * len(prompts)
+        by_bucket: Dict[int, List[int]] = {}
+        for i, ids in enumerate(encoded):
+            by_bucket.setdefault(_bucket_len(len(ids)), []).append(i)
+        B = self.batch_size
+        for P, idxs in sorted(by_bucket.items()):
+            for s in range(0, len(idxs), B):
+                chunk = idxs[s : s + B]
+                rows = (chunk * B)[:B]  # repeat to fill the static batch
+                ids = np.zeros((B, P), np.int64)
+                seg = np.zeros((B, P), np.int32)
+                pos = np.zeros((B, P), np.int64)
+                for r, i in enumerate(rows):
+                    e = encoded[i][-P:]
+                    L = len(e)
+                    ids[r, P - L :] = e
+                    seg[r, P - L :] = 1
+                    pos[r, P - L :] = np.arange(L)
+                pos3 = np.broadcast_to(pos[None], (3, B, P))
+                logits = _mcq_prefill(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(pos3),
+                    jnp.asarray(seg),
+                )
+                scores = np.asarray(logits)[:, self.choice_ids]
+                for r, i in enumerate(chunk):
+                    preds[i] = CHOICES[int(np.argmax(scores[r]))]
+        return preds  # type: ignore[return-value]
+
     def score_one(self, prompt: str) -> str:
         """Argmax over the choice-letter logits at the next position."""
-        import jax
-
-        from ..generation import prefill
-        from ..models.state import init_decoder_state
-
-        ids = np.asarray(
-            [self.tokenizer.encode(prompt, add_special_tokens=False)], np.int64
-        )
-        cfg = self.generator.cfg
-        state = init_decoder_state(cfg.text, 1, dtype=self.generator.dtype)
-        pos = np.broadcast_to(
-            np.arange(ids.shape[1])[None, None], (3, 1, ids.shape[1])
-        )
-        logits, _ = prefill(
-            self.generator.params, cfg, jnp.asarray(ids), jnp.asarray(pos), state
-        )
-        scores = np.asarray(logits[0])[self.choice_ids]
-        return CHOICES[int(np.argmax(scores))]
+        return self._score_prompts([prompt])[0]
 
     def evaluate(
         self,
@@ -79,10 +125,13 @@ class MCQEvaluator:
         support_set: Sequence[Dict[str, Any]] = (),
         subject_name: str = "",
     ) -> Dict[str, float]:
+        prompts = [
+            format_example(ex, support_set, subject_name) for ex in examples
+        ]
+        preds = self._score_prompts(prompts)
         correct = 0
         per_category: Dict[str, List[bool]] = {}
-        for ex in examples:
-            pred = self.score_one(format_example(ex, support_set, subject_name))
+        for ex, pred in zip(examples, preds):
             ok = pred == ex["answer"]
             correct += ok
             cat = ex.get("category", "all")

@@ -89,6 +89,47 @@ decode_step = jax.jit(
 decode_step_preserve = jax.jit(_decode_step_impl, static_argnames=("cfg",))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "eos", "temperature", "top_k", "top_p"),
+    donate_argnames=("state",),
+)
+def decode_chunk(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    token: jax.Array,  # [B, 1] last emitted token (the chunk's input)
+    rope_delta: jax.Array,  # [B, 1] int32
+    state: DecoderState,
+    finished: jax.Array,  # [B] bool carried across chunks
+    key: jax.Array,
+    steps: int,
+    eos: int,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> Tuple[jax.Array, DecoderState, jax.Array]:
+    """Decode `steps` tokens in ONE jitted program (a lax.scan of decode
+    steps with on-device sampling): the host syncs once per chunk instead of
+    once per token — on the relay each sync costs 30-110 ms, and in a real
+    deployment it is a dispatch round-trip. EOS is checked on-device per step
+    (finished rows keep emitting eos, HF pad semantics) and on the host
+    between chunks. Returns (tokens [B, steps], state, finished)."""
+
+    def body(carry, _):
+        tok, state, key, finished = carry
+        logits, state = _decode_step_impl(params, cfg, tok, rope_delta, state)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits, sub, temperature, top_k, top_p)
+        nxt = jnp.where(finished, eos, nxt)
+        finished = finished | (nxt == eos)
+        return (nxt[:, None], state, key, finished), nxt
+
+    (token, state, key, finished), toks = jax.lax.scan(
+        body, (token, state, key, finished), None, length=steps
+    )
+    return toks.T, state, finished
+
+
 def sample_token(
     logits: jax.Array,  # [B, vocab] fp32
     key: Optional[jax.Array] = None,
@@ -119,12 +160,43 @@ class Generator:
     One instance per (config, params); jit caches are shared across calls
     with the same shapes."""
 
-    def __init__(self, params: Params, cfg: InfiniteVLConfig, dtype=jnp.bfloat16):
+    def __init__(
+        self,
+        params: Params,
+        cfg: InfiniteVLConfig,
+        dtype=jnp.bfloat16,
+        chunk_size: int = 8,
+    ):
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
+        # tokens decoded per jitted chunk (1 host sync per chunk); the tail
+        # overshoot past EOS is bounded by chunk_size - 1 wasted steps
+        self.chunk_size = chunk_size
 
     def generate(
+        self,
+        input_ids: np.ndarray,  # [B, T]
+        eos_token_id: Optional[int] = None,
+        **kwargs,
+    ) -> np.ndarray:
+        """Full generation: collects generate_stream and trims the chunk
+        overshoot (each row keeps its own first EOS, HF pad semantics)."""
+        eos = (
+            eos_token_id if eos_token_id is not None else self.cfg.eos_token_id
+        )
+        chunks = list(
+            self.generate_stream(input_ids, eos_token_id=eos, **kwargs)
+        )
+        out = np.concatenate(chunks, axis=1)
+        # drop columns that are EOS padding for every row (chunked decode can
+        # overshoot by < chunk_size)
+        eos_before = np.cumsum(out == eos, axis=1) - (out == eos)
+        pad_col = (eos_before >= 1).all(axis=0)
+        keep = int(np.argmax(pad_col)) if pad_col.any() else out.shape[1]
+        return out[:, :keep]
+
+    def generate_stream(
         self,
         input_ids: np.ndarray,  # [B, T]
         pixel_values: Optional[np.ndarray] = None,
@@ -139,7 +211,12 @@ class Generator:
         seed: int = 0,
         eos_token_id: Optional[int] = None,
         state: Optional[DecoderState] = None,
-    ) -> np.ndarray:
+    ):
+        """TRUE token streaming: yields np token chunks ([B, 1] for the first
+        sampled token, then [B, <=chunk_size] per jitted decode chunk) as
+        they are produced — the TPU counterpart of the reference's
+        TextIteratorStreamer (chat/hf_engine.py:45-415). One host sync per
+        chunk."""
         cfg = self.cfg
         B = input_ids.shape[0]
         eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
@@ -191,20 +268,25 @@ class Generator:
         )
         rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
         key = jax.random.PRNGKey(seed)
-        out = []
-        finished = np.zeros(B, dtype=bool)
-        tok = sample_token(logits, key, temperature, top_k, top_p)
-        for i in range(max_new_tokens):
-            t = np.asarray(tok)
-            # sequences that already hit EOS keep emitting EOS (HF-style pad)
-            t = np.where(finished, eos, t)
-            out.append(t)
-            finished |= t == eos
-            if finished.all():
-                break
-            logits, state = decode_step(
-                self.params, cfg, jnp.asarray(t)[:, None], rope_delta, state
-            )
+        key, sub = jax.random.split(key)
+        tok = sample_token(logits, sub, temperature, top_k, top_p)
+        t0 = np.asarray(tok)  # first generated token (one sync)
+        yield t0[:, None]
+        finished = jnp.asarray(t0 == eos)
+        if max_new_tokens <= 1 or bool(np.all(t0 == eos)):
+            return
+        tok_in = jnp.asarray(t0)[:, None]
+        remaining = max_new_tokens - 1
+        while remaining > 0:
+            steps = min(self.chunk_size, remaining)
             key, sub = jax.random.split(key)
-            tok = sample_token(logits, sub, temperature, top_k, top_p)
-        return np.stack(out, axis=1)
+            toks, state, finished = decode_chunk(
+                self.params, cfg, tok_in, rope_delta, state, finished, sub,
+                steps=steps, eos=eos,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+            )
+            yield np.asarray(toks)  # ONE host sync per chunk
+            remaining -= steps
+            if bool(np.asarray(finished).all()):
+                return
+            tok_in = toks[:, -1:]

@@ -19,12 +19,37 @@ from typing import Any, Dict, Sequence, Tuple
 
 import jax
 
-from ..config import FULL, LINEAR, SLIDING, TextConfig
-from .params import init_delta_layer
+from ..config import FULL, LINEAR, MAMBA2, SLIDING, TextConfig
+from .params import init_delta_layer, init_mamba2_layer
 
 Params = Dict[str, Any]
 
 DEFAULT_SOFTMAX_LAYERS = tuple(range(0, 36, 4))  # examples/train_linear yaml
+
+_MIXER_ALIASES = {
+    "gated_deltanet": "gated_deltanet",
+    "gateddeltanet": "gated_deltanet",
+    "mamba2": "mamba2",
+    "mamba2_new": "mamba2",
+}
+
+
+def _gqa_expand(kernel, bias, num_kv_heads: int, head_dim: int, groups: int):
+    """Tile KV projection weights across query-head groups. Matches the
+    reference's torch `.repeat(groups, 1, 1)` semantics (model/convert.py:
+    104-118) — whole-block tiling, not interleave: kv head order becomes
+    [0..Hkv-1, 0..Hkv-1, ...]."""
+    import jax.numpy as jnp
+
+    D = kernel.shape[0]
+    w = kernel.reshape(D, num_kv_heads, head_dim)
+    w = jnp.tile(w, (1, groups, 1)).reshape(D, num_kv_heads * groups * head_dim)
+    b = None
+    if bias is not None:
+        b = jnp.tile(
+            bias.reshape(num_kv_heads, head_dim), (groups, 1)
+        ).reshape(-1)
+    return w, b
 
 
 def convert_attention(
@@ -37,17 +62,27 @@ def convert_attention(
     dtype=None,
 ) -> Tuple[Params, TextConfig]:
     """Returns (student_params, student_cfg). Preserved layers become
-    sliding_attention; the rest become linear_attention DeltaNet layers with
-    fresh (mimic_init) mixer weights and the teacher's MLP/norms."""
-    if mixer != "gated_deltanet":
+    sliding_attention; the rest become linear mixers with fresh (mimic_init)
+    weights and the teacher's MLP/norms.
+
+    Mixers (reference model/convert.py:15-175):
+    - "gated_deltanet": the shipped InfiniteVL target; all mixer weights are
+      freshly mimic-initialized.
+    - "mamba2" (Mamba2_new): q/k/v/o are COPIED from the teacher's attention
+      with GQA head expansion (k/v tiled across query groups); the SSD-side
+      params (dt/A/D/conv/gate) are mimic-initialized.
+    """
+    mixer_key = _MIXER_ALIASES.get(mixer.lower())
+    if mixer_key is None:
         raise NotImplementedError(
-            f"mixer {mixer!r}: only gated_deltanet is implemented; the "
-            "reference also offers mamba2 (model/convert.py:90-140)"
+            f"mixer {mixer!r}: available mixers are "
+            f"{sorted(set(_MIXER_ALIASES.values()))}"
         )
     softmax = set(softmax_attention)
     n = teacher_cfg.num_hidden_layers
+    converted_type = LINEAR if mixer_key == "gated_deltanet" else MAMBA2
     layer_types = tuple(
-        SLIDING if i in softmax else LINEAR for i in range(n)
+        SLIDING if i in softmax else converted_type for i in range(n)
     )
     student_cfg = dataclasses.replace(
         teacher_cfg,
@@ -63,7 +98,31 @@ def convert_attention(
         if i in softmax:
             new_layers.append(lp)
             continue
-        fresh = init_delta_layer(keys[i], student_cfg, dtype, mimic_init=mimic_init)
+        if mixer_key == "gated_deltanet":
+            fresh = init_delta_layer(
+                keys[i], student_cfg, dtype, mimic_init=mimic_init
+            )
+        else:
+            fresh = init_mamba2_layer(
+                keys[i], student_cfg, dtype, mimic_init=mimic_init
+            )
+            # weight copy from the teacher's attention (convert.py:90-140):
+            # q as-is, k/v GQA-expanded to all query heads, o as-is
+            groups = (
+                teacher_cfg.num_attention_heads // teacher_cfg.num_key_value_heads
+            )
+            fresh["q_proj"] = dict(lp["q_proj"])
+            kw, kb = _gqa_expand(
+                lp["k_proj"]["kernel"], lp["k_proj"].get("bias"),
+                teacher_cfg.num_key_value_heads, teacher_cfg.head_dim, groups,
+            )
+            vw, vb = _gqa_expand(
+                lp["v_proj"]["kernel"], lp["v_proj"].get("bias"),
+                teacher_cfg.num_key_value_heads, teacher_cfg.head_dim, groups,
+            )
+            fresh["k_proj"] = {"kernel": kw} | ({"bias": kb} if kb is not None else {})
+            fresh["v_proj"] = {"kernel": vw} | ({"bias": vb} if vb is not None else {})
+            fresh["o_proj"] = dict(lp["o_proj"])
         # keep the teacher's MLP and norms (convert.py only swaps self_attn)
         fresh["mlp"] = lp["mlp"]
         fresh["input_norm"] = lp["input_norm"]
@@ -89,6 +148,8 @@ def trainable_mask(
         "q_proj", "k_proj", "v_proj", "a_proj", "b_proj", "g_proj",
         "o_proj", "A_log", "dt_bias", "o_norm",
         "conv_q_w", "conv_k_w", "conv_v_w", "conv_q_b", "conv_k_b", "conv_v_b",
+        # mamba2 mixer params
+        "dt_proj", "conv_w", "conv_b", "D",
     }
 
     def mask_layer(i, lp):

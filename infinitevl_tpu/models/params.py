@@ -148,6 +148,69 @@ def init_delta_layer(
     return p
 
 
+def init_mamba2_layer(
+    key, cfg: TextConfig, dtype=jnp.bfloat16, mimic_init: bool = False
+) -> Params:
+    """Mamba2 mixer layer params (reference fla/layers/mamba2_new.py:38-160):
+    q/k/v (= C/B/x) with bias, fused conv over [v, k, q], dt in_proj, per-head
+    dt_bias / A_log / D, gated RMSNorm, o_proj.
+
+    mimic_init matches the reference warm start: conv = identity tap,
+    dt in_proj zeroed, dt_bias = inv-softplus of a small dt, A_log = 1."""
+    D = cfg.hidden_size
+    H = cfg.num_attention_heads
+    Dh = cfg.head_dim
+    HD = H * Dh
+    W = cfg.conv_size
+    std = 0.02
+    ks = jax.random.split(key, 10)
+    bound = 1.0 / math.sqrt(W)
+    conv_w = jax.random.uniform(
+        ks[0], (W, 3 * HD), minval=-bound, maxval=bound
+    ).astype(dtype)
+    # dt sampled log-uniform in [1e-3, 0.1] then inverse-softplus
+    # (mamba2_new.py:130-140)
+    dt = jnp.exp(
+        jax.random.uniform(ks[1], (H,))
+        * (math.log(0.1) - math.log(0.001))
+        + math.log(0.001)
+    )
+    dt = jnp.clip(dt, 0.001)
+    inv_dt = dt + jnp.log(-jnp.expm1(-dt))
+    p = {
+        "input_norm": jnp.ones((D,), dtype=dtype),
+        "post_norm": jnp.ones((D,), dtype=dtype),
+        "q_proj": _linear(ks[2], D, HD, std, dtype=dtype, bias=True),
+        "k_proj": _linear(ks[3], D, HD, std, dtype=dtype, bias=True),
+        "v_proj": _linear(ks[4], D, HD, std, dtype=dtype, bias=True),
+        "o_proj": _linear(ks[5], HD, D, std, dtype=dtype),
+        "dt_proj": _linear(ks[6], D, H, std, dtype=dtype),
+        "g_proj": _linear(ks[7], D, HD, std * 2**-2.5, dtype=dtype),
+        "conv_w": conv_w,
+        "conv_b": jnp.zeros((3 * HD,), dtype=dtype),
+        "dt_bias": (
+            inv_dt if mimic_init else jnp.zeros((H,))
+        ).astype(jnp.float32),
+        "A_log": (
+            jnp.ones((H,))
+            if mimic_init
+            else jnp.log(jax.random.uniform(ks[8], (H,), minval=1.0, maxval=16.0))
+        ).astype(jnp.float32),
+        "D": jnp.ones((H,), dtype=jnp.float32),
+        "o_norm": jnp.ones((Dh,), dtype=dtype),
+        "mlp": {
+            "gate": _linear(ks[9], D, cfg.intermediate_size, std, dtype=dtype),
+            "up": _linear(jax.random.fold_in(key, 201), D, cfg.intermediate_size, std, dtype=dtype),
+            "down": _linear(jax.random.fold_in(key, 202), cfg.intermediate_size, D, std, dtype=dtype),
+        },
+    }
+    if mimic_init:
+        ident = jnp.zeros((W,), dtype=dtype).at[W - 1].set(1.0)
+        p["conv_w"] = jnp.tile(ident[:, None], (1, 3 * HD))
+        p["dt_proj"]["kernel"] = jnp.zeros_like(p["dt_proj"]["kernel"])
+    return p
+
+
 def init_text_params(key, cfg: TextConfig, dtype=jnp.bfloat16) -> Params:
     ks = jax.random.split(key, cfg.num_hidden_layers + 2)
     layers = []

@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import FULL, LINEAR, SLIDING, TextConfig
+from ..config import FULL, LINEAR, MAMBA2, SLIDING, TextConfig
 from ..ops.delta_rule import delta_rule_step, gated_delta_rule
 from ..ops.norms import rms_norm, rms_norm_gated, silu
 from ..ops.rope import apply_rotary, mrope_cos_sin
@@ -138,15 +138,15 @@ def delta_forward(
     else:
         q, new_cq = short_conv(
             q_raw, p["conv_q_w"], p.get("conv_q_b"), conv_q,
-            carry_history=cfg.conv_carry,
+            carry_history=cfg.conv_carry, segment_ids=segment_ids,
         )
         k, new_ck = short_conv(
             k_raw, p["conv_k_w"], p.get("conv_k_b"), conv_k,
-            carry_history=cfg.conv_carry,
+            carry_history=cfg.conv_carry, segment_ids=segment_ids,
         )
         v, new_cv = short_conv(
             v_raw, p["conv_v_w"], p.get("conv_v_b"), conv_v,
-            carry_history=cfg.conv_carry,
+            carry_history=cfg.conv_carry, segment_ids=segment_ids,
         )
 
     q = q.reshape(B, T, H, K)
@@ -180,6 +180,54 @@ def delta_forward(
     o = _dense(o.reshape(B, T, H * V), p["o_proj"])
     new_state = (new_cq, new_ck, new_cv, new_h) if use_cache else None
     return o, new_state
+
+
+def mamba2_forward(
+    p: Params,
+    cfg: TextConfig,
+    x: jax.Array,  # [B, T, D]
+    segment_ids: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mamba2 SSD mixer, the reference's second conversion target
+    (fla/layers/mamba2_new.py:165-255): q/k/v projections (= C/B/x of the
+    SSD), a fused short conv over the concatenated [v, k, q] stream, per-head
+    dt from in_proj, D skip connection, gated RMSNorm output."""
+    from ..ops.mamba2 import mamba2_chunk_scan
+    from ..ops.short_conv import short_conv
+
+    B, T, _ = x.shape
+    H = cfg.num_attention_heads
+    Dh = cfg.head_dim
+    HD = H * Dh
+
+    q = _dense(x, p["q_proj"])  # C  [B, T, H*Dh]
+    k = _dense(x, p["k_proj"])  # B
+    v = _dense(x, p["v_proj"])  # x
+    # fused conv over [v, k, q] (mamba2_new.py:196-219 convolutional_forward)
+    vkq = jnp.concatenate([v, k, q], axis=-1)
+    vkq, _ = short_conv(
+        vkq, p["conv_w"], p.get("conv_b"), None, activation="silu",
+        segment_ids=segment_ids,
+    )
+    v, k, q = vkq[..., :HD], vkq[..., HD : 2 * HD], vkq[..., 2 * HD :]
+    v = v.reshape(B, T, H, Dh)
+    k = k.reshape(B, T, H, Dh)
+    q = q.reshape(B, T, H, Dh)
+
+    dt = jax.nn.softplus(
+        _dense(x, p["dt_proj"]).astype(jnp.float32)
+        + p["dt_bias"].astype(jnp.float32)
+    )  # [B, T, H]
+    A = -jnp.exp(p["A_log"].astype(jnp.float32))  # [H]
+    y, _ = mamba2_chunk_scan(
+        v, dt, A, k, q, chunk_size=cfg.delta_chunk_size,
+        segment_ids=segment_ids,
+    )
+    # D skip (mamba2_new.py:240-241)
+    y = y + p["D"].astype(y.dtype)[None, None, :, None] * v
+    gate = _dense(x, p["g_proj"]).reshape(B, T, H, Dh)
+    o = rms_norm_gated(y, gate, p["o_norm"], eps=cfg.norm_eps)
+    return _dense(o.reshape(B, T, HD), p["o_proj"])
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +267,14 @@ def decoder_layer_forward(
         attn, new_state = delta_forward(
             p, cfg, h, cq, ck, cv, hst, segment_ids
         )
+    elif role == MAMBA2:
+        if layer_state is not None:
+            raise NotImplementedError(
+                "cached decoding with mamba2 layers is not wired into the "
+                "state pytree yet; mamba2 is a conversion/training mixer"
+            )
+        attn = mamba2_forward(p, cfg, h, segment_ids)
+        new_state = None
     else:
         raise NotImplementedError(f"layer role {role}")
     x = resid + attn

@@ -35,11 +35,16 @@ def causal_conv1d(
     bias: Optional[jax.Array] = None,  # [D]
     activation: str = "silu",
     initial_state: Optional[jax.Array] = None,  # [B, W, D]; used as left context
+    segment_ids: Optional[jax.Array] = None,  # [B, T]; packing boundaries
 ) -> jax.Array:
     """Depthwise causal convolution over time.
 
     y[t] = sum_{i=0..W-1} w[i] * x[t - (W - 1 - i)], zero-padded (or padded
     with the tail of `initial_state` when provided).
+
+    With `segment_ids`, taps that would read across a packed-segment
+    boundary contribute zero (the varlen masking causal-conv1d does with
+    cu_seqlens in the reference's CUDA kernel).
     """
     B, T, D = x.shape
     W = weight.shape[0]
@@ -48,11 +53,23 @@ def causal_conv1d(
     else:
         left = jnp.zeros((B, W - 1, D), dtype=x.dtype)
     xp = jnp.concatenate([left, x], axis=1)  # [B, T + W - 1, D]
+    segp = None
+    if segment_ids is not None:
+        # left context (zeros or cached history) never matches any segment
+        segp = jnp.concatenate(
+            [
+                jnp.full((B, W - 1), -1, dtype=segment_ids.dtype),
+                segment_ids,
+            ],
+            axis=1,
+        )
     acc = jnp.zeros((B, T, D), dtype=jnp.float32)
     for i in range(W):
-        acc = acc + xp[:, i : i + T, :].astype(jnp.float32) * weight[i].astype(
-            jnp.float32
-        )
+        tap = xp[:, i : i + T, :].astype(jnp.float32)
+        if segp is not None and i < W - 1:
+            same = (segp[:, i : i + T] == segment_ids).astype(jnp.float32)
+            tap = tap * same[..., None]
+        acc = acc + tap * weight[i].astype(jnp.float32)
     if bias is not None:
         acc = acc + bias.astype(jnp.float32)
     if activation in ("silu", "swish"):
@@ -81,12 +98,15 @@ def short_conv(
     state: Optional[jax.Array],  # [B, W, D] or None
     activation: str = "silu",
     carry_history: bool = False,
+    segment_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Multi-token short convolution, returning (output, new_state).
 
     new_state is None when `state` is None (stateless/training use)."""
     init = state if (carry_history and state is not None) else None
-    y = causal_conv1d(x, weight, bias, activation, initial_state=init)
+    y = causal_conv1d(
+        x, weight, bias, activation, initial_state=init, segment_ids=segment_ids
+    )
     new_state = conv_state_update(state, x) if state is not None else None
     return y, new_state
 

@@ -56,6 +56,87 @@ class ChatBackend:
             "completion_tokens": int(out.shape[1]),
         }
 
+    def complete_stream(
+        self,
+        messages: List[Dict[str, str]],
+        max_tokens: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+    ):
+        """TRUE streaming: yields text deltas as decode chunks land (one per
+        jitted chunk) — the reference streams via TextIteratorStreamer
+        (chat/hf_engine.py:45-415). Incremental decode is cumulative-text
+        diffing so tokenizers that merge tokens stay correct."""
+        prompt = self.template.render_prompt(messages, add_generation_prompt=True)
+        ids = np.asarray(
+            [self.tokenizer.encode(prompt, add_special_tokens=False)], np.int64
+        )
+        eos = self.generator.cfg.eos_token_id
+        with self.lock:
+            toks: List[int] = []
+            prev = ""
+            done = False
+            for chunk in self.generator.generate_stream(
+                ids,
+                max_new_tokens=max_tokens,
+                temperature=temperature,
+                top_p=top_p,
+            ):
+                for t in chunk[0]:
+                    if int(t) == eos:
+                        done = True
+                        break
+                    toks.append(int(t))
+                text = self.tokenizer.decode(toks, skip_special_tokens=True)
+                delta, prev = text[len(prev):], text
+                if delta:
+                    yield delta
+                if done:
+                    return
+
+    def get_scores(
+        self, texts: List[str], max_length: Optional[int] = None
+    ) -> List[float]:
+        """Reward-model scoring (reference /v1/score/evaluation,
+        api/app.py:113 + hf_engine.py:317-336): value-head output at the
+        last real token of each text. Requires reward-model params (a
+        'value_head' tree from the rm stage)."""
+        import jax.numpy as jnp
+
+        params = self.generator.params
+        text_params = params.get("text", params)
+        if "value_head" not in text_params:
+            raise ValueError(
+                "scoring requires reward-model params (train with stage: rm)"
+            )
+        cfg = self.generator.cfg.text
+        out = []
+        with self.lock:
+            for s in texts:
+                ids = self.tokenizer.encode(s, add_special_tokens=False)
+                if max_length:
+                    ids = ids[:max_length]
+                arr = jnp.asarray([ids], jnp.int64)
+                pos = jnp.broadcast_to(
+                    jnp.arange(arr.shape[1])[None, None], (3, 1, arr.shape[1])
+                )
+                hidden, _, _ = _score_forward(text_params, cfg, arr, pos)
+                v = hidden[:, -1] @ text_params["value_head"]["kernel"]
+                out.append(float(v[0, 0]))
+        return out
+
+
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _score_forward(text_params, cfg, ids, pos):
+    from ..models.text import embed_tokens, text_forward
+
+    return text_forward(text_params, cfg, embed_tokens(text_params, ids), pos, None)
+
 
 def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:
     res = backend.complete(
@@ -136,13 +217,15 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
         def do_POST(self):
             if not self._auth_ok():
                 return self._send(401, {"error": "invalid api key"})
-            if self.path != "/v1/chat/completions":
-                return self._send(404, {"error": f"unknown path {self.path}"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._send(400, {"error": f"bad request: {e}"})
+            if self.path == "/v1/score/evaluation":
+                return self._score(req)
+            if self.path != "/v1/chat/completions":
+                return self._send(404, {"error": f"unknown path {self.path}"})
             if not isinstance(req.get("messages"), list) or not req["messages"]:
                 return self._send(400, {"error": "messages must be a non-empty list"})
             if req.get("stream"):
@@ -152,16 +235,43 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
             except Exception as e:  # surface model errors as 500s
                 return self._send(500, {"error": str(e)})
 
+        def _score(self, req):
+            # reference ScoreEvaluationRequest: {model, messages: [str], max_length}
+            texts = req.get("messages")
+            if not isinstance(texts, list) or not all(
+                isinstance(t, str) for t in texts
+            ) or not texts:
+                return self._send(
+                    400, {"error": "messages must be a non-empty list of strings"}
+                )
+            try:
+                scores = backend.get_scores(texts, req.get("max_length"))
+            except ValueError as e:
+                return self._send(400, {"error": str(e)})
+            return self._send(
+                200,
+                {
+                    "id": f"scoreval-{uuid.uuid4().hex[:12]}",
+                    "object": "score.evaluation",
+                    "model": req.get("model", backend.model_name),
+                    "scores": scores,
+                },
+            )
+
         def _stream(self, req):
-            # SSE: emit the full completion as chunked deltas
-            res = _chat_response(backend, req)
+            # SSE with TRUE streaming: each jitted decode chunk is flushed to
+            # the client as soon as its tokens land on the host
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            rid = res["id"]
-            content = res["choices"][0]["message"]["content"]
-            for piece in [content[i : i + 16] for i in range(0, len(content), 16)]:
+            rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+            for piece in backend.complete_stream(
+                req.get("messages", []),
+                max_tokens=req.get("max_tokens", 512),
+                temperature=req.get("temperature", 0.0),
+                top_p=req.get("top_p", 1.0),
+            ):
                 chunk = {
                     "id": rid,
                     "object": "chat.completion.chunk",
@@ -170,6 +280,7 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
                     ],
                 }
                 self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                self.wfile.flush()
             done = {
                 "id": rid,
                 "object": "chat.completion.chunk",

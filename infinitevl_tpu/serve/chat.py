@@ -63,19 +63,12 @@ class ChatModel:
         seed: int = 0,
     ) -> str:
         out = self._prepare(messages, images, videos)
-        pixel = out.pixel_values
-        grids = out.image_grid_thw
-        if out.pixel_values_videos is not None:
-            pixel = (
-                np.concatenate([pixel, out.pixel_values_videos])
-                if pixel is not None
-                else out.pixel_values_videos
-            )
         with self._lock:
             tokens = self.generator.generate(
                 out.input_ids,
-                pixel_values=pixel,
-                image_grid_thw=grids,
+                pixel_values=out.pixel_values,
+                image_grid_thw=out.image_grid_thw,
+                pixel_values_videos=out.pixel_values_videos,
                 video_grid_thw=out.video_grid_thw,
                 second_per_grid_ts=out.second_per_grid_ts,
                 max_new_tokens=max_new_tokens,
@@ -86,8 +79,46 @@ class ChatModel:
             )
         return self.tokenizer.decode(tokens[0], skip_special_tokens=True)
 
-    def stream_chat(self, messages, **kwargs) -> Gen[str, None, None]:
-        """Token-at-a-time streaming (decoded incrementally)."""
-        text = self.chat(messages, **kwargs)
-        for i in range(0, len(text), 8):
-            yield text[i : i + 8]
+    def stream_chat(
+        self,
+        messages,
+        images: Optional[Sequence[np.ndarray]] = None,
+        videos: Optional[Sequence[np.ndarray]] = None,
+        max_new_tokens: int = 512,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ) -> Gen[str, None, None]:
+        """TRUE streaming: yields text deltas as each jitted decode chunk
+        lands (generate_stream), not after generation completes."""
+        out = self._prepare(messages, images, videos)
+        eos = self.generator.cfg.eos_token_id
+        with self._lock:
+            toks = []
+            prev = ""
+            done = False
+            for chunk in self.generator.generate_stream(
+                out.input_ids,
+                pixel_values=out.pixel_values,
+                image_grid_thw=out.image_grid_thw,
+                pixel_values_videos=out.pixel_values_videos,
+                video_grid_thw=out.video_grid_thw,
+                second_per_grid_ts=out.second_per_grid_ts,
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                seed=seed,
+            ):
+                for t in chunk[0]:
+                    if int(t) == eos:
+                        done = True
+                        break
+                    toks.append(int(t))
+                text = self.tokenizer.decode(toks, skip_special_tokens=True)
+                delta, prev = text[len(prev):], text
+                if delta:
+                    yield delta
+                if done:
+                    return

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import InfiniteVLConfig
-from .generation import decode_step_preserve, prefill
+from .generation import decode_chunk, decode_step_preserve, prefill
 from .models.infinitevl import get_rope_index, scatter_vision_embeds
 from .models.state import DecoderState, init_decoder_state
 from .models.text import embed_tokens, lm_head, text_forward
@@ -223,9 +223,13 @@ class StreamingEngine:
         question_ids: np.ndarray,  # [1, Tq] tokenized question
         max_new_tokens: int = 200,
         eos_token_id: Optional[int] = None,
+        chunk_size: int = 16,
     ) -> List[int]:
         """Branch the stream, prefill <vision_end> + question, greedy decode.
-        The main stream state is untouched."""
+        The main stream state is untouched: _qa_prefill does not donate, so
+        `branch` is a fresh buffer set; decode chunks then donate the branch
+        (still zero copies of the main state). Decoding runs chunk_size
+        tokens per jitted program — one host sync per chunk."""
         cfg = self.cfg
         eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         q_ids = np.concatenate(
@@ -243,17 +247,29 @@ class StreamingEngine:
         logits = lm_head(self.params["text"], cfg.text, hidden[:, -1])
         tok = int(jnp.argmax(logits, axis=-1)[0])
         out: List[int] = []
+        if tok == eos or max_new_tokens <= 0:
+            return out
+        out.append(tok)
         # decode positions continue from start+Tq: delta vs branch cum_len
         delta = start - int(self.state["cum_len"])
         rope_delta = jnp.asarray([[delta]], dtype=jnp.int32)
-        for _ in range(max_new_tokens):
-            if tok == eos:
-                break
-            out.append(tok)
-            logits, branch = decode_step_preserve(
-                self.params, cfg, jnp.asarray([[tok]]), rope_delta, branch
+        tok_in = jnp.asarray([[tok]], dtype=jnp.int32)
+        finished = jnp.zeros((1,), dtype=bool)
+        key = jax.random.PRNGKey(0)  # unused at temperature 0 (greedy)
+        while len(out) < max_new_tokens:
+            steps = min(chunk_size, max_new_tokens - len(out))
+            toks, branch, finished = decode_chunk(
+                self.params, cfg, tok_in, rope_delta, branch, finished, key,
+                steps=steps, eos=eos, temperature=0.0,
             )
-            tok = int(jnp.argmax(logits, axis=-1)[0])
+            t = np.asarray(toks)[0]  # one host sync per chunk
+            for x in t:
+                if x == eos:
+                    return out
+                out.append(int(x))
+            if bool(np.asarray(finished).all()):
+                return out
+            tok_in = toks[:, -1:]
         return out
 
     def stats(self) -> Dict[str, float]:

@@ -582,6 +582,7 @@ def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None)
         teacher_cfg,
         jax.random.fold_in(key, 1),
         softmax_attention=args.finetune.softmax_attention,
+        mixer=args.finetune.mixer,
     )
     if args.finetune.checkpoint_path:
         # stage handoff: load previous stage weights, keeping preserved

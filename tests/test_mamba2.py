@@ -1,0 +1,178 @@
+"""Mamba2 mixer: SSD chunk-scan numerics, GQA weight-copy conversion, and a
+stage-1 distillation step (reference model/convert.py:90-140 +
+fla/layers/mamba2_new.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitevl_tpu import tiny_config
+from infinitevl_tpu.config import MAMBA2, SLIDING
+from infinitevl_tpu.hparams import parse_args
+from infinitevl_tpu.models.convert import convert_attention
+from infinitevl_tpu.models.params import init_text_params
+from infinitevl_tpu.ops.mamba2 import (
+    mamba2_chunk_scan,
+    mamba2_recurrent,
+    mamba2_step,
+)
+
+
+def _inputs(B=2, T=24, H=2, N=8, P=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, T, H, P), jnp.float32) * 0.5
+    dt = jnp.asarray(np.abs(rng.randn(B, T, H)) * 0.3 + 0.05, jnp.float32)
+    A = jnp.asarray(-np.abs(rng.randn(H)) - 0.1, jnp.float32)
+    B_ = jnp.asarray(rng.randn(B, T, H, N), jnp.float32) * 0.5
+    C_ = jnp.asarray(rng.randn(B, T, H, N), jnp.float32) * 0.5
+    return x, dt, A, B_, C_
+
+
+def _naive_f64(x, dt, A, B_, C_, h0=None):
+    """Independent float64 numpy recurrence."""
+    x, dt, A, B_, C_ = (np.asarray(a, np.float64) for a in (x, dt, A, B_, C_))
+    Bsz, T, H, P = x.shape
+    N = B_.shape[-1]
+    h = np.zeros((Bsz, H, N, P)) if h0 is None else np.asarray(h0, np.float64)
+    ys = np.zeros((Bsz, T, H, P))
+    for t in range(T):
+        a = np.exp(A[None] * dt[:, t])  # [B,H]
+        h = a[..., None, None] * h + (
+            (dt[:, t][..., None] * B_[:, t])[..., None] * x[:, t][..., None, :]
+        )
+        ys[:, t] = np.einsum("bhn,bhnp->bhp", C_[:, t], h)
+    return ys, h
+
+
+def test_chunk_scan_matches_naive():
+    x, dt, A, B_, C_ = _inputs()
+    y, h = mamba2_chunk_scan(x, dt, A, B_, C_, chunk_size=8)
+    y_ref, h_ref = _naive_f64(x, dt, A, B_, C_)
+    err = np.abs(np.asarray(y) - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert err < 1e-5, f"chunk vs naive err-ratio {err}"
+    herr = np.abs(np.asarray(h) - h_ref).max() / (np.abs(h_ref).max() + 1e-9)
+    assert herr < 1e-5
+
+
+def test_chunk_scan_unaligned_length():
+    x, dt, A, B_, C_ = _inputs(T=21)
+    y, h = mamba2_chunk_scan(x, dt, A, B_, C_, chunk_size=8)
+    y_ref, h_ref = _naive_f64(x, dt, A, B_, C_)
+    err = np.abs(np.asarray(y) - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert err < 1e-5
+    herr = np.abs(np.asarray(h) - h_ref).max() / (np.abs(h_ref).max() + 1e-9)
+    assert herr < 1e-5
+
+
+def test_recurrent_continuation():
+    """Chunk prefill then step-decode continuation == one-shot."""
+    x, dt, A, B_, C_ = _inputs(T=16)
+    y_full, _ = mamba2_chunk_scan(x, dt, A, B_, C_, chunk_size=8)
+    _, h8 = mamba2_chunk_scan(
+        x[:, :8], dt[:, :8], A, B_[:, :8], C_[:, :8], chunk_size=8
+    )
+    h = h8
+    outs = []
+    for t in range(8, 16):
+        y, h = mamba2_step(x[:, t], dt[:, t], A, B_[:, t], C_[:, t], h)
+        outs.append(y)
+    y_steps = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(y_steps), np.asarray(y_full[:, 8:]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_chunk_scan_segments_match_independent_runs():
+    """Packed [seg1 | seg2] must equal two independent scans (boundary not
+    chunk-aligned to exercise the in-chunk masking)."""
+    x, dt, A, B_, C_ = _inputs(B=1, T=24)
+    split = 11
+    seg = jnp.asarray(
+        np.concatenate([np.ones(split), np.full(24 - split, 2)])[None], jnp.int32
+    )
+    y_packed, h = mamba2_chunk_scan(
+        x, dt, A, B_, C_, chunk_size=8, segment_ids=seg
+    )
+    y1, _ = mamba2_chunk_scan(
+        x[:, :split], dt[:, :split], A, B_[:, :split], C_[:, :split], chunk_size=8
+    )
+    y2, h2 = mamba2_chunk_scan(
+        x[:, split:], dt[:, split:], A, B_[:, split:], C_[:, split:], chunk_size=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_packed[:, :split]), np.asarray(y1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_packed[:, split:]), np.asarray(y2), rtol=1e-5, atol=1e-6
+    )
+    # final state = second segment's own state
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h2), rtol=1e-5, atol=1e-6)
+
+
+def test_convert_mamba2_weight_copy():
+    cfg = tiny_config().text
+    teacher_cfg = dataclasses.replace(
+        cfg, layer_types=("full_attention",) * cfg.num_hidden_layers
+    )
+    teacher = init_text_params(jax.random.PRNGKey(0), teacher_cfg, jnp.float32)
+    student, student_cfg = convert_attention(
+        teacher, teacher_cfg, jax.random.PRNGKey(1),
+        softmax_attention=(0, 4), mixer="mamba2",
+    )
+    assert student_cfg.layer_types[0] == SLIDING
+    assert student_cfg.layer_types[1] == MAMBA2
+    lp = student["layers"][1]
+    tp = teacher["layers"][1]
+    # q and o copied verbatim
+    np.testing.assert_array_equal(
+        np.asarray(lp["q_proj"]["kernel"]), np.asarray(tp["q_proj"]["kernel"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lp["o_proj"]["kernel"]), np.asarray(tp["o_proj"]["kernel"])
+    )
+    # k tiled across GQA groups (torch .repeat semantics: whole-block tile)
+    Hkv, Dh = teacher_cfg.num_key_value_heads, teacher_cfg.head_dim
+    H = teacher_cfg.num_attention_heads
+    groups = H // Hkv
+    tk = np.asarray(tp["k_proj"]["kernel"]).reshape(-1, Hkv, Dh)
+    sk = np.asarray(lp["k_proj"]["kernel"]).reshape(-1, H, Dh)
+    for g in range(groups):
+        np.testing.assert_array_equal(sk[:, g * Hkv : (g + 1) * Hkv], tk)
+    # forward runs and is finite
+    from infinitevl_tpu.models.text import embed_tokens, text_forward
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 100, (1, 12)))
+    pos = jnp.broadcast_to(jnp.arange(12)[None, None], (3, 1, 12))
+    h, _, _ = text_forward(
+        student, student_cfg, embed_tokens(student, ids), pos, None
+    )
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_dt_stage1_mamba2(tmp_path):
+    args = parse_args(
+        {
+            "config_preset": "tiny",
+            "stage": "dt",
+            "mixer": "mamba2",
+            "distill_stage": 1,
+            "softmax_attention": [0, 4],
+            "dataset": "demo",
+            "dataset_dir": "data",
+            "cutoff_len": 32,
+            "per_device_train_batch_size": 2,
+            "max_steps": 2,
+            "logging_steps": 1,
+            "save_steps": 1000,
+            "bf16": False,
+            "learning_rate": 1e-3,
+            "output_dir": str(tmp_path),
+        }
+    )
+    from infinitevl_tpu.train.trainer import run_exp
+
+    student = run_exp(args)
+    for leaf in jax.tree.leaves(student):
+        assert np.isfinite(np.asarray(leaf)).all()
