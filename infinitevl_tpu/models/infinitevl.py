@@ -99,8 +99,13 @@ def get_rope_index(
             if text_len:
                 rng = np.arange(text_len, dtype=np.int64) + st_idx
                 chunks.append(np.broadcast_to(rng, (3, text_len)).copy())
+            # bug-compatible with the reference (and upstream Qwen2.5-VL):
+            # second_per_grid_t is cast to the int64 dtype of range_tensor
+            # BEFORE the multiply (modeling_infinitevl.py:1710-1717), so
+            # fractional seconds-per-grid truncate to whole numbers
+            spg_cast = float(int(spg))
             t_idx = (
-                (np.arange(lt, dtype=np.float64)[:, None] * spg * tps)
+                (np.arange(lt, dtype=np.float64)[:, None] * spg_cast * tps)
                 .astype(np.int64)
                 .repeat(lh * lw, axis=1)
                 .reshape(-1)

@@ -1,0 +1,225 @@
+"""Cross-framework parity vs the reference PyTorch implementation.
+
+Tiny-config weights are exported through export_hf_safetensors and loaded
+into the actual reference modeling code (eager attention, fp32, fla Triton
+stubs — see torch_ref.py). Targets from SURVEY §4 / VERDICT #5:
+  (a) get_rope_index on tricky interleaved image/video prompts
+  (b) image preprocessing vs the HF Qwen2VL image processor contract
+  (c) ViT forward (patch embed -> blocks -> merger)
+  (d) full text forward (mRoPE + attention + norms + MLP + logits)
+  (e) sliding-window masking semantics at T > window
+  (f) full multimodal forward (ViT features scattered + decoder)
+DeltaNet layer numerics are excluded (Triton-only in the reference); they
+are validated against float64 references in test_delta_rule.py.
+"""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from infinitevl_tpu import tiny_config
+from infinitevl_tpu.models.infinitevl import (
+    encode_vision,
+    forward as my_forward,
+    get_rope_index as my_rope_index,
+)
+from infinitevl_tpu.models.params import init_params
+from infinitevl_tpu.utils.checkpoint import export_hf_safetensors
+
+from torch_ref import build_torch_model
+
+ATOL = 1e-4  # fp32 component parity demanded by VERDICT.md #5
+
+
+def _err(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    """Shared tiny model: sliding+full layers only (DeltaNet needs Triton on
+    the torch side), weights exported once."""
+    cfg0 = tiny_config(num_hidden_layers=4)
+    cfg = dataclasses.replace(
+        cfg0,
+        text=dataclasses.replace(
+            cfg0.text, layer_types=("sliding_attention", "full_attention") * 2
+        ),
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    out = str(tmp_path_factory.mktemp("parity"))
+    export_hf_safetensors(params, cfg, out)
+    hf = json.load(open(os.path.join(out, "config.json")))
+    model = build_torch_model(hf, os.path.join(out, "model.safetensors"))
+    return cfg, params, model
+
+
+def test_get_rope_index_parity(setup):
+    cfg, _, model = setup
+    merge2 = cfg.vision.spatial_merge_unit
+    img_grid = np.array([[1, 4, 4], [1, 8, 4]])
+    vid_grid = np.array([[2, 4, 4]])
+    n1, n2, nv = 16 // merge2, 32 // merge2, 32 // merge2
+    row = [5, 6, cfg.vision_start_token_id] + [cfg.image_token_id] * n1
+    row += [cfg.vision_end_token_id, 7, cfg.vision_start_token_id]
+    row += [cfg.video_token_id] * nv + [cfg.vision_end_token_id, 8]
+    row += [cfg.vision_start_token_id] + [cfg.image_token_id] * n2
+    row += [cfg.vision_end_token_id, 9, 10]
+    T = len(row)
+    # batch of 2 with left padding on row 1 (attention-mask path)
+    pad = 5
+    ids = np.stack([row + [1] * pad, [0] * pad + row[:T] + [1] * 0])
+    am = np.stack(
+        [np.r_[np.ones(T), np.zeros(pad)], np.r_[np.zeros(pad), np.ones(T)]]
+    ).astype(np.int64)
+    # row 1 needs its own media; reuse the same grids twice
+    img2 = np.concatenate([img_grid, img_grid])
+    vid2 = np.concatenate([vid_grid, vid_grid])
+    spg = [0.5, 2.0]
+    pos_mine, d_mine = my_rope_index(cfg, ids, img2, vid2, spg, am)
+    pos_ref, d_ref = model.model.get_rope_index(
+        torch.tensor(ids), torch.tensor(img2), torch.tensor(vid2), spg,
+        torch.tensor(am),
+    )
+    np.testing.assert_array_equal(pos_mine, pos_ref.numpy())
+    np.testing.assert_array_equal(d_mine, d_ref.numpy())
+
+
+def test_image_preprocess_parity():
+    """My preprocess_image vs the HF Qwen2VL image processor the reference
+    wraps (processing_infinitevl.py builds on its output contract)."""
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+        Qwen2VLImageProcessor,
+    )
+
+    from infinitevl_tpu.data.processing import preprocess_image
+
+    rng = np.random.RandomState(0)
+    for h, w in [(64, 64), (97, 211), (480, 640)]:
+        img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        flat, grid = preprocess_image(img)
+        proc = Qwen2VLImageProcessor(
+            min_pixels=56 * 56, max_pixels=14 * 14 * 4 * 1280
+        )
+        ref = proc(images=[img], return_tensors="np")
+        np.testing.assert_array_equal(
+            np.asarray(grid), ref["image_grid_thw"][0]
+        )
+        assert flat.shape == ref["pixel_values"].shape
+        err = _err(flat, ref["pixel_values"])
+        assert err < 5e-3, f"pixel err-ratio {err} at {(h, w)}"  # PIL resample jitter
+
+
+def test_vit_forward_parity(setup):
+    cfg, params, model = setup
+    rng = np.random.RandomState(0)
+    g = ((1, 4, 4), (2, 8, 4))
+    npatch = sum(t * h * w for t, h, w in g)
+    in_feat = (
+        cfg.vision.in_channels
+        * cfg.vision.temporal_patch_size
+        * cfg.vision.patch_size**2
+    )
+    pv = rng.randn(npatch, in_feat).astype(np.float32)
+    mine = encode_vision(params, cfg, jnp.asarray(pv), g)
+    with torch.no_grad():
+        ref = model.model.visual(
+            torch.tensor(pv), grid_thw=torch.tensor(np.asarray(g))
+        ).numpy()
+    assert _err(mine, ref) < ATOL
+
+
+def test_text_forward_parity_within_window(setup):
+    """Full text stack parity (mRoPE tables + SWA/full attention + norms +
+    MLP + tied logits) at T <= sliding_window, where the reference's eager
+    mask path is exact."""
+    cfg, params, model = setup
+    rng = np.random.RandomState(1)
+    T = cfg.text.sliding_window - 2
+    ids = rng.randint(10, cfg.text.vocab_size - 8, (1, T))
+    pos, _ = my_rope_index(cfg, ids)
+    mine, _ = my_forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos))
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids), use_cache=False).logits.numpy()
+    assert _err(mine, ref) < ATOL
+
+
+def test_sliding_window_mask_parity(setup):
+    """T > window: the reference's eager path drops the window (it passes
+    the full-causal mask to every layer, modeling_infinitevl.py:1561, and
+    relies on FA2's sliding kwarg in production) — so feed the sliding mask
+    explicitly through the dict-mask escape hatch (modeling:1528) to get
+    ground-truth windowed attention, on an ALL-sliding config."""
+    cfg0 = tiny_config(num_hidden_layers=2)
+    cfg = dataclasses.replace(
+        cfg0,
+        text=dataclasses.replace(cfg0.text, layer_types=("sliding_attention",) * 2),
+    )
+    params = init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as out:
+        export_hf_safetensors(params, cfg, out)
+        hf = json.load(open(os.path.join(out, "config.json")))
+        model = build_torch_model(hf, os.path.join(out, "model.safetensors"))
+    rng = np.random.RandomState(2)
+    W = cfg.text.sliding_window
+    T = W + 8
+    ids = rng.randint(10, cfg.text.vocab_size - 8, (1, T))
+    pos, _ = my_rope_index(cfg, ids)
+    mine, _ = my_forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos))
+    # additive 4D mask: position t sees s in (t - W, t]
+    t = np.arange(T)[:, None]
+    s = np.arange(T)[None, :]
+    allowed = (s <= t) & (s > t - W)
+    mask4d = np.where(allowed, 0.0, -np.inf).astype(np.float32)[None, None]
+    with torch.no_grad():
+        # pass position_ids explicitly so the wrapper skips get_rope_index
+        # (which expects a tensor attention_mask, not the dict escape hatch)
+        ref = model(
+            input_ids=torch.tensor(ids),
+            position_ids=torch.tensor(pos),
+            attention_mask={"full_attention": torch.tensor(mask4d)},
+            use_cache=False,
+        ).logits.numpy()
+    assert _err(mine, ref) < ATOL
+
+
+def test_multimodal_forward_parity(setup):
+    cfg, params, model = setup
+    rng = np.random.RandomState(4)
+    g1 = ((1, 4, 4),)
+    in_feat = (
+        cfg.vision.in_channels
+        * cfg.vision.temporal_patch_size
+        * cfg.vision.patch_size**2
+    )
+    pv = rng.randn(16, in_feat).astype(np.float32)
+    ids = np.asarray(
+        [
+            [3, cfg.vision_start_token_id]
+            + [cfg.image_token_id] * 4
+            + [cfg.vision_end_token_id, 11, 12, 13]
+        ]
+    )
+    pos, _ = my_rope_index(cfg, ids, np.asarray(g1))
+    mine, _ = my_forward(
+        params, cfg, jnp.asarray(ids), jnp.asarray(pos),
+        pixel_values=jnp.asarray(pv), grid_thw=g1,
+    )
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(pv),
+            image_grid_thw=torch.tensor(np.asarray(g1)),
+            use_cache=False,
+        ).logits.numpy()
+    assert _err(mine, ref) < ATOL
