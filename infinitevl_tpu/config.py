@@ -91,7 +91,17 @@ class TextConfig:
     attention_dropout: float = 0.0
     tie_word_embeddings: bool = True
     mrope_section: Tuple[int, ...] = (16, 24, 24)
-    attention_scaling: float = 1.0  # rope_type "default"
+    attention_scaling: float = 1.0  # derived for yarn (0.1*ln(factor)+1)
+
+    # --- rope scaling variant (reference model_utils/rope.py:35 activates
+    # the transformers default/linear/dynamic/yarn/llama3 inits) ---
+    rope_type: str = "default"
+    rope_factor: float = 1.0
+    rope_original_max_position_embeddings: Optional[int] = None
+    rope_beta_fast: float = 32.0
+    rope_beta_slow: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
 
     # --- Gated DeltaNet (linear attention) branch ---
     expand_v: float = 2.0
@@ -136,6 +146,16 @@ class TextConfig:
             raise ValueError(
                 f"layer_types has {len(self.layer_types)} entries for "
                 f"{self.num_hidden_layers} layers"
+            )
+        if self.rope_type == "yarn" and self.attention_scaling == 1.0:
+            # yarn scales attention by 0.1*ln(factor) + 1 (transformers
+            # _compute_yarn_parameters attention_factor default)
+            import math
+
+            object.__setattr__(
+                self,
+                "attention_scaling",
+                0.1 * math.log(self.rope_factor) + 1.0,
             )
 
     # --- Derived DeltaNet dims (reference modeling_infinitevl.py:1139-1147) ---
@@ -281,6 +301,20 @@ def from_hf_dict(d: Dict[str, Any]) -> InfiniteVLConfig:
     tkw = {k: _tupled(v) for k, v in td.items() if k in text_fields}
     if "mrope_section" in rope_scaling:
         tkw["mrope_section"] = tuple(rope_scaling["mrope_section"])
+    rt = rope_scaling.get("rope_type", rope_scaling.get("type", "default"))
+    if rt not in ("default", "mrope"):  # HF marks plain mrope as "default"
+        tkw["rope_type"] = rt
+        if "factor" in rope_scaling:
+            tkw["rope_factor"] = float(rope_scaling["factor"])
+        for src, dst in (
+            ("original_max_position_embeddings", "rope_original_max_position_embeddings"),
+            ("beta_fast", "rope_beta_fast"),
+            ("beta_slow", "rope_beta_slow"),
+            ("low_freq_factor", "rope_low_freq_factor"),
+            ("high_freq_factor", "rope_high_freq_factor"),
+        ):
+            if src in rope_scaling:
+                tkw[dst] = rope_scaling[src]
     if "head_dim" not in tkw and "hidden_size" in tkw and "num_attention_heads" in tkw:
         tkw["head_dim"] = tkw["hidden_size"] // tkw["num_attention_heads"]
     if not td.get("use_sliding_window", True):

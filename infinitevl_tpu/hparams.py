@@ -18,6 +18,10 @@ class ModelArgs:
     dtype: str = "bfloat16"
     use_pallas_swa: bool = True
     conv_carry: bool = False
+    # rope scaling (reference model_utils/rope.py configure_rope):
+    # linear | dynamic | yarn | llama3; factor derived from model_max_length
+    rope_scaling: Optional[str] = None
+    model_max_length: Optional[int] = None
 
 
 @dataclasses.dataclass

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LINEAR, SLIDING, InfiniteVLConfig, TextConfig, VisionConfig
-from ..ops.rope import default_inv_freq
+from ..ops.rope import rope_init
 
 Params = Dict[str, Any]
 
@@ -224,9 +224,7 @@ def init_text_params(key, cfg: TextConfig, dtype=jnp.bfloat16) -> Params:
             jax.random.truncated_normal(ks[-1], -2, 2, (cfg.vocab_size, cfg.hidden_size)) * 0.02
         ).astype(dtype),
         "final_norm": jnp.ones((cfg.hidden_size,), dtype=dtype),
-        "inv_freq": jnp.asarray(
-            default_inv_freq(cfg.head_dim, cfg.rope_theta), dtype=jnp.float32
-        ),
+        "inv_freq": jnp.asarray(rope_init(cfg)[0], dtype=jnp.float32),
         "layers": layers,
     }
     if not cfg.tie_word_embeddings:
@@ -354,7 +352,7 @@ def load_hf_checkpoint(
         )
         # derived constants are not checkpoint tensors; rebuild from config
         params["text"]["inv_freq"] = jnp.asarray(
-            default_inv_freq(cfg.text.head_dim, cfg.text.rope_theta),
+            rope_init(cfg.text)[0],
             dtype=jnp.float32,
         )
     else:

@@ -30,6 +30,69 @@ def default_inv_freq(head_dim: int, theta: float) -> np.ndarray:
     return 1.0 / theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
 
 
+def rope_init(cfg, seq_len: int | None = None) -> Tuple[np.ndarray, float]:
+    """(inv_freq, attention_scaling) for a TextConfig, honoring its rope
+    scaling variant. Mirrors the transformers ROPE_INIT_FUNCTIONS the
+    reference activates through model_utils/rope.py:35 (linear / dynamic /
+    yarn / llama3); parity-tested against transformers in
+    tests/test_rope_scaling.py. `seq_len` only affects "dynamic" (NTK
+    recomputed when the running length exceeds max_position_embeddings)."""
+    d = cfg.head_dim
+    theta = cfg.rope_theta
+    rt = cfg.rope_type
+    factor = cfg.rope_factor
+    base = default_inv_freq(d, theta)
+    if rt == "default":
+        return base, 1.0
+    if rt == "linear":
+        return base / factor, 1.0
+    if rt == "dynamic":
+        # dynamic NTK base rescale (transformers _compute_dynamic_ntk):
+        # theta' = theta * ((factor * L / L_max) - (factor - 1)) ** (d/(d-2)),
+        # with L = max(seq_len, max_position_embeddings) — identity at init
+        L_max = cfg.max_position_embeddings
+        L = max(seq_len or L_max, L_max)
+        new_theta = theta * (
+            (factor * L / L_max) - (factor - 1)
+        ) ** (d / (d - 2))
+        return default_inv_freq(d, new_theta), 1.0
+    if rt == "yarn":
+        orig = cfg.rope_original_max_position_embeddings or (
+            cfg.max_position_embeddings // max(int(factor), 1)
+        )
+        beta_fast, beta_slow = cfg.rope_beta_fast, cfg.rope_beta_slow
+
+        def find_dim(num_rot):
+            return (
+                d * np.log(orig / (num_rot * 2 * np.pi))
+            ) / (2 * np.log(theta))
+
+        low = max(int(np.floor(find_dim(beta_fast))), 0)
+        high = min(int(np.ceil(find_dim(beta_slow))), d - 1)
+        # linear ramp over rotary dims: 0 -> extrapolate (keep base freq),
+        # 1 -> interpolate (base / factor)
+        ramp = (np.arange(d // 2, dtype=np.float64) - low) / max(high - low, 1e-3)
+        ramp = np.clip(ramp, 0.0, 1.0)
+        inv_freq = (base / factor) * ramp + base * (1 - ramp)
+        attention_scaling = 0.1 * float(np.log(factor)) + 1.0
+        return inv_freq, attention_scaling
+    if rt == "llama3":
+        orig = cfg.rope_original_max_position_embeddings or 8192
+        low_f, high_f = cfg.rope_low_freq_factor, cfg.rope_high_freq_factor
+        low_wl = orig / low_f
+        high_wl = orig / high_f
+        wavelen = 2 * np.pi / base
+        inv_llama = np.where(wavelen > low_wl, base / factor, base)
+        smooth = (orig / wavelen - low_f) / (high_f - low_f)
+        smoothed = (1 - smooth) * inv_llama / factor + smooth * inv_llama
+        is_mid = (wavelen >= high_wl) & (wavelen <= low_wl)
+        inv_freq = np.where(is_mid, smoothed, inv_llama)
+        return inv_freq, 1.0
+    raise ValueError(
+        f"unknown rope_type {rt!r} (default | linear | dynamic | yarn | llama3)"
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def mrope_axis_index(head_dim: int, mrope_section: Tuple[int, ...]) -> np.ndarray:
     """For each channel of the full (duplicated) head_dim, which of the 3

@@ -111,6 +111,9 @@ def _match(rules, path: str) -> Optional[P]:
     return None
 
 
+_FIT_WARNED: set = set()
+
+
 def param_spec(path: str, shape, mesh: Mesh, param_mode: str = "tp") -> P:
     """PartitionSpec for one parameter. param_mode:
     - "tp": tensor-parallel rules only (inference default)
@@ -120,7 +123,22 @@ def param_spec(path: str, shape, mesh: Mesh, param_mode: str = "tp") -> P:
     """
     spec = _match(_RULES, path) if param_mode != "replicated" else None
     spec = spec if spec is not None else P()
-    spec = _fit(spec, shape, mesh)
+    fitted = _fit(spec, shape, mesh)
+    if fitted != spec and tuple(spec) != ():
+        # don't silently read as "TP works" when a dim fell back to
+        # replication (e.g. 2 KV heads on a 4-way model axis); warn once per
+        # distinct (layer-number-erased) path
+        key = (re.sub(r"\d+", "#", path), tuple(spec), shape)
+        if key not in _FIT_WARNED:
+            _FIT_WARNED.add(key)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sharding rule %s does not divide %s for %s; falling back "
+                "to %s (replicated on the dropped axes)",
+                tuple(spec), shape, path, tuple(fitted),
+            )
+    spec = fitted
     if param_mode == "fsdp" and mesh.shape[DATA] > 1 and len(shape) >= 1:
         used = set(a for a in spec if a is not None)
         if DATA not in used:

@@ -63,6 +63,25 @@ def build_config(args: AllArgs) -> InfiniteVLConfig:
         use_pallas_swa=args.model.use_pallas_swa,
         conv_carry=args.model.conv_carry,
     )
+    if args.model.rope_scaling:
+        # configure_rope semantics (reference model_utils/rope.py:35-69):
+        # enlarge the context window and derive the scaling factor from it
+        cur = text.max_position_embeddings
+        mml = args.model.model_max_length
+        kw = {"rope_type": args.model.rope_scaling}
+        if mml and mml > cur:
+            kw["rope_factor"] = float(int(np.ceil(mml / cur)))
+            kw["max_position_embeddings"] = mml
+            if args.model.rope_scaling in ("dynamic", "yarn", "llama3"):
+                kw["rope_original_max_position_embeddings"] = cur
+        else:
+            if mml:
+                logger.warning(
+                    "model_max_length <= max_position_embeddings; "
+                    "using rope factor 2.0"
+                )
+            kw["rope_factor"] = 2.0
+        text = dataclasses.replace(text, **kw)
     return dataclasses.replace(cfg, text=text)
 
 

@@ -232,8 +232,16 @@ def config_to_hf_dict(cfg) -> Dict[str, Any]:
         "linear_head_dim": t.linear_head_dim,
         "rope_scaling": {
             "mrope_section": list(t.mrope_section),
-            "rope_type": "default",
-            "type": "default",
+            "rope_type": t.rope_type,
+            "type": t.rope_type,
+            **(
+                {
+                    "factor": t.rope_factor,
+                    "original_max_position_embeddings": t.rope_original_max_position_embeddings,
+                }
+                if t.rope_type != "default"
+                else {}
+            ),
         },
         "image_token_id": cfg.image_token_id,
         "video_token_id": cfg.video_token_id,
