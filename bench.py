@@ -19,6 +19,7 @@ Prints ONE JSON line; extra stats go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -78,6 +79,89 @@ def main():
     fps = 1000.0 / ms_frame
     log(f"streaming: {fps:.1f} FPS device-side")
     log(f"state bytes: {state_bytes(eng.state)/1e6:.1f} MB (constant)")
+
+    # --- END-TO-END streaming FPS: raw uint8 host frames through
+    # stream_frame_step_raw (ship 3 B/px, normalize+patchify on device), the
+    # reference demo's measurement semantics (demo_streaming_inference.py:
+    # 470-510). H2D is pipelined (async device_put) as a real capture loop
+    # would; on this relay each transfer still costs ~30+ ms of fixed
+    # latency that no PCIe/DMA deployment pays, so fps_e2e here is a LOWER
+    # bound dominated by the relay, reported alongside the device-side rate.
+    from infinitevl_tpu.streaming import stream_frame_step_raw
+
+    rng = np.random.RandomState(1)
+    host_frames = [
+        rng.randint(0, 255, (448, 448, 3)).astype(np.uint8) for _ in range(3)
+    ]
+
+    def run_e2e(n, state):
+        for i in range(n):
+            fdev = jax.device_put(host_frames[i % 3])
+            state = stream_frame_step_raw(
+                params, cfg, fdev, eng.frame_input_ids, pos_base, t_off,
+                state, eng.grid_thw,
+            )
+        jax.block_until_ready(state)
+        return state
+
+    t0 = time.time()
+    # fresh state: the device-side measurement above donated eng.state
+    st = run_e2e(2, init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16))
+    t1 = time.time()
+    st = run_e2e(5, st)
+    t2 = time.time()
+    st = run_e2e(20, st)
+    t3 = time.time()
+    ms_e2e = ((t3 - t2) - (t2 - t1)) * 1000 / 15  # slope: cancels fixed sync
+    fps_e2e = 1000.0 / ms_e2e
+    log(
+        f"streaming e2e (host uint8 -> device): {ms_e2e:.1f} ms/frame = "
+        f"{fps_e2e:.1f} FPS (compile+measure {time.time()-t0:.0f}s; relay "
+        f"H2D floor inflates this vs any real deployment)"
+    )
+    del st
+
+    # --- Pallas real-compile parity: guard against Mosaic-vs-interpret
+    # divergence (CI tests the kernels in interpret mode only). One decode
+    # and one prefill check at deployed dims vs the XLA dense reference. ---
+    pallas_err = None
+    if os.environ.get("IVL_BENCH_PARITY", "1") != "0":
+        from infinitevl_tpu.ops.swa import swa_cached_attention
+        from infinitevl_tpu.ops.swa_pallas import (
+            swa_ring_flash_attention,
+            swa_ring_flash_decode,
+        )
+
+        t0 = time.time()
+        tc = cfg.text
+        cap, W = tc.swa_capacity, tc.sliding_window
+        Hq, Hkv, D = tc.num_attention_heads, tc.num_key_value_heads, tc.head_dim
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 8)
+        mk = lambda k, shape: (jax.random.normal(k, shape) * 0.5).astype(jnp.bfloat16)
+        rk, rv = mk(ks[0], (1, Hkv, cap, D)), mk(ks[1], (1, Hkv, cap, D))
+        cum = jnp.asarray(cap + 37, jnp.int32)
+        errs = []
+        for T, kq in ((1, ks[2]), (257, ks[3])):
+            q = mk(jax.random.fold_in(kq, 0), (1, T, Hq, D))
+            nk = mk(jax.random.fold_in(kq, 1), (1, T, Hkv, D))
+            nv = mk(jax.random.fold_in(kq, 2), (1, T, Hkv, D))
+            ref, _, _ = swa_cached_attention(q, nk, nv, rk, rv, cum, W)
+            if T == 1:
+                out, _, _ = swa_ring_flash_decode(q, nk, nv, rk, rv, cum, W)
+            else:
+                out = swa_ring_flash_attention(q, nk, nv, rk, rv, cum, W)
+            e = float(
+                jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+                / (jnp.abs(ref.astype(jnp.float32)).max() + 1e-9)
+            )
+            errs.append(e)
+            assert e < 5e-2, f"pallas/XLA divergence at T={T}: err-ratio {e}"
+        pallas_err = max(errs)
+        log(
+            f"pallas real-compile parity OK: decode err {errs[0]:.2e}, "
+            f"prefill err {errs[1]:.2e} ({time.time()-t0:.0f}s)"
+        )
 
     # --- decode throughput at 500K context (state is constant-size, so the
     # context length enters only through the position masks) ---
@@ -156,6 +240,9 @@ def main():
                 "decode_tok_s": round(1000 / ms_dec, 1),
                 "decode_ctx": 500_000,
                 "frame_ms": round(ms_frame, 2),
+                "fps_e2e": round(fps_e2e, 2),
+                "frame_ms_e2e": round(ms_e2e, 2),
+                "pallas_parity_err": pallas_err,
                 "params_b": round(n_params / 1e9, 2),
                 "state_mb": round(state_mb, 1),
                 "vs_dense_96k": round(dense_speedup, 2) if dense_speedup else None,

@@ -16,6 +16,7 @@ USAGE = """infinitevl-tpu CLI
   python -m infinitevl_tpu.cli api <config.yaml>     # OpenAI-compatible server
   python -m infinitevl_tpu.cli eval <config.yaml>    # MCQ evaluator
   python -m infinitevl_tpu.cli export <config.yaml>  # HF safetensors export
+  python -m infinitevl_tpu.cli board [port]          # training web board
   python -m infinitevl_tpu.cli bench                 # run bench.py metrics
   python -m infinitevl_tpu.cli version
 """
@@ -153,6 +154,11 @@ def main(argv=None):
         import runpy
 
         runpy.run_path("bench.py", run_name="__main__")
+        return 0
+    if cmd == "board":
+        from .serve.webui import run_board
+
+        run_board(port=int(rest[0]) if rest else 7860)
         return 0
     if cmd in ("train", "chat", "api", "eval", "export"):
         if not rest:

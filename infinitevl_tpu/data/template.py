@@ -6,14 +6,82 @@ list into prompt/response strings with the family's control tokens, and
 `encode_turns` produces (input_ids, labels) with non-assistant tokens masked
 to IGNORE_INDEX. Only the families InfiniteVL ships with are registered
 (qwen2_vl and plain chatml); the registry is open for more.
+
+Tool calling follows the Qwen 2.5 convention the reference implements in
+data/tool_utils.py (QwenToolUtils): tool signatures go into the system turn
+inside <tools></tools>, assistant function calls render as
+<tool_call>{json}</tool_call>, and tool results come back as a "tool" role
+wrapped in <tool_response></tool_response>.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+import json
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 IGNORE_INDEX = -100
+
+# QWEN_TOOL_PROMPT / function format (reference tool_utils.py:52-57, 270-292)
+TOOL_PROMPT = (
+    "\n\n# Tools\n\nYou may call one or more functions to assist with the "
+    "user query.\n\nYou are provided with function signatures within "
+    "<tools></tools> XML tags:\n<tools>{tool_text}\n</tools>\n\nFor each "
+    "function call, return a json object with function name and arguments "
+    'within <tool_call></tool_call> XML tags:\n<tool_call>\n{{"name": '
+    '<function-name>, "arguments": <args-json-object>}}\n</tool_call>'
+)
+
+
+def format_tools(tools: Sequence[Dict[str, Any]]) -> str:
+    """System-prompt tool block (QwenToolUtils.tool_formatter)."""
+    tool_text = "".join(
+        "\n" + json.dumps({"type": "function", "function": t}, ensure_ascii=False)
+        for t in tools
+    )
+    return TOOL_PROMPT.format(tool_text=tool_text)
+
+
+def format_function_calls(calls: Sequence[Dict[str, Any]]) -> str:
+    """Assistant-side rendering of function calls
+    (QwenToolUtils.function_formatter)."""
+    parts = []
+    for c in calls:
+        args = c.get("arguments", {})
+        if not isinstance(args, str):
+            args = json.dumps(args, ensure_ascii=False)
+        parts.append(
+            "<tool_call>\n"
+            + json.dumps({"name": c["name"], "arguments": json.loads(args)},
+                         ensure_ascii=False)
+            + "\n</tool_call>"
+        )
+    return "\n".join(parts)
+
+
+_TOOL_CALL_RE = re.compile(
+    r"<tool_call>(.+?)</tool_call>(?=\s*<tool_call>|\s*$)", re.DOTALL
+)
+
+
+def extract_tool_calls(content: str):
+    """Parse <tool_call> blocks out of a generated completion
+    (QwenToolUtils.tool_extractor). Returns the raw string when no valid
+    calls are present, else a list of {"name", "arguments"} dicts."""
+    matches = _TOOL_CALL_RE.findall(content)
+    if not matches:
+        return content
+    out = []
+    for m in matches:
+        try:
+            d = json.loads(m.strip())
+        except json.JSONDecodeError:
+            return content
+        if "name" not in d:
+            return content
+        out.append({"name": d["name"], "arguments": d.get("arguments", {})})
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -26,18 +94,55 @@ class Template:
     default_system: str = ""
     stop_words: Tuple[str, ...] = ()
 
+    def _prepare(
+        self,
+        messages: Sequence[Dict[str, Any]],
+        tools: Optional[Sequence[Dict[str, Any]]] = None,
+    ) -> List[Dict[str, str]]:
+        """Normalize roles and inject tools: tool signatures append to the
+        system turn (reference ToolFormatter placement); "tool"/"observation"
+        turns wrap in <tool_response> as a user-side turn (reference qwen
+        format_observation, template.py:1349-1351); assistant messages with
+        `tool_calls` render them as <tool_call> blocks."""
+        msgs: List[Dict[str, str]] = []
+        has_system = any(m["role"] == "system" for m in messages)
+        if not has_system and (self.default_system or tools):
+            msgs.append({"role": "system", "content": self.default_system})
+        for m in messages:
+            role, content = m["role"], m.get("content", "")
+            if role in ("tool", "observation", "function"):
+                msgs.append(
+                    {
+                        "role": "user",
+                        "content": f"<tool_response>\n{content}\n</tool_response>",
+                    }
+                )
+                continue
+            if role == "assistant" and m.get("tool_calls"):
+                rendered = format_function_calls(
+                    [
+                        c.get("function", c)
+                        for c in m["tool_calls"]
+                    ]
+                )
+                content = (content + "\n" + rendered).strip()
+            msgs.append({"role": role, "content": content})
+        if tools:
+            msgs[0] = {
+                "role": "system",
+                "content": msgs[0]["content"] + format_tools(tools),
+            }
+        return msgs
+
     def render_prompt(
         self,
-        messages: Sequence[Dict[str, str]],
+        messages: Sequence[Dict[str, Any]],
         add_generation_prompt: bool = True,
+        tools: Optional[Sequence[Dict[str, Any]]] = None,
     ) -> str:
-        """messages: [{role: system|user|assistant, content: str}, ...]."""
+        """messages: [{role: system|user|assistant|tool, content: str}, ...]."""
         out = []
-        has_system = any(m["role"] == "system" for m in messages)
-        if not has_system and self.default_system:
-            out.append(self.system_prefix.format(content=self.default_system))
-            out.append(self.turn_suffix)
-        for m in messages:
+        for m in self._prepare(messages, tools):
             role, content = m["role"], m["content"]
             if role == "system":
                 out.append(self.system_prefix.format(content=content))
@@ -53,20 +158,18 @@ class Template:
         return "".join(out)
 
     def encode_turns(
-        self, tokenizer, messages: Sequence[Dict[str, str]]
+        self,
+        tokenizer,
+        messages: Sequence[Dict[str, Any]],
+        tools: Optional[Sequence[Dict[str, Any]]] = None,
     ) -> Tuple[List[int], List[int]]:
         """(input_ids, labels): labels = ids on assistant contents (+ the
         turn suffix), IGNORE_INDEX elsewhere — supervised SFT encoding
-        (data/processor/supervised.py semantics)."""
+        (data/processor/supervised.py semantics). Tool responses encode as
+        unsupervised user-side turns; assistant tool_calls are supervised."""
         ids: List[int] = []
         labels: List[int] = []
-        has_system = any(m["role"] == "system" for m in messages)
-        if not has_system and self.default_system:
-            seg = self.system_prefix.format(content=self.default_system) + self.turn_suffix
-            t = tokenizer.encode(seg, add_special_tokens=False)
-            ids += t
-            labels += [IGNORE_INDEX] * len(t)
-        for m in messages:
+        for m in self._prepare(messages, tools):
             role, content = m["role"], m["content"]
             if role == "assistant":
                 prefix = tokenizer.encode(self.assistant_prefix, add_special_tokens=False)

@@ -133,6 +133,69 @@ def convert_attention(
     return student, student_cfg
 
 
+def llama_pro_expand(
+    params: Params,  # text tree
+    cfg: TextConfig,
+    num_expand: int,
+) -> Tuple[Params, TextConfig]:
+    """LLaMA-Pro block expansion (reference scripts/llama_pro.py): split the
+    stack into `num_expand` groups and append after each group an IDENTITY
+    copy of its last layer — o_proj and mlp.down zeroed so the new block is
+    a no-op at init; training typically freezes the original layers."""
+    import jax.numpy as jnp
+
+    n = cfg.num_hidden_layers
+    if num_expand <= 0 or n % num_expand:
+        raise ValueError(
+            f"num_expand must divide num_hidden_layers ({n}), got {num_expand}"
+        )
+    group = n // num_expand
+    new_layers = []
+    new_types = []
+    for g in range(num_expand):
+        for i in range(g * group, (g + 1) * group):
+            new_layers.append(params["layers"][i])
+            new_types.append(cfg.layer_types[i])
+        src = params["layers"][(g + 1) * group - 1]
+        copy = jax.tree.map(lambda x: x, src)
+        copy = dict(copy)
+        copy["o_proj"] = dict(copy["o_proj"])
+        copy["o_proj"]["kernel"] = jnp.zeros_like(copy["o_proj"]["kernel"])
+        copy["mlp"] = dict(copy["mlp"])
+        copy["mlp"]["down"] = dict(copy["mlp"]["down"])
+        copy["mlp"]["down"]["kernel"] = jnp.zeros_like(
+            copy["mlp"]["down"]["kernel"]
+        )
+        new_layers.append(copy)
+        new_types.append(cfg.layer_types[(g + 1) * group - 1])
+    new_params = dict(params)
+    new_params["layers"] = new_layers
+    new_cfg = dataclasses.replace(
+        cfg,
+        num_hidden_layers=n + num_expand,
+        layer_types=tuple(new_types),
+    )
+    return new_params, new_cfg
+
+
+def expansion_trainable_mask(params: Params, cfg: TextConfig, num_expand: int) -> Params:
+    """Freeze-all-but-the-new-blocks mask for llama_pro finetuning: the new
+    blocks sit at positions (g+1)*group + g for each group g."""
+    n = cfg.num_hidden_layers  # post-expansion count
+    group = (n - num_expand) // num_expand
+    new_idx = {(g + 1) * group + g for g in range(num_expand)}
+    out = {
+        k: jax.tree.map(lambda _: False, v)
+        for k, v in params.items()
+        if k != "layers"
+    }
+    out["layers"] = [
+        jax.tree.map(lambda _: i in new_idx, lp)
+        for i, lp in enumerate(params["layers"])
+    ]
+    return out
+
+
 def trainable_mask(
     params: Params,
     cfg: TextConfig,

@@ -24,10 +24,19 @@ def init_lora(
     rank: int = 8,
     target: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj"),
     dtype=jnp.float32,
+    method: str = "lora",
 ) -> Params:
     """Adapter tree mirroring params' structure: for every dict node named in
-    `target` that holds a 'kernel', create {'a','b'} (a ~ N(0, 1/r), b = 0,
-    standard LoRA init)."""
+    `target` that holds a 'kernel', create {'a','b'}.
+
+    method:
+    - "lora": a ~ N(0, 1/r), b = 0 (standard init)
+    - "pissa": principal singular components of the base kernel — a =
+      U_r sqrt(S_r), b = sqrt(S_r) V_r^T, the reference's PiSSA option
+      (scripts/pissa_init.py / pissa_init in model args). With PiSSA the
+      caller must subtract the principal component from the base (see
+      pissa_decompose) or train with the adapter ADDED as-is on a base whose
+      principal part was removed."""
     counter = [0]
 
     def walk(node, path):
@@ -43,12 +52,21 @@ def init_lora(
                     d_in, d_out = v["kernel"].shape
                     counter[0] += 1
                     ka = jax.random.fold_in(key, counter[0])
-                    out[k] = {
-                        "a": (
-                            jax.random.normal(ka, (d_in, rank)) / jnp.sqrt(rank)
-                        ).astype(dtype),
-                        "b": jnp.zeros((rank, d_out), dtype=dtype),
-                    }
+                    if method == "pissa":
+                        w = v["kernel"].astype(jnp.float32)
+                        u, s, vt = jnp.linalg.svd(w, full_matrices=False)
+                        sr = jnp.sqrt(s[:rank])
+                        out[k] = {
+                            "a": (u[:, :rank] * sr[None, :]).astype(dtype),
+                            "b": (sr[:, None] * vt[:rank]).astype(dtype),
+                        }
+                    else:
+                        out[k] = {
+                            "a": (
+                                jax.random.normal(ka, (d_in, rank)) / jnp.sqrt(rank)
+                            ).astype(dtype),
+                            "b": jnp.zeros((rank, d_out), dtype=dtype),
+                        }
                 else:
                     sub = walk(v, path + (k,))
                     if sub is not None:
@@ -60,6 +78,41 @@ def init_lora(
         return None
 
     return walk(params, ()) or {}
+
+
+def pissa_decompose(
+    params: Params,
+    key: jax.Array,
+    rank: int = 8,
+    target: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj"),
+    dtype=jnp.float32,
+) -> Tuple[Params, Params]:
+    """PiSSA decomposition: returns (residual_base, adapter) such that
+    residual_base + a @ b == params on the target kernels. Training the
+    adapter over the residual base trains the PRINCIPAL directions of each
+    weight (the PiSSA paper's trick; the reference exposes it via
+    pissa_init / scripts)."""
+    lora = init_lora(params, key, rank, target, dtype, method="pissa")
+
+    def walk(p, l):
+        if isinstance(p, dict):
+            out = {}
+            for k, v in p.items():
+                if isinstance(l, dict) and k in l and isinstance(l[k], dict) \
+                        and "a" in l[k]:
+                    new = dict(v)
+                    delta = (l[k]["a"] @ l[k]["b"]).astype(v["kernel"].dtype)
+                    new["kernel"] = v["kernel"] - delta
+                    out[k] = new
+                else:
+                    out[k] = walk(v, l.get(k) if isinstance(l, dict) else None)
+            return out
+        if isinstance(p, (list, tuple)):
+            ls = l if isinstance(l, (list, tuple)) else [None] * len(p)
+            return type(p)(walk(v, lv) for v, lv in zip(p, ls))
+        return p
+
+    return walk(params, lora), lora
 
 
 def apply_lora(

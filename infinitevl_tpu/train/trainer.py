@@ -43,6 +43,10 @@ from .step import make_mm_sft_train_step, make_optimizer, make_sft_train_step
 
 logger = get_logger(__name__)
 
+# Optional cooperative abort (set by the web board's runner; checked once per
+# step). The reference LlamaBoard aborts via its Runner process handle.
+ABORT_EVENT = None
+
 
 def build_config(args: AllArgs) -> InfiniteVLConfig:
     ckpt_cfg = (
@@ -402,6 +406,9 @@ class Trainer:
         tokens = 0
         for item in batches:
             if max_steps is not None and self.step >= max_steps:
+                break
+            if ABORT_EVENT is not None and ABORT_EVENT.is_set():
+                logger.info(f"abort requested at step {self.step}")
                 break
             # collators may yield (batch, *static_args) — e.g. grid
             # signatures for the multimodal step's jit cache

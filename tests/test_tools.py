@@ -1,0 +1,96 @@
+"""Tool-calling template support (reference data/tool_utils.py QwenToolUtils
++ qwen template format_observation, template.py:1344-1355)."""
+
+import json
+
+import numpy as np
+
+from infinitevl_tpu.data.loader import SimpleTokenizer
+from infinitevl_tpu.data.template import (
+    extract_tool_calls,
+    format_function_calls,
+    format_tools,
+    get_template,
+)
+
+TOOLS = [
+    {
+        "name": "get_weather",
+        "description": "Get the weather for a city",
+        "parameters": {
+            "type": "object",
+            "properties": {"city": {"type": "string"}},
+            "required": ["city"],
+        },
+    }
+]
+
+
+def test_format_tools_block():
+    block = format_tools(TOOLS)
+    assert "<tools>" in block and "</tools>" in block
+    assert '"type": "function"' in block
+    assert "get_weather" in block
+
+
+def test_render_prompt_with_tools_and_observation():
+    t = get_template("qwen2_vl")
+    messages = [
+        {"role": "user", "content": "Weather in Paris?"},
+        {
+            "role": "assistant",
+            "content": "",
+            "tool_calls": [
+                {"function": {"name": "get_weather", "arguments": {"city": "Paris"}}}
+            ],
+        },
+        {"role": "tool", "content": '{"temp_c": 18}'},
+    ]
+    prompt = t.render_prompt(messages, tools=TOOLS)
+    assert "<tools>" in prompt  # signatures injected into the system turn
+    assert "<tool_call>" in prompt and '"city": "Paris"' in prompt
+    assert "<tool_response>" in prompt  # observation wrapped, user side
+    assert prompt.rstrip().endswith("assistant")
+
+
+def test_encode_turns_supervises_tool_calls_only():
+    t = get_template("qwen2_vl")
+    tok = SimpleTokenizer()
+    messages = [
+        {"role": "user", "content": "Weather in Paris?"},
+        {
+            "role": "assistant",
+            "content": "",
+            "tool_calls": [
+                {"function": {"name": "get_weather", "arguments": {"city": "Paris"}}}
+            ],
+        },
+        {"role": "tool", "content": "18C"},
+        {"role": "assistant", "content": "It is 18C in Paris."},
+    ]
+    ids, labels = t.encode_turns(tok, messages, tools=TOOLS)
+    assert len(ids) == len(labels)
+    sup = [i for i, l in zip(ids, labels) if l != -100]
+    txt = tok.decode(sup)
+    assert "tool_call" in txt.replace("<", " ").replace(">", " ")
+    assert "18C" in txt  # final answer supervised
+    # the tool RESPONSE tokens are not supervised
+    resp_ids = tok.encode("<tool_response>", add_special_tokens=False)
+    for i, l in zip(ids, labels):
+        if i in resp_ids:
+            assert l == -100
+
+
+def test_extract_tool_calls_roundtrip():
+    calls = [{"name": "get_weather", "arguments": {"city": "Tokyo"}}]
+    text = format_function_calls(calls)
+    out = extract_tool_calls(text)
+    assert out == calls
+    # parallel calls
+    two = format_function_calls(calls * 2)
+    assert len(extract_tool_calls(two)) == 2
+    # plain text passes through unchanged
+    assert extract_tool_calls("just words") == "just words"
+    assert extract_tool_calls("<tool_call>not json</tool_call>") == (
+        "<tool_call>not json</tool_call>"
+    )
