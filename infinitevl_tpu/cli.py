@@ -130,13 +130,18 @@ def cmd_eval(config_path: str):
 
 
 def cmd_export(config_path: str):
+    import os
+
+    from .data.template import get_ollama_modelfile, get_template
     from .utils.checkpoint import export_hf_safetensors
 
     args = _load(config_path)
     gen, cfg = _build_generator(args)
     out = args.train.output_dir
     export_hf_safetensors(gen.params, cfg, out)
-    print(f"exported HF safetensors to {out}")
+    with open(os.path.join(out, "Modelfile"), "w") as f:
+        f.write(get_ollama_modelfile(get_template(args.data.template)))
+    print(f"exported HF safetensors + ollama Modelfile to {out}")
 
 
 def main(argv=None):

@@ -185,6 +185,39 @@ class Template:
         return ids, labels
 
 
+def get_ollama_modelfile(
+    template: "Template", num_ctx: int = 4096
+) -> str:
+    """Ollama Modelfile for this chat template (reference
+    template.py:292-307 get_ollama_modelfile): a go-template over .System /
+    .Messages plus stop words. Written next to an exported checkpoint so
+    `ollama create` can serve it."""
+    t = template
+    go = (
+        "{{ if .System }}"
+        + t.system_prefix.format(content="{{ .System }}")
+        + t.turn_suffix
+        + "{{ end }}"
+        + "{{ range .Messages }}{{ if eq .Role \"user\" }}"
+        + t.user_prefix.format(content="{{ .Content }}")
+        + t.turn_suffix
+        + "{{ else if eq .Role \"assistant\" }}"
+        + t.assistant_prefix
+        + "{{ .Content }}"
+        + t.turn_suffix
+        + "{{ end }}{{ end }}"
+        + t.assistant_prefix
+    )
+    out = "# ollama modelfile auto-generated by infinitevl_tpu\n\n"
+    out += f'FROM .\n\nTEMPLATE """{go}"""\n\n'
+    if t.default_system:
+        out += f'SYSTEM """{t.default_system}"""\n\n'
+    for stop in t.stop_words:
+        out += f'PARAMETER stop "{stop}"\n'
+    out += f"PARAMETER num_ctx {num_ctx}\n"
+    return out
+
+
 _TEMPLATES: Dict[str, Template] = {}
 
 

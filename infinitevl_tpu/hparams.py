@@ -75,6 +75,13 @@ class FinetuneArgs:
     mixer_config: Optional[Dict[str, Any]] = None
     checkpoint_path: Optional[str] = None
     teacher_model_path: Optional[str] = None
+    # --- custom optimizers (trainer_utils.py galore/apollo/loraplus/badam) ---
+    use_optimizer: Optional[str] = None  # galore | apollo | loraplus | badam
+    optimizer_rank: int = 8  # galore/apollo projection rank
+    optimizer_update_gap: int = 200  # projection refresh interval
+    loraplus_lr_ratio: float = 16.0
+    badam_num_blocks: int = 4
+    badam_switch_interval: int = 50
     # --- preference stages (rm/dpo/kto/ppo), finetuning_args RLHF group ---
     pref_beta: float = 0.1
     pref_loss: str = "sigmoid"  # sigmoid | ipo | simpo | orpo

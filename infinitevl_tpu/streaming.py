@@ -100,8 +100,11 @@ def stream_frame_step_raw(
     from .data.processing import patchify_device
 
     v = cfg.vision
+    # [H, W, C] single frame (duplicated to fill the temporal patch) or
+    # [T, H, W, C] clip (paired mode: real frames per temporal unit)
+    frames = raw_frame if raw_frame.ndim == 4 else raw_frame[None]
     pixels = patchify_device(
-        raw_frame[None],
+        frames,
         v.patch_size,
         v.temporal_patch_size,
         v.spatial_merge_size,
@@ -198,6 +201,62 @@ class StreamingEngine:
         self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
         self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
         self.frames += 1
+
+    def push_frame_pair(
+        self, pixel_values: np.ndarray, fps: float = 30.0
+    ) -> None:
+        """Ingest TWO consecutive frames as one temporal unit
+        (pixel_values: [n_patches, in_feat] from patchify of a [2, H, W, C]
+        clip). The reference demo duplicates each frame to fill
+        temporal_patch_size=2 (demo_streaming_inference.py frame loop), which
+        doubles tokens per frame of video; pairing real frames matches the
+        OFFLINE video processor semantics exactly (one grid_t unit per
+        temporal_patch_size frames) and halves per-frame decoder+ViT cost."""
+        t_off = self.t_offset_for_frame(self.frames, fps)
+        t0 = time.perf_counter()
+        self.state = stream_frame_step(
+            self.params,
+            self.cfg,
+            jnp.asarray(pixel_values, dtype=self.dtype),
+            self.frame_input_ids,
+            jnp.asarray(self.pos_base, dtype=jnp.int32),
+            jnp.asarray(t_off, dtype=jnp.int32),
+            self.state,
+            self.grid_thw,
+        )
+        jax.block_until_ready(self.state)
+        self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
+        self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
+        self.frames += 2
+
+    def push_frame_raw_paired(self, frame_rgb: np.ndarray, fps: float = 30.0) -> bool:
+        """Paired-mode raw ingestion: buffers every other frame on the host
+        and runs one step per two frames (normalize+patchify of the [2, H,
+        W, C] clip on device). Returns True when a step ran."""
+        if not hasattr(self, "_pair_buf"):
+            self._pair_buf: List[np.ndarray] = []
+        self._pair_buf.append(np.asarray(frame_rgb))
+        if len(self._pair_buf) < 2:
+            return False
+        clip = np.stack(self._pair_buf)
+        self._pair_buf = []
+        t_off = self.t_offset_for_frame(self.frames, fps)
+        t0 = time.perf_counter()
+        self.state = stream_frame_step_raw(
+            self.params,
+            self.cfg,
+            jnp.asarray(clip, dtype=jnp.uint8),
+            self.frame_input_ids,
+            jnp.asarray(self.pos_base, dtype=jnp.int32),
+            jnp.asarray(t_off, dtype=jnp.int32),
+            self.state,
+            self.grid_thw,
+        )
+        jax.block_until_ready(self.state)
+        self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
+        self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
+        self.frames += 2
+        return True
 
     def push_frame_raw(self, frame_rgb: np.ndarray, fps: float = 30.0) -> None:
         """Ingest a raw uint8 [H, W, C] frame; normalize+patchify on device."""

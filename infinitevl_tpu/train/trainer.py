@@ -442,17 +442,42 @@ class Trainer:
 def _make_tx(args: AllArgs, steps: int):
     """Optimizer from TrainArgs, wrapped for gradient accumulation when
     gradient_accumulation_steps > 1 (HF Trainer semantics: one optimizer
-    update per k micro-batches)."""
+    update per k micro-batches). FinetuneArgs.use_optimizer swaps in a
+    custom optimizer (galore/apollo/loraplus/badam, trainer_utils.py
+    counterparts)."""
     import optax
 
-    tx = make_optimizer(
-        args.train.learning_rate,
-        args.train.weight_decay,
-        grad_clip=args.train.max_grad_norm,
-        warmup_steps=args.train.warmup_steps,
-        total_steps=steps,
-        schedule=args.train.lr_scheduler_type,
-    )
+    if args.finetune.use_optimizer:
+        from .optim import make_custom_optimizer
+
+        name = args.finetune.use_optimizer
+        kw = {}
+        if name in ("galore", "apollo"):
+            kw = {
+                "rank": args.finetune.optimizer_rank,
+                "update_proj_gap": args.finetune.optimizer_update_gap,
+            }
+        elif name == "loraplus":
+            kw = {"lr_ratio": args.finetune.loraplus_lr_ratio,
+                  "weight_decay": args.train.weight_decay}
+        elif name == "badam":
+            kw = {
+                "num_blocks": args.finetune.badam_num_blocks,
+                "switch_interval": args.finetune.badam_switch_interval,
+            }
+        tx = optax.chain(
+            optax.clip_by_global_norm(args.train.max_grad_norm),
+            make_custom_optimizer(name, args.train.learning_rate, **kw),
+        )
+    else:
+        tx = make_optimizer(
+            args.train.learning_rate,
+            args.train.weight_decay,
+            grad_clip=args.train.max_grad_norm,
+            warmup_steps=args.train.warmup_steps,
+            total_steps=steps,
+            schedule=args.train.lr_scheduler_type,
+        )
     ga = args.train.gradient_accumulation_steps
     if ga > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=ga)

@@ -166,3 +166,28 @@ def test_generator_sampling_modes():
     )
     assert out.shape == (1, 4)
     assert (out >= 0).all() and (out < cfg.text.vocab_size).all()
+
+
+def test_paired_frame_mode():
+    """Two real frames per temporal unit (offline video semantics): one step
+    per pair, half the tokens per frame of the duplicate-frame mode."""
+    cfg = tiny_config()  # temporal_patch_size = 2
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    eng = StreamingEngine(params, cfg, frame_hw=(28, 28), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    f0 = rng.randint(0, 255, (28, 28, 3)).astype(np.uint8)
+    f1 = rng.randint(0, 255, (28, 28, 3)).astype(np.uint8)
+    assert eng.push_frame_raw_paired(f0) is False  # buffered
+    assert int(jax.device_get(eng.state["cum_len"])) == 0
+    assert eng.push_frame_raw_paired(f1) is True  # one step for the pair
+    assert eng.frames == 2
+    tokens_per_step = 1 + eng.tokens_per_frame
+    assert int(jax.device_get(eng.state["cum_len"])) == tokens_per_step
+    # duplicate-frame mode pays the same tokens PER FRAME
+    eng2 = StreamingEngine(params, cfg, frame_hw=(28, 28), dtype=jnp.float32)
+    eng2.push_frame_raw(f0)
+    eng2.push_frame_raw(f1)
+    assert int(jax.device_get(eng2.state["cum_len"])) == 2 * tokens_per_step
+    # paired state is finite and flat
+    for leaf in jax.tree.leaves(eng.state):
+        assert np.isfinite(np.asarray(leaf, dtype=np.float64)).all()

@@ -94,3 +94,15 @@ def test_extract_tool_calls_roundtrip():
     assert extract_tool_calls("<tool_call>not json</tool_call>") == (
         "<tool_call>not json</tool_call>"
     )
+
+
+def test_ollama_modelfile():
+    from infinitevl_tpu.data.template import get_ollama_modelfile
+
+    t = get_template("qwen2_vl")
+    mf = get_ollama_modelfile(t)
+    assert mf.startswith("# ollama modelfile")
+    assert 'FROM .' in mf and "TEMPLATE" in mf
+    assert "{{ .System }}" in mf and "{{ .Content }}" in mf
+    assert 'PARAMETER stop "<|im_end|>"' in mf
+    assert "PARAMETER num_ctx 4096" in mf
