@@ -37,8 +37,18 @@ class ChatBackend:
         max_tokens: int = 512,
         temperature: float = 0.0,
         top_p: float = 1.0,
+        tools: Optional[List[Dict[str, Any]]] = None,
     ) -> Dict[str, Any]:
-        prompt = self.template.render_prompt(messages, add_generation_prompt=True)
+        """OpenAI-style completion; with `tools`, signatures render into the
+        system turn and <tool_call> blocks in the output parse back into
+        tool_calls (reference api smoke: scripts/api_example/test_toolcall.py)."""
+        from ..data.template import extract_tool_calls
+
+        # OpenAI wraps as {"type": "function", "function": {...}}
+        fns = [t.get("function", t) for t in tools] if tools else None
+        prompt = self.template.render_prompt(
+            messages, add_generation_prompt=True, tools=fns
+        )
         ids = np.asarray(
             [self.tokenizer.encode(prompt, add_special_tokens=False)], np.int64
         )
@@ -50,11 +60,17 @@ class ChatBackend:
                 top_p=top_p,
             )
         text = self.tokenizer.decode(out[0], skip_special_tokens=True)
-        return {
+        res = {
             "text": text,
             "prompt_tokens": int(ids.shape[1]),
             "completion_tokens": int(out.shape[1]),
+            "tool_calls": None,
         }
+        if tools:
+            parsed = extract_tool_calls(text)
+            if isinstance(parsed, list):
+                res["tool_calls"] = parsed
+        return res
 
     def complete_stream(
         self,
@@ -144,7 +160,24 @@ def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:
         max_tokens=req.get("max_tokens", 512),
         temperature=req.get("temperature", 0.0),
         top_p=req.get("top_p", 1.0),
+        tools=req.get("tools"),
     )
+    message: Dict[str, Any] = {"role": "assistant", "content": res["text"]}
+    finish = "stop"
+    if res.get("tool_calls"):
+        message["content"] = ""
+        message["tool_calls"] = [
+            {
+                "id": f"call_{uuid.uuid4().hex[:8]}",
+                "type": "function",
+                "function": {
+                    "name": c["name"],
+                    "arguments": json.dumps(c["arguments"], ensure_ascii=False),
+                },
+            }
+            for c in res["tool_calls"]
+        ]
+        finish = "tool_calls"
     return {
         "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
         "object": "chat.completion",
@@ -153,8 +186,8 @@ def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:
         "choices": [
             {
                 "index": 0,
-                "message": {"role": "assistant", "content": res["text"]},
-                "finish_reason": "stop",
+                "message": message,
+                "finish_reason": finish,
             }
         ],
         "usage": {

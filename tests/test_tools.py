@@ -106,3 +106,58 @@ def test_ollama_modelfile():
     assert "{{ .System }}" in mf and "{{ .Content }}" in mf
     assert 'PARAMETER stop "<|im_end|>"' in mf
     assert "PARAMETER num_ctx 4096" in mf
+
+
+def test_api_tool_calls_roundtrip():
+    """OpenAI-style tools through the API layer (reference smoke:
+    scripts/api_example/test_toolcall.py): signatures render into the
+    prompt, <tool_call> output parses to message.tool_calls."""
+    import json as _json
+
+    import numpy as np
+
+    from infinitevl_tpu.serve.api import ChatBackend, _chat_response
+
+    class WordTok:
+        def __init__(self):
+            self.vocab = {}
+            self.rev = {}
+
+        def encode(self, text, add_special_tokens=False):
+            ids = []
+            for w in text.split(" "):
+                if w not in self.vocab:
+                    i = len(self.vocab) + 3
+                    self.vocab[w] = i
+                    self.rev[i] = w
+                ids.append(self.vocab[w])
+            return ids
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(self.rev.get(int(i), "?") for i in ids)
+
+    tok = WordTok()
+    reply = '<tool_call> {"name": "get_weather", "arguments": {"city": "Paris"}} </tool_call>'
+    reply_ids = tok.encode(reply)
+
+    class StubGen:
+        class cfg:
+            eos_token_id = 2
+
+        def generate(self, ids, **kw):
+            return np.asarray([reply_ids])
+
+    backend = ChatBackend(StubGen(), tok, model_name="stub")
+    req = {
+        "messages": [{"role": "user", "content": "Weather in Paris?"}],
+        "tools": [{"type": "function", "function": TOOLS[0]}],
+        "max_tokens": 16,
+    }
+    res = _chat_response(backend, req)
+    choice = res["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    calls = choice["message"]["tool_calls"]
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert _json.loads(calls[0]["function"]["arguments"]) == {"city": "Paris"}
+    # the prompt really contained the tool signatures
+    assert any("<tools>" in w for w in tok.vocab)
