@@ -234,6 +234,11 @@ class Generator:
         merge2 = cfg.vision.spatial_merge_unit
 
         def _check(grids_arr, token_id, kind):
+            if grids_arr is None:
+                raise ValueError(
+                    f"{kind} pixel values passed without the matching "
+                    f"{kind}_grid_thw"
+                )
             grids = tuple(tuple(int(x) for x in g) for g in grids_arr)
             n_feats = sum(t * h * w for t, h, w in grids) // merge2
             n_pads = int((input_ids == token_id).sum())

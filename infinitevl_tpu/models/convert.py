@@ -35,19 +35,26 @@ _MIXER_ALIASES = {
 
 
 def _gqa_expand(kernel, bias, num_kv_heads: int, head_dim: int, groups: int):
-    """Tile KV projection weights across query-head groups. Matches the
-    reference's torch `.repeat(groups, 1, 1)` semantics (model/convert.py:
-    104-118) — whole-block tiling, not interleave: kv head order becomes
-    [0..Hkv-1, 0..Hkv-1, ...]."""
+    """Expand KV projection weights to all query heads with repeat_interleave
+    order ([kv0, kv0, ..., kv1, kv1, ...]) — GQA maps query head i to kv
+    head i // groups (transformers repeat_kv), so this preserves the
+    teacher's per-head q.k geometry in the warm start.
+
+    DELIBERATE deviation: the reference uses torch `.repeat(groups, 1, 1)`
+    (model/convert.py:104-118), which TILES whole blocks ([kv0, kv1, kv0,
+    kv1]) and pairs most query heads with the wrong teacher KV head — a
+    likely bug there, since it breaks the mimic-init objective."""
     import jax.numpy as jnp
 
     D = kernel.shape[0]
     w = kernel.reshape(D, num_kv_heads, head_dim)
-    w = jnp.tile(w, (1, groups, 1)).reshape(D, num_kv_heads * groups * head_dim)
+    w = jnp.repeat(w, groups, axis=1).reshape(
+        D, num_kv_heads * groups * head_dim
+    )
     b = None
     if bias is not None:
-        b = jnp.tile(
-            bias.reshape(num_kv_heads, head_dim), (groups, 1)
+        b = jnp.repeat(
+            bias.reshape(num_kv_heads, head_dim), groups, axis=0
         ).reshape(-1)
     return w, b
 

@@ -48,12 +48,20 @@ def rope_init(cfg, seq_len: int | None = None) -> Tuple[np.ndarray, float]:
         return base / factor, 1.0
     if rt == "dynamic":
         # dynamic NTK base rescale (transformers _compute_dynamic_ntk):
-        # theta' = theta * ((factor * L / L_max) - (factor - 1)) ** (d/(d-2)),
-        # with L = max(seq_len, max_position_embeddings) — identity at init
-        L_max = cfg.max_position_embeddings
-        L = max(seq_len or L_max, L_max)
+        # theta' = theta * ((factor * L / L_orig) - (factor - 1)) ** (d/(d-2)).
+        # transformers recomputes this at runtime as seq_len grows; here
+        # inv_freq is baked into params, so when configure_rope enlarged the
+        # window it records the PRE-enlargement length in
+        # rope_original_max_position_embeddings and we scale for the full
+        # enlarged window at init. Without an original length this is the
+        # transformers at-init identity (seq_len drives any rescale).
+        L_orig = (
+            cfg.rope_original_max_position_embeddings
+            or cfg.max_position_embeddings
+        )
+        L = max(seq_len or cfg.max_position_embeddings, L_orig)
         new_theta = theta * (
-            (factor * L / L_max) - (factor - 1)
+            (factor * L / L_orig) - (factor - 1)
         ) ** (d / (d - 2))
         return default_inv_freq(d, new_theta), 1.0
     if rt == "yarn":

@@ -132,11 +132,21 @@ class ChatBackend:
                 ids = self.tokenizer.encode(s, add_special_tokens=False)
                 if max_length:
                     ids = ids[:max_length]
-                arr = jnp.asarray([ids], jnp.int64)
-                pos = jnp.broadcast_to(
-                    jnp.arange(arr.shape[1])[None, None], (3, 1, arr.shape[1])
+                # LEFT-pad to a 128 quantum so scoring compiles O(#buckets)
+                # programs (each XLA compile costs 30-250 s on the relay);
+                # pads live in segment 0, masked from the real tokens
+                L = len(ids)
+                P = max(128, -(-L // 128) * 128)
+                row = np.zeros((1, P), np.int64)
+                seg = np.zeros((1, P), np.int32)
+                posr = np.zeros((1, P), np.int64)
+                row[0, P - L:] = ids
+                seg[0, P - L:] = 1
+                posr[0, P - L:] = np.arange(L)
+                pos = jnp.asarray(np.broadcast_to(posr[None], (3, 1, P)))
+                hidden, _, _ = _score_forward(
+                    text_params, cfg, jnp.asarray(row), pos, jnp.asarray(seg)
                 )
-                hidden, _, _ = _score_forward(text_params, cfg, arr, pos)
                 v = hidden[:, -1] @ text_params["value_head"]["kernel"]
                 out.append(float(v[0, 0]))
         return out
@@ -148,10 +158,12 @@ import jax
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _score_forward(text_params, cfg, ids, pos):
+def _score_forward(text_params, cfg, ids, pos, seg):
     from ..models.text import embed_tokens, text_forward
 
-    return text_forward(text_params, cfg, embed_tokens(text_params, ids), pos, None)
+    return text_forward(
+        text_params, cfg, embed_tokens(text_params, ids), pos, None, seg
+    )
 
 
 def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:

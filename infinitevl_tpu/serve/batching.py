@@ -145,6 +145,10 @@ class BatchingEngine:
     def _serve_batch(self, group: List[_Request]):
         cfg = self.cfg
         B = next(b for b in self.batch_sizes if b <= len(group))
+        # requests beyond the ladder size go back for the next batch —
+        # NEVER dropped (their futures must resolve)
+        for r in group[B:]:
+            self.queue.put(r)
         group = group[:B]
         rows = [r.ids for r in group]
         # pad the batch to the ladder size by repeating row 0 (dropped later)

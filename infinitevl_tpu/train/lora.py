@@ -84,15 +84,23 @@ def pissa_decompose(
     params: Params,
     key: jax.Array,
     rank: int = 8,
+    alpha: Optional[float] = None,
     target: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj"),
     dtype=jnp.float32,
 ) -> Tuple[Params, Params]:
     """PiSSA decomposition: returns (residual_base, adapter) such that
-    residual_base + a @ b == params on the target kernels. Training the
-    adapter over the residual base trains the PRINCIPAL directions of each
-    weight (the PiSSA paper's trick; the reference exposes it via
-    pissa_init / scripts)."""
+    apply_lora(residual_base, adapter, alpha, rank) == params exactly at
+    init. Training the adapter over the residual base trains the PRINCIPAL
+    directions of each weight (the PiSSA paper's trick; the reference
+    exposes it via pissa_init / scripts).
+
+    Because apply_lora scales adapters by alpha/rank, the principal factors
+    are pre-divided by sqrt(alpha/rank) so the invariant holds for ANY
+    alpha (default: alpha == rank, scale 1)."""
     lora = init_lora(params, key, rank, target, dtype, method="pissa")
+    scale = (alpha if alpha is not None else rank) / rank
+    inv = 1.0 / jnp.sqrt(scale)
+    lora = jax.tree.map(lambda x: (x * inv).astype(x.dtype), lora)
 
     def walk(p, l):
         if isinstance(p, dict):
@@ -101,7 +109,9 @@ def pissa_decompose(
                 if isinstance(l, dict) and k in l and isinstance(l[k], dict) \
                         and "a" in l[k]:
                     new = dict(v)
-                    delta = (l[k]["a"] @ l[k]["b"]).astype(v["kernel"].dtype)
+                    delta = (
+                        (l[k]["a"] @ l[k]["b"]) * scale
+                    ).astype(v["kernel"].dtype)
                     new["kernel"] = v["kernel"] - delta
                     out[k] = new
                 else:

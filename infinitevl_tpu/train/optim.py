@@ -214,8 +214,13 @@ def loraplus(
     than 'a' (trainer_utils.py _create_loraplus_optimizer semantics)."""
 
     def label(params):
+        # match the final path COMPONENT 'b' (adapter B matrices), not any
+        # leaf whose name merely ends in the letter b (conv_b, conv_q_b, ...)
         return jax.tree_util.tree_map_with_path(
-            lambda p, _: "b" if _path_str(p).endswith("b") else "a", params
+            lambda p, _: (
+                "b" if _path_str(p).split("/")[-1] == "b" else "a"
+            ),
+            params,
         )
 
     return optax.multi_transform(

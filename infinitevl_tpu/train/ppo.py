@@ -168,17 +168,23 @@ def gae_advantages(
     next_values = jnp.concatenate(
         [values[:, 1:], jnp.zeros_like(values[:, :1])], axis=1
     )
-    deltas = (rewards + gamma * next_values * mask - values) * mask
+    # next_nonterminal gates the bootstrap: the episode's LAST real token
+    # must bootstrap 0, not the value of a post-EOS garbage position
+    next_mask = jnp.concatenate(
+        [mask[:, 1:], jnp.zeros_like(mask[:, :1])], axis=1
+    )
+    deltas = (rewards + gamma * next_values * next_mask - values) * mask
 
     def body(carry, xs):
-        delta, m = xs
-        carry = delta + gamma * lam * m * carry
+        delta, nm = xs
+        # A_t = delta_t + gamma*lam*next_nonterminal_t*A_{t+1}
+        carry = delta + gamma * lam * nm * carry
         return carry, carry
 
     _, adv_rev = jax.lax.scan(
         body,
         jnp.zeros(rewards.shape[0]),
-        (deltas.T[::-1], mask.T[::-1]),
+        (deltas.T[::-1], next_mask.T[::-1]),
     )
     adv = adv_rev[::-1].T * mask
     returns = adv + values * mask
@@ -374,19 +380,21 @@ def run_ppo(args, tokenizer=None, reward_fn=None):
         _, rm_state = restore_train_state(args.finetune.reward_model_path)
         rm_params = rm_state["params"]
 
+        # rm params as a jit ARGUMENT: a closure would bake the weights into
+        # the executable as constants and double their HBM footprint
         @jax.jit
-        def _rm_reward(full_ids):
+        def _rm_reward(rp, full_ids):
             pos = jnp.broadcast_to(
                 jnp.arange(full_ids.shape[1])[None, None],
                 (3,) + full_ids.shape,
             )
             hidden, _, _ = text_forward(
-                rm_params, tcfg, embed_tokens(rm_params, full_ids), pos, None
+                rp, tcfg, embed_tokens(rp, full_ids), pos, None
             )
-            return (hidden @ rm_params["value_head"]["kernel"])[..., 0]
+            return (hidden @ rp["value_head"]["kernel"])[..., 0]
 
         def reward_fn(full_ids, resp_mask):
-            values = np.asarray(_rm_reward(jnp.asarray(full_ids)))
+            values = np.asarray(_rm_reward(rm_params, jnp.asarray(full_ids)))
             T_p = full_ids.shape[1] - resp_mask.shape[1]
             last = T_p + np.maximum(resp_mask.sum(axis=1) - 1, 0).astype(int)
             return values[np.arange(full_ids.shape[0]), last]

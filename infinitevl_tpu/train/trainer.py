@@ -143,13 +143,7 @@ def collate(
     epochs: float = 1.0,
 ) -> Iterator[Dict[str, jnp.ndarray]]:
     """Yield fixed-shape [B, cutoff_len] batches forever up to `epochs`."""
-    rng = np.random.RandomState(seed)
-    n = len(examples)
-    total = int(np.ceil(epochs * n / batch_size))
-    order = []
-    for _ in range(int(np.ceil(total * batch_size / n)) + 1):
-        perm = rng.permutation(n)
-        order.extend(perm.tolist())
+    total, order = _epoch_order(len(examples), batch_size, seed, epochs)
     for b in range(total):
         idxs = order[b * batch_size : (b + 1) * batch_size]
         ids = np.full((batch_size, cutoff_len), pad_id, np.int64)
@@ -214,12 +208,7 @@ def collate_mm(
     bucketed to a fixed resolution in training configs)."""
     from ..models.infinitevl import get_rope_index
 
-    rng = np.random.RandomState(seed)
-    n = len(examples)
-    total = int(np.ceil(epochs * n / batch_size))
-    order: List[int] = []
-    for _ in range(int(np.ceil(total * batch_size / n)) + 1):
-        order.extend(rng.permutation(n).tolist())
+    total, order = _epoch_order(len(examples), batch_size, seed, epochs)
     for b in range(total):
         idxs = order[b * batch_size : (b + 1) * batch_size]
         ids = np.full((batch_size, cutoff_len), pad_id, np.int64)

@@ -139,3 +139,48 @@ def test_mcq_bucketed_matches_unbucketed():
         scores = np.asarray(logits[0, 0])[ev.choice_ids]
         want = "ABCD"[int(np.argmax(scores))]
         assert pred == want, f"bucketed {pred} != unbucketed {want} for {p!r}"
+
+
+def test_score_evaluation_endpoint():
+    """/v1/score/evaluation: value-head reward scoring over text batches
+    (reference api/app.py:113)."""
+    import urllib.request
+
+    from infinitevl_tpu.serve.api import ChatBackend, create_server
+
+    cfg, params = _setup()
+    # reward-model style params: text tree + value head
+    params["text"]["value_head"] = {
+        "kernel": jnp.ones((cfg.text.hidden_size, 1), jnp.float32) * 0.01
+    }
+    gen = Generator(params, cfg, dtype=jnp.float32)
+    backend = ChatBackend(gen, SimpleTokenizer(), model_name="rm")
+    server = create_server(backend, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {"model": "rm", "messages": ["short text", "a somewhat longer text here"]}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/score/evaluation",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        res = json.loads(urllib.request.urlopen(req).read())
+        assert res["object"] == "score.evaluation"
+        assert len(res["scores"]) == 2
+        assert all(np.isfinite(s) for s in res["scores"])
+        # non-string payload -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/score/evaluation",
+            data=json.dumps({"messages": [1, 2]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()

@@ -33,6 +33,20 @@ def test_pissa_reconstructs_base():
     np.testing.assert_allclose(s_ad[:4], s_base[:4], rtol=1e-4)
 
 
+def test_pissa_reconstructs_with_alpha_scaling():
+    """apply_lora scales by alpha/rank; pissa factors pre-divide so the
+    init invariant holds for alpha != rank too."""
+    cfg = tiny_config(num_hidden_layers=2).text
+    params = init_text_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    tree = {"text": params}
+    residual, lora = pissa_decompose(
+        tree, jax.random.PRNGKey(3), rank=4, alpha=16.0
+    )
+    merged = apply_lora(residual, lora, alpha=16.0, rank=4)
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(tree)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_llama_pro_identity_expansion():
     cfg = tiny_config(num_hidden_layers=4).text
     params = init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)

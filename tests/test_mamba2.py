@@ -132,14 +132,16 @@ def test_convert_mamba2_weight_copy():
     np.testing.assert_array_equal(
         np.asarray(lp["o_proj"]["kernel"]), np.asarray(tp["o_proj"]["kernel"])
     )
-    # k tiled across GQA groups (torch .repeat semantics: whole-block tile)
+    # k expanded with repeat_interleave (query head i <- kv head i//groups,
+    # the transformers repeat_kv pairing; see _gqa_expand docstring for the
+    # documented deviation from the reference's block tiling)
     Hkv, Dh = teacher_cfg.num_key_value_heads, teacher_cfg.head_dim
     H = teacher_cfg.num_attention_heads
     groups = H // Hkv
     tk = np.asarray(tp["k_proj"]["kernel"]).reshape(-1, Hkv, Dh)
     sk = np.asarray(lp["k_proj"]["kernel"]).reshape(-1, H, Dh)
-    for g in range(groups):
-        np.testing.assert_array_equal(sk[:, g * Hkv : (g + 1) * Hkv], tk)
+    for qh in range(H):
+        np.testing.assert_array_equal(sk[:, qh], tk[:, qh // groups])
     # forward runs and is finite
     from infinitevl_tpu.models.text import embed_tokens, text_forward
 
