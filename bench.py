@@ -149,9 +149,10 @@ def main():
     t1 = time.time()
     st = run_e2e_pair(5, st)
     t2 = time.time()
-    st = run_e2e_pair(20, st)
+    st = run_e2e_pair(40, st)
     t3 = time.time()
-    ms_pair = ((t3 - t2) - (t2 - t1)) * 1000 / 15
+    # wide slope window: the relay's sporadic 100ms H2D spikes average out
+    ms_pair = ((t3 - t2) - (t2 - t1)) * 1000 / 35
     fps_e2e_paired = 2000.0 / ms_pair
     log(
         f"streaming e2e paired: {ms_pair:.1f} ms per 2-frame unit = "
@@ -243,6 +244,33 @@ def main():
     )
     del state8
 
+    # --- long-context text prefill via chunked ingestion (bounded compile
+    # set: ONE 4096-chunk program regardless of prompt length) ---
+    from infinitevl_tpu.generation import prefill_chunked
+
+    Tlong = 32768
+    ids_long = jnp.zeros((1, Tlong), jnp.int32)
+    pos_long = jnp.broadcast_to(
+        jnp.arange(Tlong)[None, None], (3, 1, Tlong)
+    ).astype(jnp.int32)
+
+    def long_prefill():
+        st = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+        lg, st = prefill_chunked(params, cfg, ids_long, pos_long, st, chunk=2048)
+        return jax.block_until_ready(lg)
+
+    t0 = time.time()
+    long_prefill()  # compile (one chunk shape)
+    t1 = time.time()
+    long_prefill()
+    long_prefill()
+    ms_long = (time.time() - t1) * 1000 / 2
+    prefill_tok_s = Tlong / ms_long * 1000
+    log(
+        f"chunked text prefill 32K: {ms_long:.0f} ms = {prefill_tok_s:.0f} "
+        f"tok/s (compile {t1-t0:.0f}s, one 2048-token program)"
+    )
+
     # --- dense full-attention baseline (the FA2-transformer comparison,
     # README.md:49): same dims, every layer full attention over an L-entry
     # KV cache. Past ~300K the dense cache exceeds v5e HBM entirely. ---
@@ -299,6 +327,7 @@ def main():
                 "vs_baseline": round(fps / 24.0, 3),
                 "decode_tok_s": round(1000 / ms_dec, 1),
                 "decode_tok_s_b8": round(tok_s_b8, 0),
+                "prefill_tok_s_32k": round(prefill_tok_s, 0),
                 "decode_ctx": 500_000,
                 "frame_ms": round(ms_frame, 2),
                 "fps_e2e": round(fps_e2e, 2),

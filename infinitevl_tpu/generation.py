@@ -130,6 +130,51 @@ def decode_chunk(
     return toks.T, state, finished
 
 
+def prefill_chunked(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    input_ids: jax.Array,  # [B, T]
+    position_ids: jax.Array,  # [3, B, T]
+    state: DecoderState,
+    chunk: int = 2048,
+) -> Tuple[jax.Array, DecoderState]:
+    """Long-prompt prefill in fixed-size chunks: compiles at most TWO
+    programs (the chunk shape + one remainder shape) regardless of prompt
+    length, instead of one giant graph per distinct T. The state pytree
+    carries the ring KV / delta state / conv history across chunks — the
+    same continuation contract the streaming engine relies on.
+
+    Exact one-shot equality for the DeltaNet conv path needs
+    cfg.text.conv_carry=True (the default False replicates the reference's
+    zero-history multi-token quirk at every chunk boundary, which is also
+    what its own chunked pipelines produce). Text-only: vision features
+    should be prefilled through `prefill` or the streaming engine.
+
+    Returns (last-token logits [B, vocab], state)."""
+    B, T = input_ids.shape
+    n_full = T // chunk
+    rem = T % chunk
+    logits = None
+    for i in range(n_full):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        logits, state = _prefill_text_step(
+            params, cfg, input_ids[:, sl], position_ids[:, :, sl], state,
+        )
+    if rem:
+        logits, state = _prefill_text_step(
+            params, cfg, input_ids[:, T - rem :], position_ids[:, :, T - rem :],
+            state,
+        )
+    assert logits is not None, "empty prompt"
+    return logits, state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def _prefill_text_step(params, cfg, ids, pos, state):
+    logits, state = forward(params, cfg, ids, pos, state=state, logits_to_keep=1)
+    return logits[:, 0], state
+
+
 def sample_token(
     logits: jax.Array,  # [B, vocab] fp32
     key: Optional[jax.Array] = None,
@@ -173,6 +218,11 @@ class Generator:
         # tokens decoded per jitted chunk (1 host sync per chunk); the tail
         # overshoot past EOS is bounded by chunk_size - 1 wasted steps
         self.chunk_size = chunk_size
+        # text prompts longer than this prefill through prefill_chunked
+        # (bounded compile set for arbitrary prompt lengths). 2048 fits the
+        # ring flash kernel's VMEM budget (T=4096 with the 8192 ring needs
+        # ~149 MB of the 128 MB VMEM; query blocking would lift this)
+        self.prefill_chunk_size = 2048
 
     def generate(
         self,
@@ -266,11 +316,22 @@ class Generator:
         if pixel_values_videos is not None:
             vgrid = _check(video_grid_thw, cfg.video_token_id, "video")
             pvv = jnp.asarray(pixel_values_videos)
-        logits, state = prefill(
-            self.params, cfg, jnp.asarray(input_ids), jnp.asarray(pos), state,
-            pixel_values=pv, grid_thw=grid,
-            pixel_values_videos=pvv, video_grid_thw=vgrid,
-        )
+        if (
+            pv is None
+            and pvv is None
+            and input_ids.shape[1] > self.prefill_chunk_size
+        ):
+            # long text prompt: bounded compile set via chunked prefill
+            logits, state = prefill_chunked(
+                self.params, cfg, jnp.asarray(input_ids), jnp.asarray(pos),
+                state, chunk=self.prefill_chunk_size,
+            )
+        else:
+            logits, state = prefill(
+                self.params, cfg, jnp.asarray(input_ids), jnp.asarray(pos), state,
+                pixel_values=pv, grid_thw=grid,
+                pixel_values_videos=pvv, video_grid_thw=vgrid,
+            )
         rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)

@@ -5,11 +5,13 @@ materializes [T, cap+T] logits in HBM — ~140 MB/layer at the deployed
 config) with an online-softmax kernel. TPU counterpart of the reference's
 FlashAttention-2 sliding-window path (modeling_infinitevl.py:1028,1067-1108).
 
-Structure: grid (B, Hkv, NK) with the KV-block axis innermost; TPU grids
+Structure: grid (B, Hkv, NQ, NK) with the KV-block axis innermost; TPU grids
 iterate sequentially, so the fp32 accumulator / running-max / running-sum
-scratch persists across KV blocks and the output block is written on the
-last one — the canonical TPU flash pattern (no in-kernel loops, fast Mosaic
-compiles, BlockSpec-pipelined KV streaming from HBM).
+scratch persists across KV blocks for each query block and the output block
+is written on the last one — the canonical TPU flash pattern (no in-kernel
+loops, fast Mosaic compiles, BlockSpec-pipelined KV streaming from HBM).
+Query blocking (NQ) bounds VMEM for long-chunk prefill (T in the thousands);
+at streaming sizes (T=257) a single query block keeps the round-1 shape.
 
 Key positions: the caller concatenates (ring ++ current) into one key array;
 blocks with flat index s < cap are ring slots holding token
@@ -36,15 +38,15 @@ def _swa_kernel(
     # scalar prefetch
     cum_len_ref,  # [1] int32
     # inputs
-    q_ref,  # [1, 1, R, D]  rows r = t*G + g
+    q_ref,  # [1, 1, Rb, D]  rows r = t*G + g (query block)
     k_ref,  # [1, 1, block_k, D]
     v_ref,  # [1, 1, block_k, D]
     # outputs
-    o_ref,  # [1, 1, R, D]
+    o_ref,  # [1, 1, Rb, D]
     # scratch (persists across the sequential KV-block grid axis)
-    acc_ref,  # [R, D] f32
-    m_ref,  # [R, 128] f32
-    l_ref,  # [R, 128] f32
+    acc_ref,  # [Rb, D] f32
+    m_ref,  # [Rb, 128] f32
+    l_ref,  # [Rb, 128] f32
     *,
     window: int,
     block_k: int,
@@ -53,8 +55,9 @@ def _swa_kernel(
     groups: int,
     scale: float,
 ):
-    j = pl.program_id(2)
-    nk = pl.num_programs(2)
+    i = pl.program_id(2)  # query block
+    j = pl.program_id(3)  # kv block (innermost: scratch carries over j)
+    nk = pl.num_programs(3)
     R, D = q_ref.shape[2], q_ref.shape[3]
     cum_len = cum_len_ref[0]
 
@@ -68,7 +71,7 @@ def _swa_kernel(
     k = k_ref[0, 0]
     s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0)
+    row = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0)
     qp = cum_len + row // groups
     flat = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 1)
     m0 = (cum_len - 1) % cap
@@ -97,7 +100,8 @@ def _swa_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "scale", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("window", "scale", "block_k", "block_q", "interpret"),
 )
 def swa_ring_flash_attention(
     q: jax.Array,  # [B, T, Hq, D]
@@ -109,10 +113,16 @@ def swa_ring_flash_attention(
     window: int,
     scale: Optional[float] = None,
     block_k: int = 512,
+    block_q: int = 4096,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention over (ring ++ current) with the sliding-window mask.
-    Returns [B, T, Hq, D]. Numerics match ops.swa.swa_cached_attention."""
+    Returns [B, T, Hq, D]. Numerics match ops.swa.swa_cached_attention.
+
+    Query rows are blocked at `block_q` (VMEM ~ block_q*(D+2)*4 bytes of
+    scratch), so chunked long-context prefill (T in the thousands) compiles
+    within the 128 MB VMEM budget; at streaming sizes a single block covers
+    all rows."""
     B, T, Hq, D = q.shape
     Hkv = new_k.shape[2]
     G = Hq // Hkv
@@ -129,8 +139,12 @@ def swa_ring_flash_attention(
     keys = jnp.concatenate([ring_k, kn], axis=2)
     vals = jnp.concatenate([ring_v, vn], axis=2)
     R = T * G
+    Rb = min(block_q, R)
+    Rp = -(-R // Rb) * Rb
     qg = q.reshape(B, T, Hkv, G, D).transpose(0, 2, 1, 3, 4).reshape(B, Hkv, R, D)
-
+    if Rp != R:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
+    NQ = Rp // Rb
     NK = (cap + Tp) // block_k
     out = pl.pallas_call(
         functools.partial(
@@ -144,28 +158,29 @@ def swa_ring_flash_attention(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, Hkv, NK),
+            grid=(B, Hkv, NQ, NK),
             in_specs=[
-                pl.BlockSpec((1, 1, R, D), lambda b, h, j, c: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, Rb, D), lambda b, h, i, j, c: (b, h, i, 0)),
                 pl.BlockSpec(
-                    (1, 1, block_k, D), lambda b, h, j, c: (b, h, j, 0)
+                    (1, 1, block_k, D), lambda b, h, i, j, c: (b, h, j, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, block_k, D), lambda b, h, j, c: (b, h, j, 0)
+                    (1, 1, block_k, D), lambda b, h, i, j, c: (b, h, j, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, R, D), lambda b, h, j, c: (b, h, 0, 0)
+                (1, 1, Rb, D), lambda b, h, i, j, c: (b, h, i, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((R, D), jnp.float32),
-                pltpu.VMEM((R, 128), jnp.float32),
-                pltpu.VMEM((R, 128), jnp.float32),
+                pltpu.VMEM((Rb, D), jnp.float32),
+                pltpu.VMEM((Rb, 128), jnp.float32),
+                pltpu.VMEM((Rb, 128), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, R, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Rp, D), q.dtype),
         interpret=interpret,
     )(cum_len.reshape(1), qg, keys, vals)
+    out = out[:, :, :R]
     out = out.reshape(B, Hkv, T, G, D).transpose(0, 2, 1, 3, 4)
     return out.reshape(B, T, Hq, D)
 

@@ -184,3 +184,37 @@ def test_score_evaluation_endpoint():
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_prefill_chunked_matches_oneshot():
+    """Chunked long-prompt prefill == one-shot (conv_carry=True for exact
+    conv-history continuity across chunk boundaries)."""
+    import dataclasses
+
+    cfg0 = tiny_config()
+    cfg = dataclasses.replace(
+        cfg0, text=dataclasses.replace(cfg0.text, conv_carry=True)
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    from infinitevl_tpu.generation import prefill_chunked
+
+    rng = np.random.RandomState(0)
+    T = 23  # 2 full chunks of 8 + remainder 7
+    ids = rng.randint(10, cfg.text.vocab_size - 8, (1, T))
+    pos = np.broadcast_to(np.arange(T)[None, None], (3, 1, T))
+
+    s1 = init_decoder_state(cfg.text, 1, dtype=jnp.float32)
+    ref_logits, ref_state = prefill(
+        params, cfg, jnp.asarray(ids), jnp.asarray(pos), s1
+    )
+    s2 = init_decoder_state(cfg.text, 1, dtype=jnp.float32)
+    out_logits, out_state = prefill_chunked(
+        params, cfg, jnp.asarray(ids), jnp.asarray(pos), s2, chunk=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-5
+    )
+    for a, b in zip(jax.tree.leaves(out_state), jax.tree.leaves(ref_state)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )

@@ -101,3 +101,29 @@ def test_swa_flash_rejects_misaligned_capacity():
         swa_ring_flash_attention(
             q, kn, kn, rk, rk, jnp.int32(0), W, block_k=128, interpret=True
         )
+
+
+def test_ring_flash_query_blocking_matches_dense():
+    """Query-blocked prefill (NQ > 1) equals the dense reference — the
+    long-chunk path exercises multiple query blocks."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from infinitevl_tpu.ops.swa import swa_cached_attention
+    from infinitevl_tpu.ops.swa_pallas import swa_ring_flash_attention
+
+    rng = np.random.RandomState(0)
+    B, T, Hq, Hkv, D, cap, W = 1, 48, 4, 2, 128, 512, 512
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.5, jnp.float32)
+    q, nk, nv = mk(B, T, Hq, D), mk(B, T, Hkv, D), mk(B, T, Hkv, D)
+    rk, rv = mk(B, Hkv, cap, D), mk(B, Hkv, cap, D)
+    cum = jnp.asarray(cap + 3, jnp.int32)
+    ref, _, _ = swa_cached_attention(q, nk, nv, rk, rv, cum, W)
+    # block_q=32 < R=96 forces 3 query blocks
+    out = swa_ring_flash_attention(
+        q, nk, nv, rk, rv, cum, W, block_q=32, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )

@@ -184,3 +184,12 @@ def test_cli_help_and_version(capsys):
     assert "train" in capsys.readouterr().out
     assert main(["version"]) == 0
     assert main(["bogus"]) == 2
+
+
+def test_all_example_yamls_parse():
+    """Every shipped example config must parse into AllArgs (typo guard)."""
+    import glob
+
+    for path in glob.glob(os.path.join(REPO, "examples", "*.yaml")):
+        args = load_yaml_args(path)
+        assert args.finetune.stage in ("pt", "sft", "dt", "rm", "dpo", "kto", "ppo"), path
