@@ -473,6 +473,61 @@ def _make_tx(args: AllArgs, steps: int):
     return tx
 
 
+def _maybe_mesh(args: AllArgs):
+    """Device mesh from TrainArgs (data_parallel x model_parallel); None for
+    the single-chip path. The same rule table the dryrun validates on the
+    virtual CPU mesh (parallel/sharding.py)."""
+    n = args.train.data_parallel * args.train.model_parallel
+    if n <= 1:
+        return None
+    from ..parallel.sharding import create_mesh
+
+    return create_mesh(
+        data=args.train.data_parallel, model=args.train.model_parallel
+    )
+
+
+def _shard_tree(params, mesh, param_mode: str):
+    if mesh is None:
+        return params
+    from ..parallel.sharding import shard_params
+
+    return shard_params(params, mesh, param_mode=param_mode)
+
+
+def _shard_batches(batches, mesh):
+    """Wrap a batch iterator: data tensors shard over the mesh's data axis
+    (batch dim), packed pixel tensors replicate (their rows don't align with
+    the batch dim), statics pass through."""
+    if mesh is None:
+        yield from batches
+        return
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import DATA
+
+    def place(k, v):
+        if k == "_n_tokens" or not hasattr(v, "ndim"):
+            return v
+        if k == "position_ids":
+            spec = P(None, DATA, None)
+        elif k in ("pixel_values", "pixel_values_videos"):
+            spec = P()  # packed patch rows; replicate
+        elif v.ndim >= 1:
+            spec = P(DATA, *([None] * (v.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(v, NamedSharding(mesh, spec))
+
+    for item in batches:
+        if isinstance(item, tuple):
+            batch, rest = item[0], item[1:]
+        else:
+            batch, rest = item, ()
+        batch = {k: place(k, v) for k, v in batch.items()}
+        yield (batch, *rest) if rest else batch
+
+
 def _load_or_init_params(args: AllArgs, cfg, mm: bool, dtype):
     """Full (text+visual) tree for multimodal training, text-only otherwise."""
     if args.model.model_name_or_path:
@@ -485,18 +540,20 @@ def _load_or_init_params(args: AllArgs, cfg, mm: bool, dtype):
 
 
 def _batches(args: AllArgs, data, cfg, mm: bool):
+    # HF semantics: global batch = per_device * data_parallel replicas
+    B = args.train.per_device_train_batch_size * max(args.train.data_parallel, 1)
     if mm:
         return collate_mm(
             data,
             cfg,
-            args.train.per_device_train_batch_size,
+            B,
             args.data.cutoff_len,
             seed=args.train.seed,
             epochs=args.train.num_train_epochs,
         )
     return collate(
         data,
-        args.train.per_device_train_batch_size,
+        B,
         args.data.cutoff_len,
         seed=args.train.seed,
         epochs=args.train.num_train_epochs,
@@ -511,7 +568,9 @@ def run_sft(args: AllArgs, tokenizer=None):
     dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
     data = build_dataset(args, tokenizer, cfg=cfg)
     mm = is_multimodal(data)
+    mesh = _maybe_mesh(args)
     params = _load_or_init_params(args, cfg, mm, dtype)
+    params = _shard_tree(params, mesh, args.train.param_mode)
     steps = args.train.max_steps or int(
         np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)
     )
@@ -526,6 +585,8 @@ def run_sft(args: AllArgs, tokenizer=None):
             rank=args.finetune.lora_rank,
             target=args.finetune.lora_target,
         )
+        # adapters are small: replicate them over the mesh
+        lora = _shard_tree(lora, mesh, "replicated")
         opt_state = tx.init(lora)
         step_fn = jax.jit(
             make_lora_sft_step(
@@ -544,7 +605,9 @@ def run_sft(args: AllArgs, tokenizer=None):
         )
         if args.train.resume_from_checkpoint:
             trainer.resume(args.train.resume_from_checkpoint)
-        lora = trainer.train(_batches(args, data, cfg, mm), max_steps=steps)
+        lora = trainer.train(
+            _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
+        )
         return merge_lora(
             params, lora, alpha=args.finetune.lora_alpha, rank=args.finetune.lora_rank
         )
@@ -576,7 +639,9 @@ def run_sft(args: AllArgs, tokenizer=None):
     )
     if args.train.resume_from_checkpoint:
         trainer.resume(args.train.resume_from_checkpoint)
-    return trainer.train(_batches(args, data, cfg, mm), max_steps=steps)
+    return trainer.train(
+        _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
+    )
 
 
 def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None):
@@ -663,6 +728,9 @@ def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None)
             ),
             static_argnums=(4, 5),
         )
+    mesh = _maybe_mesh(args)
+    student_params = _shard_tree(student_params, mesh, args.train.param_mode)
+    teacher_params = _shard_tree(teacher_params, mesh, args.train.param_mode)
     opt_state = tx.init(student_params)
     trainer = Trainer(
         step_fn,
@@ -673,7 +741,9 @@ def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None)
         args.train.save_steps,
         extra_step_args=(teacher_params,),
     )
-    return trainer.train(_batches(args, data, cfg, mm), max_steps=steps)
+    return trainer.train(
+        _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
+    )
 
 
 def _policy_params(args: AllArgs, cfg, dtype):
