@@ -6,7 +6,6 @@ rather than a torchrun respawn."""
 
 from __future__ import annotations
 
-import argparse
 import json
 import sys
 

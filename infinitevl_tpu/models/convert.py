@@ -19,7 +19,7 @@ from typing import Any, Dict, Sequence, Tuple
 
 import jax
 
-from ..config import FULL, LINEAR, MAMBA2, SLIDING, TextConfig
+from ..config import LINEAR, MAMBA2, SLIDING, TextConfig
 from .params import init_delta_layer, init_mamba2_layer
 
 Params = Dict[str, Any]

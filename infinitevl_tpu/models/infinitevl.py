@@ -23,7 +23,7 @@ import numpy as np
 from ..config import InfiniteVLConfig
 from .state import DecoderState
 from .text import embed_tokens, lm_head, text_forward
-from .vision import VisionPlan, get_vision_plan, vision_forward
+from .vision import get_vision_plan, vision_forward
 
 Params = Dict[str, Any]
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import LINEAR, SLIDING, InfiniteVLConfig, TextConfig, VisionConfig
+from ..config import LINEAR, InfiniteVLConfig, TextConfig, VisionConfig
 from ..ops.rope import rope_init
 
 Params = Dict[str, Any]

@@ -16,7 +16,7 @@ all-gathers/psums on ICI. No NCCL-analogue code exists or is needed.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

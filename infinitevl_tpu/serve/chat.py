@@ -6,7 +6,7 @@ preprocessed through the data pipeline."""
 from __future__ import annotations
 
 import threading
-from typing import Any, Dict, Generator as Gen, List, Optional, Sequence
+from typing import Dict, Generator as Gen, List, Optional, Sequence
 
 import numpy as np
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import InfiniteVLConfig
-from .generation import decode_chunk, decode_step_preserve, prefill
+from .generation import decode_chunk, prefill
 from .models.infinitevl import get_rope_index, scatter_vision_embeds
 from .models.state import DecoderState, init_decoder_state
 from .models.text import embed_tokens, lm_head, text_forward

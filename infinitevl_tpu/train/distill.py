@@ -18,8 +18,7 @@ Both models share embeddings/rope, so position embeddings are computed once.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ weights for export (train/tuner.py export path)."""
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax

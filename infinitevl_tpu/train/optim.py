@@ -21,7 +21,7 @@ under lax.cond, no Python-side scheduling.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ import optax
 
 from ..config import TextConfig
 from ..models.text import embed_tokens, lm_head, text_forward
-from .step import IGNORE_INDEX
 
 Params = Dict[str, Any]
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import InfiniteVLConfig, TextConfig, infinitevl_3b, tiny_config
+from ..config import InfiniteVLConfig, infinitevl_3b, tiny_config
 from ..data.loader import (
     SimpleTokenizer,
     encode_kto,

@@ -12,10 +12,9 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Any, Dict, Iterable, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
