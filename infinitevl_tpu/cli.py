@@ -119,13 +119,25 @@ def cmd_eval(config_path: str):
 
     args = _load(config_path)
     gen, cfg = _build_generator(args)
-    evaluator = MCQEvaluator(gen, _tokenizer(args))
+    evaluator = MCQEvaluator(
+        gen, _tokenizer(args), batch_size=args.eval.eval_batch_size
+    )
     import os
 
     task_path = os.path.join(args.data.dataset_dir, f"{args.data.dataset}.json")
     with open(task_path) as f:
-        examples = json.load(f)
-    print(json.dumps(evaluator.evaluate(examples), indent=2))
+        task = json.load(f)
+    if isinstance(task, dict):
+        # MMLU-style {subject: {dev, test}} benchmark with few-shot support
+        metrics = evaluator.evaluate_task(task, n_shot=args.eval.n_shot)
+    else:
+        metrics = evaluator.evaluate(task)
+    out = json.dumps(metrics, indent=2)
+    print(out)
+    if args.eval.eval_save_dir:
+        os.makedirs(args.eval.eval_save_dir, exist_ok=True)
+        with open(os.path.join(args.eval.eval_save_dir, "results.json"), "w") as f:
+            f.write(out)
 
 
 def cmd_export(config_path: str):

@@ -140,3 +140,25 @@ class MCQEvaluator:
         for cat, oks in per_category.items():
             out[f"accuracy/{cat}"] = sum(oks) / len(oks)
         return out
+
+    def evaluate_task(
+        self, task: Dict[str, Dict[str, Any]], n_shot: int = 5
+    ) -> Dict[str, float]:
+        """MMLU-style benchmark: {subject: {name, dev: [...], test: [...]}}.
+
+        Few-shot support comes from each subject's dev split (reference
+        eval/evaluator.py:78-101); returns overall + per-subject accuracy."""
+        out: Dict[str, float] = {}
+        total_ok = 0
+        total_n = 0
+        for subject, block in task.items():
+            support = list(block.get("dev", ()))[: max(n_shot, 0)]
+            examples = block["test"]
+            metrics = self.evaluate(
+                examples, support, block.get("name", subject)
+            )
+            out[f"accuracy/{subject}"] = metrics["accuracy"]
+            total_ok += metrics["accuracy"] * len(examples)
+            total_n += len(examples)
+        out["accuracy"] = total_ok / max(total_n, 1)
+        return out

@@ -211,7 +211,14 @@ class Generator:
         cfg: InfiniteVLConfig,
         dtype=jnp.bfloat16,
         chunk_size: int = 8,
+        fuse: bool = False,
     ):
+        if fuse:
+            # opt-in: one matmul per projection group — measured SLOWER on
+            # v5e at these shapes (see models/fuse.py); re-measure before use
+            from .models.fuse import fuse_projections
+
+            params = fuse_projections(params)
         self.params = params
         self.cfg = cfg
         self.dtype = dtype

@@ -113,12 +113,23 @@ class GenArgs:
 
 
 @dataclasses.dataclass
+class EvalArgs:
+    """MCQ evaluation knobs (reference hparams/evaluation_args.py)."""
+
+    n_shot: int = 5
+    eval_batch_size: int = 4
+    eval_save_dir: Optional[str] = None
+    lang: str = "en"
+
+
+@dataclasses.dataclass
 class AllArgs:
     model: ModelArgs
     data: DataArgs
     train: TrainArgs
     finetune: FinetuneArgs
     gen: GenArgs
+    eval: "EvalArgs" = dataclasses.field(default_factory=lambda: EvalArgs())
 
 
 def _fill(cls, src: Dict[str, Any], used: set) -> Any:
@@ -142,6 +153,7 @@ def parse_args(config: Dict[str, Any]) -> AllArgs:
         train=_fill(TrainArgs, config, used),
         finetune=_fill(FinetuneArgs, config, used),
         gen=_fill(GenArgs, config, used),
+        eval=_fill(EvalArgs, config, used),
     )
     unknown = set(config) - used
     if unknown:

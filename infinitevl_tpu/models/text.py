@@ -34,7 +34,13 @@ def _dense(x: jax.Array, p: Params) -> jax.Array:
 
 
 def mlp_forward(p: Params, x: jax.Array) -> jax.Array:
-    """SwiGLU MLP (modeling_infinitevl.py:933-946)."""
+    """SwiGLU MLP (modeling_infinitevl.py:933-946).
+
+    Accepts the fused ``gate_up`` layout produced by models/fuse.py."""
+    if "gate_up" in p:
+        gu = _dense(x, p["gate_up"])
+        inter = gu.shape[-1] // 2
+        return _dense(silu(gu[..., :inter]) * gu[..., inter:], p["down"])
     return _dense(silu(_dense(x, p["gate"])) * _dense(x, p["up"]), p["down"])
 
 
@@ -69,9 +75,16 @@ def swa_attention_forward(
     B, T, _ = x.shape
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     window = window if window is not None else cfg.sliding_window
-    q = _dense(x, p["q_proj"]).reshape(B, T, Hq, Dh)
-    k = _dense(x, p["k_proj"]).reshape(B, T, Hkv, Dh)
-    v = _dense(x, p["v_proj"]).reshape(B, T, Hkv, Dh)
+    if "qkv_proj" in p:  # fused layout (models/fuse.py): one matmul
+        qkv = _dense(x, p["qkv_proj"])
+        nq, nk = Hq * Dh, Hkv * Dh
+        q = qkv[..., :nq].reshape(B, T, Hq, Dh)
+        k = qkv[..., nq : nq + nk].reshape(B, T, Hkv, Dh)
+        v = qkv[..., nq + nk :].reshape(B, T, Hkv, Dh)
+    else:
+        q = _dense(x, p["q_proj"]).reshape(B, T, Hq, Dh)
+        k = _dense(x, p["k_proj"]).reshape(B, T, Hkv, Dh)
+        v = _dense(x, p["v_proj"]).reshape(B, T, Hkv, Dh)
     q, k = apply_rotary(q, k, cos, sin)
     if ring_k is None:
         out = swa_prefill_dense(q, k, v, window, segment_ids=segment_ids)
@@ -123,9 +136,22 @@ def delta_forward(
     K = cfg.linear_head_dim
     V = cfg.head_v_dim
 
-    q_raw = _dense(x, p["q_proj"])  # [B, T, H*K]
-    k_raw = _dense(x, p["k_proj"])
-    v_raw = _dense(x, p["v_proj"])
+    if "fused_proj" in p:  # fused layout (models/fuse.py): one matmul
+        fused = _dense(x, p["fused_proj"])  # [B, T, 2HK+VD+2H+HV]
+        hk, vd = H * K, H * V
+        q_raw = fused[..., :hk]
+        k_raw = fused[..., hk : 2 * hk]
+        v_raw = fused[..., 2 * hk : 2 * hk + vd]
+        a_lin = fused[..., 2 * hk + vd : 2 * hk + vd + H]
+        b_lin = fused[..., 2 * hk + vd + H : 2 * hk + vd + 2 * H]
+        g_lin = fused[..., 2 * hk + vd + 2 * H :]
+    else:
+        q_raw = _dense(x, p["q_proj"])  # [B, T, H*K]
+        k_raw = _dense(x, p["k_proj"])
+        v_raw = _dense(x, p["v_proj"])
+        a_lin = _dense(x, p["a_proj"])
+        b_lin = _dense(x, p["b_proj"])
+        g_lin = _dense(x, p["g_proj"])
 
     use_cache = conv_q is not None
     decode = use_cache and T == 1
@@ -153,10 +179,10 @@ def delta_forward(
     k = k.reshape(B, T, H, K)
     v = v.reshape(B, T, H, V)
 
-    beta = jax.nn.sigmoid(_dense(x, p["b_proj"]).astype(jnp.float32))  # [B,T,H]
+    beta = jax.nn.sigmoid(b_lin.astype(jnp.float32))  # [B,T,H]
     # g/beta in fp32 (modeling_infinitevl.py:1294)
     g = -jnp.exp(p["A_log"].astype(jnp.float32)) * jax.nn.softplus(
-        _dense(x, p["a_proj"]).astype(jnp.float32) + p["dt_bias"].astype(jnp.float32)
+        a_lin.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32)
     )
 
     h0 = h
@@ -181,7 +207,7 @@ def delta_forward(
             mode=mode,
         )
 
-    gate = _dense(x, p["g_proj"]).reshape(B, T, H, V)
+    gate = g_lin.reshape(B, T, H, V)
     o = rms_norm_gated(o, gate, p["o_norm"], eps=cfg.norm_eps)
     o = _dense(o.reshape(B, T, H * V), p["o_proj"])
     new_state = (new_cq, new_ck, new_cv, new_h) if use_cache else None

@@ -128,6 +128,10 @@ def _dense(x, p):
 
 
 def _vision_mlp(p: Params, x: jax.Array) -> jax.Array:
+    if "gate_up" in p:  # fused layout (models/fuse.py)
+        gu = _dense(x, p["gate_up"])
+        inter = gu.shape[-1] // 2
+        return _dense(silu(gu[..., :inter]) * gu[..., inter:], p["down"])
     return _dense(silu(_dense(x, p["gate"])) * _dense(x, p["up"]), p["down"])
 
 

@@ -2,7 +2,9 @@ from .sharding import (
     DATA,
     MODEL,
     batch_sharding,
+    create_hybrid_mesh,
     create_mesh,
+    hybrid_device_order,
     param_shardings,
     param_spec,
     shard_params,

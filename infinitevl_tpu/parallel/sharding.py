@@ -37,6 +37,53 @@ def create_mesh(
     return Mesh(arr, (DATA, MODEL))
 
 
+def hybrid_device_order(devices, data: int, model: int):
+    """Device layout for a multi-slice (DCN-connected) topology.
+
+    Rule (the scaling-book recipe): the model axis — all-gathers/psums on
+    every layer — must stay INSIDE a slice (ICI); the data axis — one
+    gradient all-reduce per step — is the only one allowed to cross the
+    DCN boundary. Devices are grouped by slice_index; each slice
+    contributes whole model-groups; the data axis is ordered
+    slice-major so rows [i*per_slice:(i+1)*per_slice] of the data axis
+    live on slice i.
+
+    Returns a [data, model] object array. Raises if the model axis would
+    have to straddle slices.
+    """
+    devices = list(devices)
+    if data * model != len(devices):
+        raise ValueError(f"need {data * model} devices, have {len(devices)}")
+    slices: dict = {}
+    for d in devices:
+        slices.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    if len(slices) == 1:
+        return np.asarray(devices).reshape(data, model)
+    rows = []
+    for sidx in sorted(slices):
+        devs = sorted(slices[sidx], key=lambda d: getattr(d, "id", 0))
+        if len(devs) % model:
+            raise ValueError(
+                f"slice {sidx} has {len(devs)} devices, not a multiple of "
+                f"model={model}: the model axis would cross the DCN boundary"
+            )
+        rows.extend(devs[i : i + model] for i in range(0, len(devs), model))
+    if len(rows) != data:
+        raise ValueError(
+            f"slices supply {len(rows)} data rows, expected data={data}"
+        )
+    return np.asarray(rows, dtype=object)
+
+
+def create_hybrid_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
+    """Mesh for single- OR multi-slice topologies: model axis on ICI within
+    a slice, data axis across slices on DCN (falls back to create_mesh
+    layout when all devices report one slice)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(hybrid_device_order(devices[: data * model], data, model),
+                (DATA, MODEL))
+
+
 # (path regex, spec builder) — first match wins. Specs name logical axes;
 # _fit() drops axes whose size doesn't divide the dimension.
 _COLWISE = P(None, MODEL)  # kernel [in, out]: shard output features

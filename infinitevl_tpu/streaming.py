@@ -115,6 +115,99 @@ def stream_frame_step_raw(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_thw"),
+    donate_argnames=("state",),
+)
+def stream_clip_step(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    pixel_values: jax.Array,  # [n_units * n_patches, in_feat] packed units
+    clip_input_ids: jax.Array,  # [1, n_units * (1 + n_tok)]
+    pos_base: jax.Array,  # scalar int32
+    t_offsets: jax.Array,  # [n_units] int32: temporal offset per unit
+    state: DecoderState,
+    grid_thw: Tuple[Tuple[int, int, int], ...],  # n_units single-unit grids
+) -> DecoderState:
+    """Ingest N temporal units in ONE forward (T = N * (1 + n_tok)).
+
+    Token stream, per-unit positions, per-frame ViT windows, and state
+    updates are identical to N sequential stream_frame_step calls (each
+    unit keeps its own (1, h, w) grid so full-attention ViT blocks never
+    mix units — same semantics as the per-frame demo loop). What changes
+    is throughput: the decoder's per-step weight read (~7.4 GB at 3B)
+    amortizes over N*257 tokens instead of 257, at a latency cost of N-1
+    units of buffering on the host."""
+    plan = get_vision_plan(grid_thw, cfg.vision)
+    vis = vision_forward(params["visual"], cfg.vision, pixel_values, plan)
+
+    embeds = embed_tokens(params["text"], clip_input_ids)
+    mask = clip_input_ids == cfg.image_token_id
+    embeds = scatter_vision_embeds(embeds, vis, mask)
+
+    n = len(grid_thw)
+    per = clip_input_ids.shape[1] // n
+    n_tok = per - 1
+    m = cfg.vision.spatial_merge_size
+    lh, lw = grid_thw[0][1] // m, grid_thw[0][2] // m
+    h_idx = jnp.repeat(jnp.arange(lh, dtype=jnp.int32), lw)
+    w_idx = jnp.tile(jnp.arange(lw, dtype=jnp.int32), lh)
+    grid_base = pos_base + 1
+    start_col = jnp.broadcast_to(pos_base, (n, 1)).astype(jnp.int32)
+    pos_t = jnp.concatenate(
+        [start_col, grid_base + t_offsets[:, None] + jnp.zeros((n, n_tok), jnp.int32)],
+        axis=1,
+    ).reshape(-1)
+    pos_h = jnp.concatenate(
+        [start_col, jnp.broadcast_to(grid_base + h_idx, (n, n_tok))], axis=1
+    ).reshape(-1)
+    pos_w = jnp.concatenate(
+        [start_col, jnp.broadcast_to(grid_base + w_idx, (n, n_tok))], axis=1
+    ).reshape(-1)
+    pos = jnp.stack([pos_t, pos_h, pos_w])[:, None, :]  # [3, 1, T]
+
+    _, state, _ = text_forward(params["text"], cfg.text, embeds, pos, state)
+    return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_thw"),
+    donate_argnames=("state",),
+)
+def stream_clip_step_raw(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    raw_frames: jax.Array,  # [n_units, H, W, C] (duplicate mode) or
+    #                         [n_units * tps, H, W, C] (consecutive frames)
+    clip_input_ids: jax.Array,
+    pos_base: jax.Array,
+    t_offsets: jax.Array,  # [n_units]
+    state: DecoderState,
+    grid_thw: Tuple[Tuple[int, int, int], ...],
+) -> DecoderState:
+    """Raw-uint8 clip variant: normalize+patchify on device. When one frame
+    per unit is supplied it is duplicated on device to fill
+    temporal_patch_size (the demo's duplicate semantics, 3 B/px shipped)."""
+    from .data.processing import patchify_device
+
+    v = cfg.vision
+    n = len(grid_thw)
+    frames = raw_frames
+    if frames.shape[0] == n and v.temporal_patch_size > 1:
+        frames = jnp.repeat(frames, v.temporal_patch_size, axis=0)
+    # patchify of the whole clip is block-equivalent to per-unit patchify:
+    # rows [i*HW : (i+1)*HW] hold unit i's patches (t-major layout)
+    pixels = patchify_device(
+        frames, v.patch_size, v.temporal_patch_size, v.spatial_merge_size
+    ).astype(params["visual"]["patch_embed"].dtype)
+    return stream_clip_step(
+        params, cfg, pixels, clip_input_ids, pos_base, t_offsets, state,
+        grid_thw,
+    )
+
+
 class StreamingEngine:
     """Frame-by-frame video prefill with branched QA; the functional
     equivalent of the reference demo's main loop (push_frame / ask / stats)."""
@@ -126,7 +219,14 @@ class StreamingEngine:
         frame_hw: Tuple[int, int] = (448, 448),
         dtype=jnp.bfloat16,
         batch_size: int = 1,
+        fuse: bool = False,
     ):
+        if fuse:
+            # opt-in: one matmul per projection group — measured SLOWER on
+            # v5e at these shapes (see models/fuse.py); re-measure before use
+            from .models.fuse import fuse_projections
+
+            params = fuse_projections(params)
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
@@ -276,6 +376,42 @@ class StreamingEngine:
         self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
         self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
         self.frames += 1
+
+    def push_clip_raw(
+        self,
+        frames: np.ndarray,  # [k, H, W, C] uint8 (duplicate mode) or
+        #                      [k * tps, H, W, C] (consecutive-frame mode)
+        fps: float = 30.0,
+        paired: bool = False,
+    ) -> None:
+        """Ingest k temporal units in ONE jitted step (stream_clip_step):
+        the decoder weight read amortizes over k*257 tokens. Latency grows
+        by the k-1 units buffered on the host; per-unit state/position
+        semantics match k push_frame calls exactly (tested)."""
+        frames = np.asarray(frames)
+        tps = self.cfg.vision.temporal_patch_size
+        k = frames.shape[0] // tps if paired else frames.shape[0]
+        frames_per_unit = tps if paired else 1
+        t_offs = [
+            self.t_offset_for_frame(self.frames + i * frames_per_unit, fps)
+            for i in range(k)
+        ]
+        clip_ids = jnp.tile(self.frame_input_ids, (1, k))
+        t0 = time.perf_counter()
+        self.state = stream_clip_step_raw(
+            self.params,
+            self.cfg,
+            jnp.asarray(frames, dtype=jnp.uint8),
+            clip_ids,
+            jnp.asarray(self.pos_base, dtype=jnp.int32),
+            jnp.asarray(t_offs, dtype=jnp.int32),
+            self.state,
+            self.grid_thw * k,
+        )
+        jax.block_until_ready(self.state)
+        self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
+        self.pos_max = max(self.pos_max, self.pos_base + 1 + max(t_offs))
+        self.frames += k * frames_per_unit
 
     def ask(
         self,

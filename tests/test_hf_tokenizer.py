@@ -1,0 +1,135 @@
+"""HF-tokenizer integration: the data pipeline, processor, and MCQ
+evaluator must accept a real `transformers` fast tokenizer (the deployment
+path uses the HF Qwen2 tokenizer; tests elsewhere use SimpleTokenizer).
+
+A tiny BPE is trained in-test (no network), wrapped in
+PreTrainedTokenizerFast, and the config's vision-token ids are pinned to
+the tokenizer's special-token ids the way a real checkpoint's config
+matches its tokenizer.
+"""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinitevl_tpu import tiny_config
+from infinitevl_tpu.data.template import get_template
+from infinitevl_tpu.eval.mcq import CHOICES, MCQEvaluator
+from infinitevl_tpu.generation import Generator
+from infinitevl_tpu.models.params import init_params
+
+SPECIALS = [
+    "<|endoftext|>",
+    "<|im_start|>",
+    "<|im_end|>",
+    "<|vision_start|>",
+    "<|vision_end|>",
+    "<|image_pad|>",
+    "<|video_pad|>",
+]
+
+
+@pytest.fixture(scope="module")
+def hf_tokenizer():
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    corpus = [
+        "The following are multiple choice questions (with answers) about",
+        "elementary arithmetic world capitals Answer: A B C D",
+        "What is the capital of France Japan Italy Canada Australia Brazil?",
+        "What is 2 + 3 x 7 - 100 / 81 15 27 64 ?",
+        "You are a helpful assistant. user assistant system",
+        "Describe the image. 0 1 2 3 4 5 6 7 8 9 . , \n",
+    ]
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    trainer = trainers.BpeTrainer(
+        vocab_size=400, special_tokens=["<unk>"] + SPECIALS
+    )
+    tok.train_from_iterator(corpus, trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        unk_token="<unk>",
+        eos_token="<|endoftext|>",
+        additional_special_tokens=SPECIALS[1:],
+    )
+    return fast
+
+
+def _cfg_for(tok):
+    base = tiny_config(vocab_size=512)
+    conv = tok.convert_tokens_to_ids
+    text = dataclasses.replace(base.text, vocab_size=512)
+    return dataclasses.replace(
+        base,
+        text=text,
+        image_token_id=conv("<|image_pad|>"),
+        video_token_id=conv("<|video_pad|>"),
+        vision_start_token_id=conv("<|vision_start|>"),
+        vision_end_token_id=conv("<|vision_end|>"),
+    )
+
+
+def test_template_encode_with_hf_tokenizer(hf_tokenizer):
+    template = get_template("qwen2_vl")
+    msgs = [
+        {"role": "user", "content": "What is 2 + 3?"},
+        {"role": "assistant", "content": "5"},
+    ]
+    ids, labels = template.encode_turns(hf_tokenizer, msgs)
+    assert len(ids) == len(labels) > 0
+    # prompt tokens masked, assistant tokens supervised
+    assert labels[0] == -100
+    assert any(l != -100 for l in labels)
+    sup = [i for i, l in zip(ids, labels) if l != -100]
+    text = hf_tokenizer.decode(sup)
+    assert "5" in text
+
+
+def test_processor_with_hf_tokenizer(hf_tokenizer):
+    from infinitevl_tpu.data.processing import InfiniteVLProcessor
+
+    cfg = _cfg_for(hf_tokenizer)
+    proc = InfiniteVLProcessor(hf_tokenizer, cfg)
+    vc = cfg.vision
+    side = vc.patch_size * vc.spatial_merge_size * 2
+    img = np.random.RandomState(0).randint(
+        0, 255, (side, side, 3)
+    ).astype(np.uint8)
+    out = proc(text="<|vision_start|><|image_pad|><|vision_end|>ok", images=[img])
+    ids = np.asarray(out.input_ids)[0]
+    grid = np.asarray(out.image_grid_thw)[0]
+    n_expanded = int((ids == cfg.image_token_id).sum())
+    assert n_expanded == int(np.prod(grid)) // vc.spatial_merge_size**2
+    assert out.pixel_values.shape[0] == int(np.prod(grid))
+
+
+def test_mcq_eval_task_with_hf_tokenizer(hf_tokenizer):
+    cfg = _cfg_for(hf_tokenizer)
+    params = init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    gen = Generator(params, cfg, dtype=jnp.float32)
+    ev = MCQEvaluator(gen, hf_tokenizer, batch_size=4)
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "mcq_demo.json")
+    with open(path) as f:
+        task = json.load(f)
+    # shrink to keep the CPU run fast: 2 test questions per subject
+    task = {
+        k: {"name": v["name"], "dev": v["dev"][:1], "test": v["test"][:2]}
+        for k, v in task.items()
+    }
+    metrics = ev.evaluate_task(task, n_shot=1)
+    assert set(metrics) == {
+        "accuracy",
+        "accuracy/elementary_arithmetic",
+        "accuracy/world_capitals",
+    }
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    # choice tokens must be distinct single tokens for argmax scoring
+    assert len(set(ev.choice_ids)) == len(CHOICES)

@@ -107,3 +107,69 @@ def test_run_sft_on_mesh(tmp_path):
 
     for leaf in _jax.tree.leaves(params):
         assert _np.isfinite(_np.asarray(leaf)).all()
+
+
+class _StubDev:
+    """Minimal device stand-in for layout tests (multi-slice attrs)."""
+
+    def __init__(self, id, slice_index):
+        self.id = id
+        self.slice_index = slice_index
+
+    def __repr__(self):
+        return f"d{self.id}s{self.slice_index}"
+
+
+def test_hybrid_device_order_multislice():
+    """Model axis must stay inside a slice; data axis is slice-major."""
+    from infinitevl_tpu.parallel.sharding import hybrid_device_order
+
+    # 2 slices x 4 devices, interleaved enumeration order (the failure mode:
+    # naive reshape would put a model group across slices)
+    devs = [_StubDev(i, i % 2) for i in range(8)]
+    arr = hybrid_device_order(devs, data=4, model=2)
+    assert arr.shape == (4, 2)
+    for row in arr:
+        assert len({d.slice_index for d in row}) == 1  # model inside slice
+    # data rows slice-major: first per-slice rows from slice 0
+    assert [row[0].slice_index for row in arr] == [0, 0, 1, 1]
+
+    # model=4 per slice exactly consumes each slice
+    arr = hybrid_device_order(devs, data=2, model=4)
+    for row in arr:
+        assert len({d.slice_index for d in row}) == 1
+
+    # model=8 cannot fit inside a 4-device slice
+    with pytest.raises(ValueError, match="DCN boundary"):
+        hybrid_device_order(devs, data=1, model=8)
+
+
+def test_hybrid_mesh_single_slice_equals_create_mesh():
+    """CPU virtual devices report one slice -> same layout as create_mesh."""
+    from infinitevl_tpu.parallel.sharding import create_hybrid_mesh
+
+    mesh = create_hybrid_mesh(data=4, model=2)
+    ref = create_mesh(data=4, model=2)
+    assert (mesh.devices == ref.devices).all()
+    assert mesh.axis_names == ref.axis_names
+
+
+def test_hybrid_mesh_runs_sharded_forward():
+    from infinitevl_tpu.parallel.sharding import create_hybrid_mesh
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(8)[None, None], (3, 4, 8))
+    h_ref, _, _ = text_forward(
+        params["text"], cfg, embed_tokens(params["text"], ids), pos
+    )
+    mesh = create_hybrid_mesh(data=4, model=2)
+    sharded = shard_params(params, mesh, param_mode="fsdp")
+
+    @jax.jit
+    def fwd(p, ids, pos):
+        return text_forward(p["text"], cfg, embed_tokens(p["text"], ids), pos)[0]
+
+    h = fwd(sharded, ids, pos)
+    assert err_ratio(h, h_ref) < 1e-5

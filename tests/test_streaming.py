@@ -191,3 +191,55 @@ def test_paired_frame_mode():
     # paired state is finite and flat
     for leaf in jax.tree.leaves(eng.state):
         assert np.isfinite(np.asarray(leaf, dtype=np.float64)).all()
+
+
+def test_clip_step_equals_sequential_frames():
+    """One push_clip_raw(k units) must produce the same state as k
+    sequential push_frame_raw calls (identical tokens, positions, ring and
+    recurrent state)."""
+    cfg = make_cfg(conv_carry=True)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    frames = [
+        rng.randint(0, 255, (8, 8, 3)).astype(np.uint8) for _ in range(3)
+    ]
+
+    eng_seq = StreamingEngine(params, cfg, frame_hw=(8, 8), dtype=jnp.float32)
+    for f in frames:
+        eng_seq.push_frame_raw(f, fps=30.0)
+
+    eng_clip = StreamingEngine(params, cfg, frame_hw=(8, 8), dtype=jnp.float32)
+    eng_clip.push_clip_raw(np.stack(frames), fps=30.0)
+
+    assert eng_clip.frames == eng_seq.frames
+    assert eng_clip.pos_max == eng_seq.pos_max
+    assert int(eng_clip.state["cum_len"]) == int(eng_seq.state["cum_len"])
+    for a, b in zip(
+        jax.tree.leaves(eng_clip.state), jax.tree.leaves(eng_seq.state)
+    ):
+        err = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max()
+        assert err < 1e-4, f"clip/sequential state divergence {err}"
+
+
+def test_clip_step_duplicate_mode_tps2():
+    """temporal_patch_size=2 duplicate mode: the clip path repeats each
+    frame on device; must equal per-frame raw pushes (which pad via
+    patchify)."""
+    base = make_cfg(conv_carry=True)
+    vision = dataclasses.replace(base.vision, temporal_patch_size=2)
+    cfg = dataclasses.replace(base, vision=vision)
+    params = init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    frames = [
+        rng.randint(0, 255, (8, 8, 3)).astype(np.uint8) for _ in range(2)
+    ]
+    eng_seq = StreamingEngine(params, cfg, frame_hw=(8, 8), dtype=jnp.float32)
+    for f in frames:
+        eng_seq.push_frame_raw(f, fps=30.0)
+    eng_clip = StreamingEngine(params, cfg, frame_hw=(8, 8), dtype=jnp.float32)
+    eng_clip.push_clip_raw(np.stack(frames), fps=30.0)
+    for a, b in zip(
+        jax.tree.leaves(eng_clip.state), jax.tree.leaves(eng_seq.state)
+    ):
+        err = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max()
+        assert err < 1e-4, f"tps2 clip/sequential divergence {err}"
