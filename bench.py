@@ -201,7 +201,7 @@ def main():
         from infinitevl_tpu.ops.swa import swa_cached_attention
         from infinitevl_tpu.ops.swa_pallas import (
             swa_ring_flash_attention,
-            swa_ring_flash_decode,
+            swa_ring_flash_decode_stacked,
         )
 
         t0 = time.time()
@@ -220,7 +220,10 @@ def main():
             nv = mk(jax.random.fold_in(kq, 2), (1, T, Hkv, D))
             ref, _, _ = swa_cached_attention(q, nk, nv, rk, rv, cum, W)
             if T == 1:
-                out, _, _ = swa_ring_flash_decode(q, nk, nv, rk, rv, cum, W)
+                # the model's decode path: stacked rings + static layer index
+                out, _, _ = swa_ring_flash_decode_stacked(
+                    q, nk, nv, rk[None], rv[None], 0, cum, W
+                )
             else:
                 out = swa_ring_flash_attention(q, nk, nv, rk, rv, cum, W)
             e = float(

@@ -49,13 +49,12 @@ def mlp_forward(p: Params, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _use_pallas_swa(cfg: TextConfig, ring_k: jax.Array) -> bool:
+def _use_pallas_swa(cfg: TextConfig, cap: int, head_dim: int) -> bool:
     if not cfg.use_pallas_swa:
         return False
     if jax.default_backend() != "tpu":
         return False
-    cap = ring_k.shape[2]
-    return cap % 512 == 0 and ring_k.shape[-1] % 128 == 0
+    return cap % 512 == 0 and head_dim % 128 == 0
 
 
 def swa_attention_forward(
@@ -64,14 +63,20 @@ def swa_attention_forward(
     x: jax.Array,  # [B, T, D]
     cos: jax.Array,  # [B, T, head_dim]
     sin: jax.Array,
-    ring_k: Optional[jax.Array],  # [B, cap, Hkv, Dh] or None (stateless)
-    ring_v: Optional[jax.Array],
+    rings_k: Optional[jax.Array],  # [S, B, Hkv, cap, Dh] STACKED rings or None
+    rings_v: Optional[jax.Array],
     cum_len: Optional[jax.Array],
+    layer_idx: int = 0,  # static index into the ring stack
     segment_ids: Optional[jax.Array] = None,
     window: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """Reference InfiniteVLSelfAttention (modeling_infinitevl.py:987-1113):
-    GQA with qkv bias, mRoPE, sliding-window mask, no o_proj bias."""
+    GQA with qkv bias, mRoPE, sliding-window mask, no o_proj bias.
+
+    Cached calls take the STACKED ring arrays plus a static layer index and
+    return the updated stacks: per-layer slice->update->stack-write round
+    trips cost full ring copies under XLA (measured 2.4 ms/step at B=8),
+    while direct stacked writes are near-free (0.26 ms)."""
     B, T, _ = x.shape
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     window = window if window is not None else cfg.sliding_window
@@ -86,29 +91,37 @@ def swa_attention_forward(
         k = _dense(x, p["k_proj"]).reshape(B, T, Hkv, Dh)
         v = _dense(x, p["v_proj"]).reshape(B, T, Hkv, Dh)
     q, k = apply_rotary(q, k, cos, sin)
-    if ring_k is None:
+    if rings_k is None:
         out = swa_prefill_dense(q, k, v, window, segment_ids=segment_ids)
         new_rk = new_rv = None
-    elif _use_pallas_swa(cfg, ring_k):
-        from ..ops.swa import ring_write
+    elif _use_pallas_swa(cfg, rings_k.shape[3], rings_k.shape[-1]):
+        from ..ops.swa import ring_write_stacked
         from ..ops.swa_pallas import (
             swa_ring_flash_attention,
-            swa_ring_flash_decode,
+            swa_ring_flash_decode_stacked,
         )
 
         if T == 1:
-            # write-then-attend over the ring alone: no concat copies
-            out, new_rk, new_rv = swa_ring_flash_decode(
-                q, k, v, ring_k, ring_v, cum_len, window
+            # write-then-attend over the ring alone: no concat/slice copies
+            out, new_rk, new_rv = swa_ring_flash_decode_stacked(
+                q, k, v, rings_k, rings_v, layer_idx, cum_len, window
             )
         else:
             out = swa_ring_flash_attention(
-                q, k, v, ring_k, ring_v, cum_len, window
+                q, k, v, rings_k[layer_idx], rings_v[layer_idx], cum_len,
+                window,
             )
-            new_rk, new_rv = ring_write(ring_k, ring_v, k, v, cum_len)
+            new_rk, new_rv = ring_write_stacked(
+                rings_k, rings_v, layer_idx, k, v, cum_len
+            )
     else:
-        out, new_rk, new_rv = swa_cached_attention(
-            q, k, v, ring_k, ring_v, cum_len, window
+        from ..ops.swa import ring_write_stacked
+
+        out, _, _ = swa_cached_attention(
+            q, k, v, rings_k[layer_idx], rings_v[layer_idx], cum_len, window
+        )
+        new_rk, new_rv = ring_write_stacked(
+            rings_k, rings_v, layer_idx, k, v, cum_len
         )
     out = out.reshape(B, T, Hq * Dh)
     return _dense(out, p["o_proj"]), new_rk, new_rv
@@ -287,11 +300,11 @@ def decoder_layer_forward(
                 "InfiniteVL's deployed config has none (teacher models run "
                 "stateless during distillation)"
             )
-        ring_k, ring_v, cum_len = layer_state or (None, None, None)
+        rings_k, rings_v, cum_len, swa_i = layer_state or (None, None, None, 0)
         window = cfg.sliding_window if role == SLIDING else (1 << 30)
         attn, new_rk, new_rv = swa_attention_forward(
-            p, cfg, h, cos, sin, ring_k, ring_v, cum_len, segment_ids,
-            window=window,
+            p, cfg, h, cos, sin, rings_k, rings_v, cum_len,
+            layer_idx=swa_i, segment_ids=segment_ids, window=window,
         )
         new_state = (new_rk, new_rv) if layer_state else None
     elif role == LINEAR:
@@ -348,10 +361,14 @@ def text_forward(
         if collected is not None:
             collected.append(x)
         if state is not None and role == SLIDING:
+            # pass the STACKED ring arrays (threaded through new_state) plus
+            # the static layer index: per-layer slice/stack-write round
+            # trips cost full ring copies under XLA (see swa_attention_forward)
             layer_state = (
-                state["swa_k"][swa_i],
-                state["swa_v"][swa_i],
+                new_state["swa_k"],
+                new_state["swa_v"],
                 state["cum_len"],
+                swa_i,
             )
         elif state is not None and role == LINEAR:
             layer_state = (
@@ -382,8 +399,9 @@ def text_forward(
             )
         if state is not None:
             if role == SLIDING:
-                new_state["swa_k"] = new_state["swa_k"].at[swa_i].set(out_state[0])
-                new_state["swa_v"] = new_state["swa_v"].at[swa_i].set(out_state[1])
+                # out_state already holds the updated STACKS
+                new_state["swa_k"] = out_state[0]
+                new_state["swa_v"] = out_state[1]
                 swa_i += 1
             elif role == LINEAR:
                 new_state["conv_q"] = new_state["conv_q"].at[lin_i].set(out_state[0])

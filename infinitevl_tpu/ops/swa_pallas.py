@@ -252,6 +252,150 @@ def _swa_decode_kernel(
         ).astype(o_ref.dtype)
 
 
+def _swa_decode_kernel_stacked(
+    cum_incl_ref,  # [1] int32
+    q_ref,  # [1, 1, G, D]
+    k_ref,  # [1, 1, 1, block_k, D] block of the stacked [S,B,Hkv,cap,D] ring
+    v_ref,
+    o_ref,  # [1, 1, G, D]
+    acc_ref,
+    m_ref,
+    l_ref,
+    *,
+    window: int,
+    block_k: int,
+    cap: int,
+    scale: float,
+):
+    """Same math as _swa_decode_kernel; the KV blocks come straight from the
+    stacked per-layer ring (no per-layer slice materialization)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    G, D = q_ref.shape[2], q_ref.shape[3]
+    cum_incl = cum_incl_ref[0]
+    qp = cum_incl - 1
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    s = jnp.dot(q, k_ref[0, 0, 0].T.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+
+    slot = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
+    m0 = (cum_incl - 1) % cap
+    kp = cum_incl - 1 - jnp.mod(m0 - slot, cap)
+    mask = (kp >= 0) & (kp <= qp) & (kp > qp - window)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur)
+    l_ref[:, :1] = l_ref[:, :1] * alpha + p.sum(axis=-1, keepdims=True)
+    m_ref[:, :1] = m_cur
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0, 0, 0],
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        o_ref[0, 0] = (
+            acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer", "window", "scale", "block_k", "interpret"),
+)
+def swa_ring_flash_decode_stacked(
+    q: jax.Array,  # [B, 1, Hq, D]
+    new_k: jax.Array,  # [B, 1, Hkv, D]
+    new_v: jax.Array,
+    rings_k: jax.Array,  # [S, B, Hkv, cap, D] STACKED per-layer rings
+    rings_v: jax.Array,
+    layer: int,  # static layer index into the stack
+    cum_len: jax.Array,  # scalar int32 (tokens BEFORE this one)
+    window: int,
+    scale: Optional[float] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Decode step operating on the STACKED state arrays directly.
+
+    Avoids the per-layer slice -> update -> stack-write round trip that XLA
+    materializes as full ring copies (measured 2.4 ms/step at B=8 for the
+    9-layer stack vs 0.26 ms for direct writes): the token's KV lands via
+    one dynamic_update_slice into the donated stack, and the kernel's
+    BlockSpecs read (block_k, D) tiles straight out of the stacked array at
+    the static layer offset. Returns (out [B,1,Hq,D], rings_k', rings_v')."""
+    B, T, Hq, D = q.shape
+    assert T == 1, "decode path requires T == 1"
+    Hkv = new_k.shape[2]
+    G = Hq // Hkv
+    cap = rings_k.shape[3]
+    if block_k is None:
+        block_k = next(
+            (b for b in (4096, 2048, 1024, 512) if cap % b == 0), 512
+        )
+    if cap % block_k:
+        raise ValueError(f"ring capacity {cap} must be a multiple of {block_k}")
+    if scale is None:
+        scale = D**-0.5
+    slot = jnp.mod(cum_len, cap)
+    zero = jnp.zeros((), jnp.int32)
+    kv_k = new_k.transpose(0, 2, 1, 3)[None].astype(rings_k.dtype)  # [1,B,Hkv,1,D]
+    kv_v = new_v.transpose(0, 2, 1, 3)[None].astype(rings_v.dtype)
+    lyr = jnp.asarray(layer, jnp.int32)
+    rings_k = jax.lax.dynamic_update_slice(
+        rings_k, kv_k, (lyr, zero, zero, slot, zero)
+    )
+    rings_v = jax.lax.dynamic_update_slice(
+        rings_v, kv_v, (lyr, zero, zero, slot, zero)
+    )
+    qg = q.reshape(B, 1, Hkv, G, D).transpose(0, 2, 1, 3, 4).reshape(B, Hkv, G, D)
+    NK = cap // block_k
+    out = pl.pallas_call(
+        functools.partial(
+            _swa_decode_kernel_stacked,
+            window=window,
+            block_k=block_k,
+            cap=cap,
+            scale=scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hkv, NK),
+            in_specs=[
+                pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 1, block_k, D),
+                    lambda b, h, j, c: (layer, b, h, j, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, block_k, D),
+                    lambda b, h, j, c: (layer, b, h, j, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, j, c: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((G, D), jnp.float32),
+                pltpu.VMEM((G, 128), jnp.float32),
+                pltpu.VMEM((G, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        interpret=interpret,
+    )((cum_len + 1).reshape(1), qg, rings_k, rings_v)
+    out = out.reshape(B, Hkv, 1, G, D).transpose(0, 2, 1, 3, 4).reshape(B, 1, Hq, D)
+    return out, rings_k, rings_v
+
+
 @functools.partial(
     jax.jit, static_argnames=("window", "scale", "block_k", "interpret")
 )

@@ -127,3 +127,36 @@ def test_ring_flash_query_blocking_matches_dense():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
     )
+
+
+def test_swa_flash_decode_stacked_parity():
+    """The stacked-ring decode kernel (the model's decode hot path) must
+    match the concat reference for every layer slot of a multi-layer stack,
+    and write the token into exactly that layer's ring."""
+    from infinitevl_tpu.ops.swa_pallas import swa_ring_flash_decode_stacked
+
+    S, B, Hq, Hkv, D, W = 3, 2, 4, 2, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(9), 5)
+    q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+    kn = jax.random.normal(ks[1], (B, 1, Hkv, D), jnp.float32)
+    vn = jax.random.normal(ks[2], (B, 1, Hkv, D), jnp.float32)
+    rks = jax.random.normal(ks[3], (S, B, Hkv, W, D), jnp.float32)
+    rvs = jax.random.normal(ks[4], (S, B, Hkv, W, D), jnp.float32)
+    for cum in [0, 511, 512, 9001]:
+        c = jnp.asarray(cum, jnp.int32)
+        for layer in range(S):
+            ref, rrk, rrv = swa_cached_attention(
+                q, kn, vn, rks[layer], rvs[layer], c, W
+            )
+            out, nrks, nrvs = swa_ring_flash_decode_stacked(
+                q, kn, vn, rks, rvs, layer, c, W, block_k=128, interpret=True
+            )
+            assert err_ratio(out, ref) < 1e-5, (cum, layer)
+            np.testing.assert_allclose(np.asarray(nrks[layer]), np.asarray(rrk))
+            np.testing.assert_allclose(np.asarray(nrvs[layer]), np.asarray(rrv))
+            # other layers untouched
+            for other in range(S):
+                if other != layer:
+                    np.testing.assert_array_equal(
+                        np.asarray(nrks[other]), np.asarray(rks[other])
+                    )
