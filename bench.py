@@ -313,6 +313,7 @@ def main():
     import dataclasses
 
     dense_speedup = None
+    dense_speedup_500k = None
     try:
         # free the hybrid model first: the dense twin needs its own 8.8 GB
         # of weights plus a 4.8 GB KV cache
@@ -350,7 +351,40 @@ def main():
             f"at 500K the dense KV would need {kv_gb*500/96:.0f} GB (OOM) "
             f"while InfiniteVL stays at {state_mb:.0f} MB"
         )
-        del dparams, dstate
+        del dstate
+
+        # second dense point at 32K KV: the measured (ms vs ctx) slope
+        # extrapolates the dense cost to contexts that physically OOM on
+        # this chip (>~128K). The reference's >3.6x claim is made at long
+        # context (README.md:49-51) where dense KV reads dominate — at 96K
+        # a 3B model is still weight-read-bound, which a per-token ring
+        # kernel at roofline compresses to ~1.2x. InfiniteVL's ms_dec is
+        # context-independent (measured flat 87-94 tok/s at 500K).
+        L2 = 32768
+        dense_text2 = dataclasses.replace(
+            dense_text, sliding_window=L2
+        )
+        dense_cfg2 = dataclasses.replace(cfg, text=dense_text2)
+        dstate2 = init_decoder_state(dense_cfg2.text, 1, dtype=jnp.bfloat16)
+        dstate2["cum_len"] = jnp.asarray(L2 + 7, jnp.int32)
+
+        def dense_step2(carry):
+            t, s = carry
+            logits, s = decode_step(dparams, dense_cfg2, t, delta, s)
+            return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+        ms_dense2 = device_time_ms(dense_step2, (tok, dstate2), n1=3, n2=13)
+        slope = (ms_dense - ms_dense2) / (L - L2)  # ms per ctx token
+        ms_dense_500k = ms_dense + slope * (500_000 - L)
+        dense_speedup_500k = ms_dense_500k / ms_dec
+        log(
+            f"dense @32K: {ms_dense2:.2f} ms/tok -> measured KV slope "
+            f"{slope*1e6:.2f} ns/ctx-token; extrapolated dense @500K = "
+            f"{ms_dense_500k:.1f} ms/tok (if {kv_gb*500/96:.0f} GB HBM "
+            f"existed) -> speedup {dense_speedup_500k:.2f}x, growing "
+            f"linearly with context while InfiniteVL stays flat"
+        )
+        del dparams, dstate2
     except Exception as e:  # noqa: BLE001 - baseline is best-effort
         log(f"dense baseline skipped: {type(e).__name__}: {e}")
 
@@ -376,6 +410,9 @@ def main():
                 "params_b": round(n_params / 1e9, 2),
                 "state_mb": round(state_mb, 1),
                 "vs_dense_96k": round(dense_speedup, 2) if dense_speedup else None,
+                "vs_dense_500k_extrapolated": (
+                    round(dense_speedup_500k, 2) if dense_speedup_500k else None
+                ),
             }
         )
     )

@@ -59,6 +59,11 @@ class TrainArgs:
     data_parallel: int = 1
     model_parallel: int = 1
     param_mode: str = "fsdp"  # tp | fsdp | replicated
+    # predict_with_generate analogue: after training, greedy-generate the
+    # first predict_samples examples' prompts and score BLEU-4/ROUGE vs the
+    # gold completions (reference train/sft/workflow.py predict path)
+    do_predict: bool = False
+    predict_samples: int = 16
 
 
 @dataclasses.dataclass

@@ -560,6 +560,52 @@ def _batches(args: AllArgs, data, cfg, mm: bool):
     )
 
 
+def predict_and_score(params, cfg, data, tokenizer, args: AllArgs):
+    """predict_with_generate analogue (reference train/sft/workflow.py
+    predict path + train/sft/metric.py ComputeSimilarity): greedy-generate
+    each example's prompt, score BLEU-4/ROUGE vs the gold completion, write
+    generated_predictions.jsonl + predict_results.json to output_dir."""
+    import json as _json
+
+    from ..eval.text_metrics import compute_similarity
+    from ..generation import Generator
+
+    dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    gen = Generator(params, cfg, dtype=dtype)
+    preds, refs, rows = [], [], []
+    for ex in data[: args.train.predict_samples]:
+        ids = np.asarray(ex["input_ids"])
+        labels = np.asarray(ex["labels"])
+        sup = np.where(labels != -100)[0]
+        if len(sup) == 0 or sup[0] == 0:
+            continue
+        cut = int(sup[0])
+        gold = [int(t) for t in labels[cut:] if t != -100]
+        out = gen.generate(
+            ids[None, :cut],
+            max_new_tokens=min(len(gold) + 8, args.gen.max_new_tokens),
+            temperature=0.0,
+        )
+        pred = tokenizer.decode(out[0].tolist(), skip_special_tokens=True)
+        ref = tokenizer.decode(gold, skip_special_tokens=True)
+        preds.append(pred)
+        refs.append(ref)
+        rows.append({"predict": pred, "label": ref})
+    scores = compute_similarity(preds, refs)
+    scores["samples"] = len(rows)
+    os.makedirs(args.train.output_dir, exist_ok=True)
+    with open(
+        os.path.join(args.train.output_dir, "generated_predictions.jsonl"), "w"
+    ) as f:
+        for row in rows:
+            f.write(_json.dumps(row, ensure_ascii=False) + "\n")
+    with open(
+        os.path.join(args.train.output_dir, "predict_results.json"), "w"
+    ) as f:
+        _json.dump(scores, f, indent=2)
+    return scores
+
+
 def run_sft(args: AllArgs, tokenizer=None):
     """SFT / PT workflow: text-only or multimodal, full / freeze / lora
     finetuning (reference train/sft/workflow.py + model/adapter.py)."""
@@ -608,9 +654,15 @@ def run_sft(args: AllArgs, tokenizer=None):
         lora = trainer.train(
             _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
         )
-        return merge_lora(
+        merged = merge_lora(
             params, lora, alpha=args.finetune.lora_alpha, rank=args.finetune.lora_rank
         )
+        if args.train.do_predict and not mm:
+            predict_and_score(
+                merged, cfg, data,
+                tokenizer or SimpleTokenizer(config=cfg), args,
+            )
+        return merged
     if ft == "freeze":
         # train only the last freeze_trainable_layers decoder layers
         # (reference _setup_freeze_tuning, model/adapter.py:60-128)
@@ -639,9 +691,15 @@ def run_sft(args: AllArgs, tokenizer=None):
     )
     if args.train.resume_from_checkpoint:
         trainer.resume(args.train.resume_from_checkpoint)
-    return trainer.train(
+    final = trainer.train(
         _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
     )
+    if args.train.do_predict and not mm:
+        # text-only scoring (the reference's predict path is text decode too)
+        predict_and_score(
+            final, cfg, data, tokenizer or SimpleTokenizer(config=cfg), args
+        )
+    return final
 
 
 def run_dt(args: AllArgs, tokenizer=None, teacher_params=None, teacher_cfg=None):

@@ -193,3 +193,43 @@ def test_all_example_yamls_parse():
     for path in glob.glob(os.path.join(REPO, "examples", "*.yaml")):
         args = load_yaml_args(path)
         assert args.finetune.stage in ("pt", "sft", "dt", "rm", "dpo", "kto", "ppo"), path
+
+
+def test_sft_do_predict_writes_scores(tmp_path):
+    """do_predict (predict_with_generate analogue) generates the eval
+    prompts after training and writes generated_predictions.jsonl +
+    predict_results.json with BLEU/ROUGE keys (reference
+    train/sft/workflow.py predict path)."""
+    import json
+
+    from infinitevl_tpu.hparams import parse_args
+    from infinitevl_tpu.train.trainer import run_exp
+
+    args = parse_args(
+        {
+            "config_preset": "tiny",
+            "stage": "sft",
+            "dataset": "demo",
+            "dataset_dir": "data",
+            "cutoff_len": 32,
+            "per_device_train_batch_size": 1,
+            "max_steps": 2,
+            "logging_steps": 1,
+            "save_steps": 1000,
+            "bf16": False,
+            "learning_rate": 1e-3,
+            "output_dir": str(tmp_path),
+            "do_predict": True,
+            "predict_samples": 2,
+            "max_new_tokens": 8,
+        }
+    )
+    run_exp(args)
+    with open(tmp_path / "predict_results.json") as f:
+        scores = json.load(f)
+    assert {"bleu-4", "rouge-1", "rouge-2", "rouge-l", "samples"} <= set(scores)
+    assert scores["samples"] >= 1
+    lines = (tmp_path / "generated_predictions.jsonl").read_text().strip().splitlines()
+    assert len(lines) == scores["samples"]
+    row = json.loads(lines[0])
+    assert "predict" in row and "label" in row
