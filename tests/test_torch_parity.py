@@ -223,3 +223,53 @@ def test_multimodal_forward_parity(setup):
             use_cache=False,
         ).logits.numpy()
     assert _err(mine, ref) < ATOL
+
+
+def test_get_rope_index_fuzz(setup):
+    """Seeded fuzz: random interleavings of text/image/video segments,
+    random grids, fractional second_per_grid_ts, random left padding —
+    exact positional parity with the reference torch implementation."""
+    cfg, _, model = setup
+    merge2 = cfg.vision.spatial_merge_unit
+    rng = np.random.RandomState(42)
+    for trial in range(6):
+        img_grids, vid_grids, spg = [], [], []
+        row = [int(rng.randint(3, 50))]
+        for _ in range(rng.randint(1, 4)):
+            kind = rng.choice(["text", "image", "video"])
+            if kind == "text":
+                row += [int(t) for t in rng.randint(3, 50, rng.randint(1, 5))]
+            elif kind == "image":
+                h, w = 2 * rng.randint(1, 4), 2 * rng.randint(1, 4)
+                img_grids.append([1, h, w])
+                row += (
+                    [cfg.vision_start_token_id]
+                    + [cfg.image_token_id] * (h * w // merge2)
+                    + [cfg.vision_end_token_id]
+                )
+            else:
+                t, h, w = rng.randint(1, 4), 2 * rng.randint(1, 3), 2 * rng.randint(1, 3)
+                vid_grids.append([t, h, w])
+                spg.append(float(rng.choice([0.25, 0.5, 1.0, 1.5, 2.0])))
+                row += (
+                    [cfg.vision_start_token_id]
+                    + [cfg.video_token_id] * (t * h * w // merge2)
+                    + [cfg.vision_end_token_id]
+                )
+        row += [int(rng.randint(3, 50))]
+        pad = int(rng.randint(0, 4))
+        T = len(row)
+        ids = np.asarray([[0] * pad + row])
+        am = np.asarray([[0] * pad + [1] * T], np.int64)
+        img = np.asarray(img_grids) if img_grids else None
+        vid = np.asarray(vid_grids) if vid_grids else None
+        pos_mine, d_mine = my_rope_index(cfg, ids, img, vid, spg or None, am)
+        pos_ref, d_ref = model.model.get_rope_index(
+            torch.tensor(ids),
+            torch.tensor(img) if img is not None else None,
+            torch.tensor(vid) if vid is not None else None,
+            spg or None,
+            torch.tensor(am),
+        )
+        np.testing.assert_array_equal(pos_mine, pos_ref.numpy(), err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(d_mine, d_ref.numpy(), err_msg=f"trial {trial}")
