@@ -71,15 +71,17 @@ def _swa_kernel(
     k = k_ref[0, 0]
     s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
 
-    row = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0)
-    qp = cum_len + row // groups
-    flat = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 1)
+    # positions factor into a row vector (query) and a column vector (key):
+    # the expensive div/mod run on R + block_k elements, not R*block_k
+    row = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    qp = cum_len + row // groups  # [R, 1]
+    flat = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     m0 = (cum_len - 1) % cap
     ring_kp = cum_len - 1 - jnp.mod(m0 - flat, cap)
     new_off = flat - cap
     new_kp = jnp.where(new_off < t_real, cum_len + new_off, -1)
     kp = jnp.where(flat < cap, jnp.where(ring_kp >= 0, ring_kp, -1), new_kp)
-    mask = (kp >= 0) & (kp <= qp) & (kp > qp - window)
+    mask = (kp >= 0) & (kp <= qp) & (kp > qp - window)  # broadcast [R, block_k]
 
     s = jnp.where(mask, s, NEG_INF)
     m_prev = m_ref[:, :1]
@@ -285,9 +287,9 @@ def _swa_decode_kernel_stacked(
     s = jnp.dot(q, k_ref[0, 0, 0].T.astype(jnp.float32),
                 preferred_element_type=jnp.float32)
 
-    slot = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
+    slot = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     m0 = (cum_incl - 1) % cap
-    kp = cum_incl - 1 - jnp.mod(m0 - slot, cap)
+    kp = cum_incl - 1 - jnp.mod(m0 - slot, cap)  # [1, block_k]
     mask = (kp >= 0) & (kp <= qp) & (kp > qp - window)
     s = jnp.where(mask, s, NEG_INF)
 
