@@ -99,6 +99,7 @@ def cmd_chat(config_path: str):
             temperature=args.gen.temperature if args.gen.do_sample else 0.0,
             top_k=args.gen.top_k,
             top_p=args.gen.top_p,
+            repetition_penalty=args.gen.repetition_penalty,
         )
         text = tok.decode(out[0], skip_special_tokens=True)
         history.append({"role": "assistant", "content": text})

@@ -91,7 +91,9 @@ decode_step_preserve = jax.jit(_decode_step_impl, static_argnames=("cfg",))
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "eos", "temperature", "top_k", "top_p"),
+    static_argnames=(
+        "cfg", "steps", "eos", "temperature", "top_k", "top_p", "rep_penalty"
+    ),
     donate_argnames=("state",),
 )
 def decode_chunk(
@@ -107,27 +109,45 @@ def decode_chunk(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
-) -> Tuple[jax.Array, DecoderState, jax.Array]:
+    rep_penalty: float = 1.0,
+    seen: Optional[jax.Array] = None,  # [B, vocab] bool; tokens to penalize
+) -> Tuple[jax.Array, DecoderState, jax.Array, Optional[jax.Array]]:
     """Decode `steps` tokens in ONE jitted program (a lax.scan of decode
     steps with on-device sampling): the host syncs once per chunk instead of
     once per token — on the relay each sync costs 30-110 ms, and in a real
     deployment it is a dispatch round-trip. EOS is checked on-device per step
     (finished rows keep emitting eos, HF pad semantics) and on the host
-    between chunks. Returns (tokens [B, steps], state, finished)."""
+    between chunks.
+
+    rep_penalty > 1 applies the HF RepetitionPenaltyLogitsProcessor rule
+    (score/p if > 0 else score*p) to every token flagged in `seen` (prompt
+    + previously generated, updated on-device each step).
+
+    Returns (tokens [B, steps], state, finished, seen')."""
+    use_pen = rep_penalty != 1.0 and seen is not None
+    if not use_pen:
+        seen = jnp.zeros((), jnp.bool_)  # static placeholder in the carry
 
     def body(carry, _):
-        tok, state, key, finished = carry
+        tok, state, key, finished, seen = carry
         logits, state = _decode_step_impl(params, cfg, tok, rope_delta, state)
+        if use_pen:
+            pen = jnp.where(
+                logits > 0, logits / rep_penalty, logits * rep_penalty
+            )
+            logits = jnp.where(seen, pen, logits)
         key, sub = jax.random.split(key)
         nxt = sample_token(logits, sub, temperature, top_k, top_p)
         nxt = jnp.where(finished, eos, nxt)
         finished = finished | (nxt == eos)
-        return (nxt[:, None], state, key, finished), nxt
+        if use_pen:
+            seen = seen.at[jnp.arange(nxt.shape[0]), nxt].set(True)
+        return (nxt[:, None], state, key, finished, seen), nxt
 
-    (token, state, key, finished), toks = jax.lax.scan(
-        body, (token, state, key, finished), None, length=steps
+    (token, state, key, finished, seen), toks = jax.lax.scan(
+        body, (token, state, key, finished, seen), None, length=steps
     )
-    return toks.T, state, finished
+    return toks.T, state, finished, (seen if use_pen else None)
 
 
 def prefill_chunked(
@@ -265,6 +285,7 @@ class Generator:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
         seed: int = 0,
         eos_token_id: Optional[int] = None,
         state: Optional[DecoderState] = None,
@@ -340,6 +361,18 @@ class Generator:
                 pixel_values_videos=pvv, video_grid_thw=vgrid,
             )
         rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
+        seen = None
+        if repetition_penalty != 1.0:
+            # HF RepetitionPenaltyLogitsProcessor semantics: penalize every
+            # token already in the sequence, prompt included
+            seen_np = np.zeros((B, cfg.text.vocab_size), np.bool_)
+            np.put_along_axis(seen_np, np.asarray(input_ids), True, axis=1)
+            seen = jnp.asarray(seen_np)
+            pen = jnp.where(
+                logits > 0, logits / repetition_penalty,
+                logits * repetition_penalty,
+            )
+            logits = jnp.where(seen, pen, logits)
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         tok = sample_token(logits, sub, temperature, top_k, top_p)
@@ -349,14 +382,17 @@ class Generator:
         if max_new_tokens <= 1 or bool(np.all(t0 == eos)):
             return
         tok_in = jnp.asarray(t0)[:, None]
+        if seen is not None:
+            seen = seen.at[jnp.arange(B), jnp.asarray(t0)].set(True)
         remaining = max_new_tokens - 1
         while remaining > 0:
             steps = min(self.chunk_size, remaining)
             key, sub = jax.random.split(key)
-            toks, state, finished = decode_chunk(
+            toks, state, finished, seen = decode_chunk(
                 self.params, cfg, tok_in, rope_delta, state, finished, sub,
                 steps=steps, eos=eos,
                 temperature=temperature, top_k=top_k, top_p=top_p,
+                rep_penalty=repetition_penalty, seen=seen,
             )
             yield np.asarray(toks)  # ONE host sync per chunk
             remaining -= steps

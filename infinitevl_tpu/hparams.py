@@ -114,6 +114,7 @@ class GenArgs:
     temperature: float = 0.7
     top_k: int = 50
     top_p: float = 0.9
+    repetition_penalty: float = 1.0
     do_sample: bool = True
 
 

@@ -185,7 +185,7 @@ class BatchingEngine:
         while produced < max_new and not bool(np.asarray(finished).all()):
             steps = min(self.chunk_size, max_new - produced)
             key, sub = jax.random.split(key)
-            toks, state, finished = decode_chunk(
+            toks, state, finished, _ = decode_chunk(
                 self.params, cfg, tok_in, rope_delta, state, finished, sub,
                 steps=steps, eos=eos,
                 temperature=r0.temperature, top_k=r0.top_k, top_p=r0.top_p,

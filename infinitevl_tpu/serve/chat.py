@@ -60,6 +60,7 @@ class ChatModel:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
         seed: int = 0,
     ) -> str:
         out = self._prepare(messages, images, videos)
@@ -75,6 +76,7 @@ class ChatModel:
                 temperature=temperature,
                 top_k=top_k,
                 top_p=top_p,
+                repetition_penalty=repetition_penalty,
                 seed=seed,
             )
         return self.tokenizer.decode(tokens[0], skip_special_tokens=True)
@@ -88,6 +90,7 @@ class ChatModel:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
         seed: int = 0,
     ) -> Gen[str, None, None]:
         """TRUE streaming: yields text deltas as each jitted decode chunk
@@ -109,6 +112,7 @@ class ChatModel:
                 temperature=temperature,
                 top_k=top_k,
                 top_p=top_p,
+                repetition_penalty=repetition_penalty,
                 seed=seed,
             ):
                 for t in chunk[0]:

@@ -453,7 +453,7 @@ class StreamingEngine:
         key = jax.random.PRNGKey(0)  # unused at temperature 0 (greedy)
         while len(out) < max_new_tokens:
             steps = min(chunk_size, max_new_tokens - len(out))
-            toks, branch, finished = decode_chunk(
+            toks, branch, finished, _ = decode_chunk(
                 self.params, cfg, tok_in, rope_delta, branch, finished, key,
                 steps=steps, eos=eos, temperature=0.0,
             )

@@ -218,3 +218,24 @@ def test_prefill_chunked_matches_oneshot():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_repetition_penalty():
+    """repetition_penalty follows the HF processor rule: with a huge
+    penalty, greedy decode never repeats a token (prompt included); with
+    penalty 1.0 the output is identical to the default path."""
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    gen = Generator(params, cfg, dtype=jnp.float32, chunk_size=4)
+    prompt = np.array([[5, 9, 13]])
+
+    base = gen.generate(prompt, max_new_tokens=10, eos_token_id=-1,
+                        temperature=0.0)
+    same = gen.generate(prompt, max_new_tokens=10, eos_token_id=-1,
+                        temperature=0.0, repetition_penalty=1.0)
+    np.testing.assert_array_equal(base, same)
+
+    pen = gen.generate(prompt, max_new_tokens=10, eos_token_id=-1,
+                       temperature=0.0, repetition_penalty=1e9)
+    toks = prompt[0].tolist() + pen[0].tolist()
+    assert len(set(toks)) == len(toks), f"repeated token with penalty: {toks}"
