@@ -280,6 +280,26 @@ def main():
     )
     del state8
 
+    B16 = 16
+    state16 = init_decoder_state(cfg.text, B16, dtype=jnp.bfloat16)
+    state16["cum_len"] = jnp.asarray(500_000, jnp.int32)
+    tok16 = jnp.zeros((B16, 1), dtype=jnp.int32)
+    delta16 = jnp.zeros((B16, 1), dtype=jnp.int32)
+
+    def dstep16(carry):
+        t, s = carry
+        logits, s = decode_step(params, cfg, t, delta16, s)
+        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+    t0 = time.time()
+    ms_dec16 = device_time_ms(dstep16, (tok16, state16), n1=5, n2=25)
+    tok_s_b16 = B16 * 1000 / ms_dec16
+    log(
+        f"decode batch=16 @500K: {ms_dec16:.2f} ms/step = {tok_s_b16:.0f} "
+        f"tok/s aggregate ({time.time()-t0:.0f}s)"
+    )
+    del state16
+
     # --- long-context text prefill via chunked ingestion (bounded compile
     # set: ONE 4096-chunk program regardless of prompt length) ---
     from infinitevl_tpu.generation import prefill_chunked
@@ -397,6 +417,7 @@ def main():
                 "vs_baseline": round(fps / 24.0, 3),
                 "decode_tok_s": round(1000 / ms_dec, 1),
                 "decode_tok_s_b8": round(tok_s_b8, 0),
+                "decode_tok_s_b16": round(tok_s_b16, 0),
                 "prefill_tok_s_32k": round(prefill_tok_s, 0),
                 "decode_ctx": 500_000,
                 "frame_ms": round(ms_frame, 2),

@@ -134,6 +134,9 @@ class TextConfig:
     # falls back to the XLA dense path elsewhere or when the ring capacity
     # isn't block-aligned).
     use_pallas_swa: bool = True
+    # Fused Pallas kernel for the DeltaNet single-token decode step over the
+    # stacked state (TPU backend only; XLA two-pass step elsewhere).
+    use_pallas_delta_step: bool = True
 
     def __post_init__(self):
         if self.layer_types is None:

@@ -136,14 +136,19 @@ def delta_forward(
     p: Params,
     cfg: TextConfig,
     x: jax.Array,  # [B, T, D]
-    conv_q: Optional[jax.Array],  # [B, W, HK] or None
+    conv_q: Optional[jax.Array],  # STACKED [L, B, W, HK] or None
     conv_k: Optional[jax.Array],
     conv_v: Optional[jax.Array],
-    h: Optional[jax.Array],  # [B, H, K, V] fp32 or None
+    h: Optional[jax.Array],  # STACKED [L, B, H, K, V] fp32 or None
     segment_ids: Optional[jax.Array] = None,
     mode: Optional[str] = None,
+    layer_idx: int = 0,  # static index into the linear-layer stacks
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, ...]]]:
-    """Reference GatedDeltaNet.forward (modeling_infinitevl.py:1219-1342)."""
+    """Reference GatedDeltaNet.forward (modeling_infinitevl.py:1219-1342).
+
+    Cached calls take the STACKED conv/recurrent state arrays plus a static
+    layer index and return the updated stacks (same discipline as the SWA
+    path: per-layer slice round trips cost copies under XLA)."""
     B, T, _ = x.shape
     H = cfg.num_linear_heads
     K = cfg.linear_head_dim
@@ -168,23 +173,29 @@ def delta_forward(
 
     use_cache = conv_q is not None
     decode = use_cache and T == 1
+    if use_cache:
+        cq_i = conv_q[layer_idx]
+        ck_i = conv_k[layer_idx]
+        cv_i = conv_v[layer_idx]
+    else:
+        cq_i = ck_i = cv_i = None
 
     if decode:
-        q1, new_cq = short_conv_step(q_raw[:, 0], p["conv_q_w"], p.get("conv_q_b"), conv_q)
-        k1, new_ck = short_conv_step(k_raw[:, 0], p["conv_k_w"], p.get("conv_k_b"), conv_k)
-        v1, new_cv = short_conv_step(v_raw[:, 0], p["conv_v_w"], p.get("conv_v_b"), conv_v)
+        q1, new_cq = short_conv_step(q_raw[:, 0], p["conv_q_w"], p.get("conv_q_b"), cq_i)
+        k1, new_ck = short_conv_step(k_raw[:, 0], p["conv_k_w"], p.get("conv_k_b"), ck_i)
+        v1, new_cv = short_conv_step(v_raw[:, 0], p["conv_v_w"], p.get("conv_v_b"), cv_i)
         q, k, v = q1[:, None], k1[:, None], v1[:, None]
     else:
         q, new_cq = short_conv(
-            q_raw, p["conv_q_w"], p.get("conv_q_b"), conv_q,
+            q_raw, p["conv_q_w"], p.get("conv_q_b"), cq_i,
             carry_history=cfg.conv_carry, segment_ids=segment_ids,
         )
         k, new_ck = short_conv(
-            k_raw, p["conv_k_w"], p.get("conv_k_b"), conv_k,
+            k_raw, p["conv_k_w"], p.get("conv_k_b"), ck_i,
             carry_history=cfg.conv_carry, segment_ids=segment_ids,
         )
         v, new_cv = short_conv(
-            v_raw, p["conv_v_w"], p.get("conv_v_b"), conv_v,
+            v_raw, p["conv_v_w"], p.get("conv_v_b"), cv_i,
             carry_history=cfg.conv_carry, segment_ids=segment_ids,
         )
 
@@ -198,11 +209,30 @@ def delta_forward(
         a_lin.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32)
     )
 
-    h0 = h
+    new_h_stack = h
     if decode:
-        o1, new_h = delta_rule_step(
-            q[:, 0], k[:, 0], v[:, 0], g[:, 0], beta[:, 0], h0
-        )
+        if (
+            cfg.use_pallas_delta_step
+            and jax.default_backend() == "tpu"
+            and K % 8 == 0
+            and V % 128 == 0
+        ):
+            # fused kernel: one grid cell per batch row does both state
+            # reductions, the decay+rank-1 update, and the in-place write
+            # into the stacked state (input/output aliased)
+            from ..ops.delta_pallas import delta_step_fused_stacked
+
+            o1, new_h_stack = delta_step_fused_stacked(
+                q[:, 0], k[:, 0], v[:, 0], g[:, 0], beta[:, 0], h, layer_idx
+            )
+        else:
+            o1, new_h = delta_rule_step(
+                q[:, 0], k[:, 0], v[:, 0], g[:, 0], beta[:, 0], h[layer_idx]
+            )
+            new_h_stack = jax.lax.dynamic_update_slice(
+                h, new_h[None],
+                (jnp.asarray(layer_idx),) + (jnp.zeros((), jnp.int32),) * 4,
+            )
         o = o1[:, None]
     else:
         # the chunkwise math is chunk-size invariant; at short T the pad to
@@ -213,17 +243,31 @@ def delta_forward(
             chunk = min(chunk, 64)
         o, new_h = gated_delta_rule(
             q, k, v, g, beta,
-            initial_state=h0,
+            initial_state=h[layer_idx] if use_cache else None,
             chunk_size=chunk,
             recurrent_threshold=cfg.recurrent_threshold,
             segment_ids=segment_ids,
             mode=mode,
         )
+        if use_cache:
+            new_h_stack = jax.lax.dynamic_update_slice(
+                h, new_h.astype(h.dtype)[None],
+                (jnp.asarray(layer_idx),) + (jnp.zeros((), jnp.int32),) * 4,
+            )
 
     gate = g_lin.reshape(B, T, H, V)
     o = rms_norm_gated(o, gate, p["o_norm"], eps=cfg.norm_eps)
     o = _dense(o.reshape(B, T, H * V), p["o_proj"])
-    new_state = (new_cq, new_ck, new_cv, new_h) if use_cache else None
+    if use_cache:
+        zero4 = (jnp.asarray(layer_idx),) + (jnp.zeros((), jnp.int32),) * 3
+        new_state = (
+            jax.lax.dynamic_update_slice(conv_q, new_cq[None], zero4),
+            jax.lax.dynamic_update_slice(conv_k, new_ck[None], zero4),
+            jax.lax.dynamic_update_slice(conv_v, new_cv[None], zero4),
+            new_h_stack,
+        )
+    else:
+        new_state = None
     return o, new_state
 
 
@@ -308,9 +352,9 @@ def decoder_layer_forward(
         )
         new_state = (new_rk, new_rv) if layer_state else None
     elif role == LINEAR:
-        cq, ck, cv, hst = layer_state or (None, None, None, None)
+        cq, ck, cv, hst, lin_i = layer_state or (None, None, None, None, 0)
         attn, new_state = delta_forward(
-            p, cfg, h, cq, ck, cv, hst, segment_ids
+            p, cfg, h, cq, ck, cv, hst, segment_ids, layer_idx=lin_i
         )
     elif role == MAMBA2:
         if layer_state is not None:
@@ -371,11 +415,13 @@ def text_forward(
                 swa_i,
             )
         elif state is not None and role == LINEAR:
+            # stacked conv/recurrent state + static index (see delta_forward)
             layer_state = (
-                state["conv_q"][lin_i],
-                state["conv_k"][lin_i],
-                state["conv_v"][lin_i],
-                state["delta_h"][lin_i],
+                new_state["conv_q"],
+                new_state["conv_k"],
+                new_state["conv_v"],
+                new_state["delta_h"],
+                lin_i,
             )
         else:
             if state is not None and role == FULL:
@@ -404,10 +450,11 @@ def text_forward(
                 new_state["swa_v"] = out_state[1]
                 swa_i += 1
             elif role == LINEAR:
-                new_state["conv_q"] = new_state["conv_q"].at[lin_i].set(out_state[0])
-                new_state["conv_k"] = new_state["conv_k"].at[lin_i].set(out_state[1])
-                new_state["conv_v"] = new_state["conv_v"].at[lin_i].set(out_state[2])
-                new_state["delta_h"] = new_state["delta_h"].at[lin_i].set(out_state[3])
+                # out_state already holds the updated STACKS
+                new_state["conv_q"] = out_state[0]
+                new_state["conv_k"] = out_state[1]
+                new_state["conv_v"] = out_state[2]
+                new_state["delta_h"] = out_state[3]
                 lin_i += 1
 
     if collected is not None:

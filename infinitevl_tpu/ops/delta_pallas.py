@@ -200,3 +200,106 @@ def delta_rule_chunk_fused(
     # [B, H, N, C, V] -> [B, T, H, V]
     o = o.transpose(0, 2, 3, 1, 4).reshape(B, Tp, H, V)[:, :T]
     return o, hT
+
+
+# ---------------------------------------------------------------------------
+# Fused single-token decode step over the STACKED state.
+#
+# The XLA decode step issues ~10 small ops per layer (two reductions over
+# the state, decay+rank-1 update, scalar assembly), each paying dispatch
+# overhead; at B=8 the delta layers measure ~186 us/layer against a ~41 us
+# state-bandwidth floor. This kernel does the whole step in ONE grid cell
+# per batch row, with the state block read from / written to the stacked
+# [L, B, H, K, V] array in place (input/output aliased) — the same
+# stacked-state discipline as swa_ring_flash_decode_stacked.
+# ---------------------------------------------------------------------------
+
+
+def _delta_step_kernel(
+    q_ref,  # [1, H, K] f32 (scaled, post-l2norm)
+    k_ref,  # [1, H, K] f32
+    v_ref,  # [1, H, V] f32
+    eg_ref,  # [1, H, 128] f32  exp(g) broadcast along lanes (layout rule)
+    beta_ref,  # [1, H, 128] f32
+    h_ref,  # [1, 1, H, K, V] f32 block of the stacked state (aliased out)
+    o_ref,  # [1, H, V]
+    h_out_ref,  # [1, 1, H, K, V]
+    *,
+    heads: int,
+):
+    # static per-head unroll of 2D ops: Mosaic's vector-layout inference
+    # rejects the 3D broadcast formulation ("unsupported shape cast")
+    for hh in range(heads):
+        hmat = h_ref[0, 0, hh]  # [K, V]
+        q2 = q_ref[0, hh : hh + 1]  # [1, K]
+        k2 = k_ref[0, hh : hh + 1]
+        v2 = v_ref[0, hh : hh + 1]  # [1, V]
+        eg = eg_ref[0, hh, 0]
+        beta = beta_ref[0, hh, 0]
+        qh = jnp.dot(q2, hmat, preferred_element_type=jnp.float32)  # [1, V]
+        kh = jnp.dot(k2, hmat, preferred_element_type=jnp.float32)
+        verr = (v2 - eg * kh) * beta  # [1, V]
+        outer = jnp.dot(
+            k2.T, verr, preferred_element_type=jnp.float32
+        )  # [K, V]
+        h_out_ref[0, 0, hh] = hmat * eg + outer
+        qdotk = jnp.sum(q2 * k2)
+        o_ref[0, hh] = (eg * qh + qdotk * verr)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("layer", "scale", "interpret"))
+def delta_step_fused_stacked(
+    q: jax.Array,  # [B, H, K] post-conv raw projections (pre-l2norm)
+    k: jax.Array,
+    v: jax.Array,  # [B, H, V]
+    g: jax.Array,  # [B, H] log-decay
+    beta: jax.Array,  # [B, H]
+    stacked_h: jax.Array,  # [L, B, H, K, V] f32 (donate for in-place)
+    layer: int,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step for DeltaNet layer `layer` of the stacked state.
+
+    Semantics identical to ops.delta_rule.delta_rule_step (incl. the qk
+    l2norm); returns (o [B, H, V] in v.dtype, stacked_h'). The stacked
+    state is aliased input->output: only layer `layer`'s block is touched.
+    """
+    from .norms import l2norm
+
+    B, H, K = q.shape
+    V = v.shape[-1]
+    if scale is None:
+        scale = K**-0.5
+    qf = (l2norm(q).astype(jnp.float32)) * scale
+    kf = l2norm(k).astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # lane-broadcast the per-head scalars: Mosaic block shapes need the
+    # trailing dim to be 128-divisible (or the full array dim)
+    eg = jnp.broadcast_to(
+        jnp.exp(g.astype(jnp.float32))[..., None], (B, H, 128)
+    )
+    bf = jnp.broadcast_to(beta.astype(jnp.float32)[..., None], (B, H, 128))
+    o, stacked_h = pl.pallas_call(
+        functools.partial(_delta_step_kernel, heads=H),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, K), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, K), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, V), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, H, K, V), lambda b: (layer, b, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, V), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, H, K, V), lambda b: (layer, b, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, V), jnp.float32),
+            jax.ShapeDtypeStruct(stacked_h.shape, jnp.float32),
+        ],
+        input_output_aliases={5: 1},
+        interpret=interpret,
+    )(qf, kf, vf, eg, bf, stacked_h)
+    return o.astype(v.dtype), stacked_h

@@ -160,3 +160,31 @@ def test_swa_flash_decode_stacked_parity():
                     np.testing.assert_array_equal(
                         np.asarray(nrks[other]), np.asarray(rks[other])
                     )
+
+
+def test_delta_step_fused_stacked_parity():
+    """Fused stacked decode step == delta_rule_step per layer slot; other
+    layers' state untouched."""
+    from infinitevl_tpu.ops.delta_pallas import delta_step_fused_stacked
+    from infinitevl_tpu.ops.delta_rule import delta_rule_step
+
+    L, B, H, K, V = 3, 2, 4, 16, 32
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    q = jax.random.normal(ks[0], (B, H, K), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, K), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, V), jnp.float32)
+    g = -jnp.abs(jax.random.normal(ks[3], (B, H))) * 0.2
+    beta = jax.nn.sigmoid(jax.random.normal(ks[4], (B, H)))
+    stack = jax.random.normal(ks[5], (L, B, H, K, V), jnp.float32)
+    for layer in range(L):
+        o_ref, h_ref = delta_rule_step(q, k, v, g, beta, stack[layer])
+        o, new_stack = delta_step_fused_stacked(
+            q, k, v, g, beta, stack, layer, interpret=True
+        )
+        assert err_ratio(o, o_ref) < 1e-5, layer
+        assert err_ratio(new_stack[layer], h_ref) < 1e-5, layer
+        for other in range(L):
+            if other != layer:
+                np.testing.assert_array_equal(
+                    np.asarray(new_stack[other]), np.asarray(stack[other])
+                )
