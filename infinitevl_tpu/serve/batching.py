@@ -62,10 +62,10 @@ class BatchingEngine:
         params: Params,
         cfg,
         dtype=jnp.bfloat16,
-        # 16 rows decode at 698 tok/s aggregate on one v5e (vs 480 at 8,
-        # 89 at 1) since the stacked-ring state path landed — the weight
-        # read amortizes and the state IO stays near bandwidth
-        batch_sizes: Sequence[int] = (16, 8, 4, 2, 1),
+        # measured aggregate decode @500K on one v5e (stacked-state paths +
+        # fused delta step): B=1 95, B=8 634, B=16 1055, B=32 1702 tok/s;
+        # B=32 states (4.2 GB) + 3B weights still fit 16 GB HBM
+        batch_sizes: Sequence[int] = (32, 16, 8, 4, 2, 1),
         max_wait_ms: float = 30.0,
         chunk_size: int = 8,
     ):
