@@ -105,6 +105,17 @@ class VisionPlan:
 
         # rotary tables in window order (patch-token units); kept as numpy so
         # plans can be built inside a jit trace (arrays become constants)
+        # equal-grid batched full-attention fast path: when every grid is
+        # identical (multi-stream / clip ingestion), each grid's
+        # window-ordered span has the same padded length, so the
+        # full-attention blocks can batch per grid instead of running one
+        # segment-masked dense over the whole packed sequence (O((B*S)^2))
+        self.equal_frame_len = (
+            self.pad_seq // len(grid_thw)
+            if len(grid_thw) > 1 and len(set(grid_thw)) == 1
+            else None
+        )
+
         pos_ids = vision_rot_pos_ids(grid_thw, m)  # [seq, 2] original order
         cos, sin = vision_cos_sin(pos_ids, cfg.head_dim)
         cos = cos.reshape(self.seq_merged, unit, -1)
@@ -153,12 +164,31 @@ def _window_attention(
 
 
 def _full_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, seg: jax.Array
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,
+    frame_len: Optional[int] = None,
 ) -> jax.Array:
     """Segment-masked non-causal attention over the packed sequence.
 
     Pad slots all share segment -1, so they attend each other and stay
-    finite without ever mixing with real tokens."""
+    finite without ever mixing with real tokens. With `frame_len` set
+    (equal grids), the packed sequence reshapes to [n_frames, frame_len]
+    blocks and attention batches per frame — identical semantics (segments
+    never cross grid spans) at 1/n_frames of the mask/score work."""
+    if frame_len is not None:
+        S, H, D = q.shape
+        n = S // frame_len
+        segb = seg.reshape(n, frame_len)
+        mask = segb[:, :, None] == segb[:, None, :]
+        out = attention_dense(
+            q.reshape(n, frame_len, H, D),
+            k.reshape(n, frame_len, H, D),
+            v.reshape(n, frame_len, H, D),
+            mask,
+        )
+        return out.reshape(S, H, D)
     mask = seg[:, None] == seg[None, :]
     out = attention_dense(q[None], k[None], v[None], mask[None])
     return out[0]
@@ -183,7 +213,7 @@ def vision_block_forward(
         q, k, jnp.asarray(plan.cos), jnp.asarray(plan.sin)
     )
     if full:
-        attn = _full_attention(q, k, v, seg_full)
+        attn = _full_attention(q, k, v, seg_full, plan.equal_frame_len)
     else:
         attn = _window_attention(q, k, v, plan, valid)
     x = x + _dense(attn.reshape(S, H * D), p["proj"])

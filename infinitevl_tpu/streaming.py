@@ -208,6 +208,61 @@ def stream_clip_step_raw(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_thw"),
+    donate_argnames=("state",),
+)
+def stream_frames_batched(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    pixel_values: jax.Array,  # [B * n_patches, in_feat] one frame per stream
+    frame_input_ids: jax.Array,  # [B, 1 + n_tok]
+    pos_base: jax.Array,  # scalar int32 (streams advance in lockstep)
+    t_offset: jax.Array,  # scalar int32
+    state: DecoderState,  # batch_size B
+    grid_thw: Tuple[Tuple[int, int, int], ...],  # B single-frame grids
+) -> DecoderState:
+    """Ingest one frame for each of B independent streams in ONE forward.
+
+    Multi-camera serving: each stream keeps its own state row; frames pack
+    as B per-frame ViT grids (full-attention blocks never mix streams) and
+    scatter row-major into each row's pad tokens. Streams advance in
+    lockstep (same frame index).
+
+    Measured on one v5e (448x448, 3B): device-side the batched step is
+    SLOWER than B sequential steps (B=8: 276 ms vs 8x29.2 — the T=257 step
+    is already compute-ridge-bound, so there is no weight-read slack to
+    amortize). Use it when per-step dispatch latency dominates (one host
+    dispatch + sync for all streams instead of B), or under a multi-chip
+    mesh with the batch axis sharded over `data`."""
+    plan = get_vision_plan(grid_thw, cfg.vision)
+    vis = vision_forward(params["visual"], cfg.vision, pixel_values, plan)
+
+    embeds = embed_tokens(params["text"], frame_input_ids)
+    mask = frame_input_ids == cfg.image_token_id
+    embeds = scatter_vision_embeds(embeds, vis, mask)
+
+    B, T = frame_input_ids.shape
+    n_tok = T - 1
+    m = cfg.vision.spatial_merge_size
+    lh, lw = grid_thw[0][1] // m, grid_thw[0][2] // m
+    h_idx = jnp.repeat(jnp.arange(lh, dtype=jnp.int32), lw)
+    w_idx = jnp.tile(jnp.arange(lw, dtype=jnp.int32), lh)
+    grid_base = pos_base + 1
+    pos_t = jnp.concatenate(
+        [pos_base[None], grid_base + t_offset + jnp.zeros(n_tok, jnp.int32)]
+    )
+    pos_h = jnp.concatenate([pos_base[None], grid_base + h_idx])
+    pos_w = jnp.concatenate([pos_base[None], grid_base + w_idx])
+    pos = jnp.broadcast_to(
+        jnp.stack([pos_t, pos_h, pos_w])[:, None, :], (3, B, T)
+    )
+
+    _, state, _ = text_forward(params["text"], cfg.text, embeds, pos, state)
+    return state
+
+
 class StreamingEngine:
     """Frame-by-frame video prefill with branched QA; the functional
     equivalent of the reference demo's main loop (push_frame / ask / stats)."""
@@ -376,6 +431,30 @@ class StreamingEngine:
         self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
         self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
         self.frames += 1
+
+    def push_frames_batched(
+        self, pixel_values: np.ndarray, fps: float = 30.0
+    ) -> None:
+        """Multi-stream ingestion: one frame per stream (pixel_values
+        [batch_size * n_patches, in_feat], stream-major), all streams in
+        lockstep. Requires the engine to be built with batch_size > 1."""
+        B = self.state["delta_h"].shape[1]
+        t_off = self.t_offset_for_frame(self.frames, fps)
+        t0 = time.perf_counter()
+        self.state = stream_frames_batched(
+            self.params,
+            self.cfg,
+            jnp.asarray(pixel_values, dtype=self.dtype),
+            jnp.tile(self.frame_input_ids, (B, 1)),
+            jnp.asarray(self.pos_base, dtype=jnp.int32),
+            jnp.asarray(t_off, dtype=jnp.int32),
+            self.state,
+            self.grid_thw * B,
+        )
+        jax.block_until_ready(self.state)
+        self.frame_times_ms.append((time.perf_counter() - t0) * 1e3)
+        self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
+        self.frames += 1  # per-stream frame index (lockstep)
 
     def push_clip_raw(
         self,

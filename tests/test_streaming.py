@@ -243,3 +243,36 @@ def test_clip_step_duplicate_mode_tps2():
     ):
         err = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max()
         assert err < 1e-4, f"tps2 clip/sequential divergence {err}"
+
+
+def test_batched_streams_equal_independent_engines():
+    """One batched multi-stream step must equal each stream run in its own
+    single-stream engine (per-row state parity)."""
+    cfg = make_cfg(conv_carry=True)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    f1 = frame_pixels(jax.random.PRNGKey(1), cfg)
+    f2 = frame_pixels(jax.random.PRNGKey(2), cfg)
+
+    engs = []
+    for f in (f1, f2):
+        e = StreamingEngine(params, cfg, frame_hw=(8, 8), dtype=jnp.float32)
+        e.push_frame(f, fps=30.0)
+        e.push_frame(frame_pixels(jax.random.PRNGKey(7), cfg), fps=30.0)
+        engs.append(e)
+
+    be = StreamingEngine(
+        params, cfg, frame_hw=(8, 8), dtype=jnp.float32, batch_size=2
+    )
+    be.push_frames_batched(np.concatenate([f1, f2]), fps=30.0)
+    shared = frame_pixels(jax.random.PRNGKey(7), cfg)
+    be.push_frames_batched(np.concatenate([shared, shared]), fps=30.0)
+
+    for key in be.state:
+        if key == "cum_len":
+            assert int(be.state[key]) == int(engs[0].state[key])
+            continue
+        batched = np.asarray(be.state[key], np.float64)
+        for row, e in enumerate(engs):
+            single = np.asarray(e.state[key], np.float64)[:, 0]
+            err = np.abs(batched[:, row] - single).max()
+            assert err < 1e-4, f"{key} row {row}: {err}"
