@@ -285,6 +285,7 @@ class StreamingEngine:
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
+        self.frame_hw = tuple(frame_hw)
         p = cfg.vision.patch_size
         mp = p * cfg.vision.spatial_merge_size
         if frame_hw[0] % mp or frame_hw[1] % mp:
@@ -432,6 +433,24 @@ class StreamingEngine:
         self.pos_max = max(self.pos_max, self.pos_base + 1 + t_off)
         self.frames += 1
 
+    def extract_stream(self, row: int) -> "StreamingEngine":
+        """Snapshot one stream of a multi-stream engine as a batch-1 engine.
+
+        The snapshot is a pytree slice of values (no copies of the parent
+        buffers are mutated), so ask() on it leaves the multi-stream state
+        untouched — the same free-branching property as single-stream QA."""
+        eng = StreamingEngine(
+            self.params, self.cfg, frame_hw=self.frame_hw, dtype=self.dtype,
+            fuse=False,  # self.params is already in its final layout
+        )
+        eng.state = jax.tree.map(
+            lambda x: x if x.ndim == 0 else x[:, row : row + 1], self.state
+        )
+        eng.pos_base = self.pos_base
+        eng.pos_max = self.pos_max
+        eng.frames = self.frames
+        return eng
+
     def push_frames_batched(
         self, pixel_values: np.ndarray, fps: float = 30.0
     ) -> None:
@@ -505,6 +524,12 @@ class StreamingEngine:
         (still zero copies of the main state). Decoding runs chunk_size
         tokens per jitted program — one host sync per chunk."""
         cfg = self.cfg
+        B = self.state["delta_h"].shape[1]
+        if B != 1:
+            raise ValueError(
+                f"ask() branches a single stream; this engine holds {B}. "
+                "Use extract_stream(row).ask(...) to question one stream."
+            )
         eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         q_ids = np.concatenate(
             [[[cfg.vision_end_token_id]], np.asarray(question_ids)], axis=1

@@ -276,3 +276,32 @@ def test_batched_streams_equal_independent_engines():
             single = np.asarray(e.state[key], np.float64)[:, 0]
             err = np.abs(batched[:, row] - single).max()
             assert err < 1e-4, f"{key} row {row}: {err}"
+
+
+def test_extract_stream_qa_matches_single_engine():
+    """QA on an extracted stream row must equal QA on a single-stream
+    engine that saw the same frames, and must not disturb the parent."""
+    cfg = make_cfg(conv_carry=True)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    f1 = frame_pixels(jax.random.PRNGKey(1), cfg)
+    f2 = frame_pixels(jax.random.PRNGKey(2), cfg)
+
+    single = StreamingEngine(params, cfg, frame_hw=(8, 8), dtype=jnp.float32)
+    single.push_frame(f2, fps=30.0)
+    ans_ref = single.ask(np.array([[7, 8, 9]]), max_new_tokens=4, eos_token_id=-1)
+
+    be = StreamingEngine(
+        params, cfg, frame_hw=(8, 8), dtype=jnp.float32, batch_size=2
+    )
+    be.push_frames_batched(np.concatenate([f1, f2]), fps=30.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="extract_stream"):
+        be.ask(np.array([[7, 8, 9]]))
+    snap = jax.tree.map(lambda x: np.asarray(x).copy(), be.state)
+    ans = be.extract_stream(1).ask(
+        np.array([[7, 8, 9]]), max_new_tokens=4, eos_token_id=-1
+    )
+    assert ans == ans_ref
+    for a, b in zip(jax.tree.leaves(be.state), jax.tree.leaves(snap)):
+        np.testing.assert_array_equal(np.asarray(a), b)
