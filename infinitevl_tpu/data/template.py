@@ -93,6 +93,9 @@ class Template:
     turn_suffix: str
     default_system: str = ""
     stop_words: Tuple[str, ...] = ()
+    # emitted once before the first turn (reference format_prefix, e.g.
+    # llama3's <|begin_of_text|>)
+    prefix: str = ""
 
     def _prepare(
         self,
@@ -141,7 +144,7 @@ class Template:
         tools: Optional[Sequence[Dict[str, Any]]] = None,
     ) -> str:
         """messages: [{role: system|user|assistant|tool, content: str}, ...]."""
-        out = []
+        out = [self.prefix] if self.prefix else []
         for m in self._prepare(messages, tools):
             role, content = m["role"], m["content"]
             if role == "system":
@@ -169,6 +172,10 @@ class Template:
         unsupervised user-side turns; assistant tool_calls are supervised."""
         ids: List[int] = []
         labels: List[int] = []
+        if self.prefix:
+            t = tokenizer.encode(self.prefix, add_special_tokens=False)
+            ids += t
+            labels += [IGNORE_INDEX] * len(t)
         for m in self._prepare(messages, tools):
             role, content = m["role"], m["content"]
             if role == "assistant":
@@ -263,5 +270,33 @@ register_template(
         user_prefix="{content}",
         assistant_prefix="",
         turn_suffix="",
+    )
+)
+
+# text-only qwen (reference template.py "qwen": identical chatml control
+# tokens, same default system as qwen2_vl)
+register_template(
+    Template(
+        name="qwen",
+        system_prefix="<|im_start|>system\n{content}<|im_end|>",
+        user_prefix="<|im_start|>user\n{content}<|im_end|>",
+        assistant_prefix="\n<|im_start|>assistant\n",
+        turn_suffix="\n",
+        default_system="You are a helpful assistant.",
+        stop_words=("<|im_end|>",),
+    )
+)
+
+# llama3 family (reference template.py "llama3": header tokens per turn,
+# <|eot_id|> terminator, <|begin_of_text|> prompt prefix)
+register_template(
+    Template(
+        name="llama3",
+        system_prefix="<|start_header_id|>system<|end_header_id|>\n\n{content}",
+        user_prefix="<|start_header_id|>user<|end_header_id|>\n\n{content}",
+        assistant_prefix="<|start_header_id|>assistant<|end_header_id|>\n\n",
+        turn_suffix="<|eot_id|>",
+        stop_words=("<|eot_id|>",),
+        prefix="<|begin_of_text|>",
     )
 )

@@ -128,3 +128,35 @@ def test_encode_supervised_cutoff():
     ex = convert_alpaca({"instruction": "a " * 50, "input": "", "output": "b " * 50})
     enc = encode_supervised([ex], tok, cutoff_len=32)
     assert len(enc[0]["input_ids"]) == 32
+
+
+def test_llama3_template_render_and_encode():
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.data.template import IGNORE_INDEX, get_template
+
+    t = get_template("llama3")
+    msgs = [
+        {"role": "user", "content": "hello"},
+        {"role": "assistant", "content": "world"},
+    ]
+    prompt = t.render_prompt(msgs[:1])
+    assert prompt == (
+        "<|begin_of_text|><|start_header_id|>user<|end_header_id|>\n\n"
+        "hello<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\n"
+    )
+    tok = SimpleTokenizer()
+    ids, labels = t.encode_turns(tok, msgs)
+    # assistant body (content + <|eot_id|>) supervised, all else masked
+    sup = [i for i, l in zip(ids, labels) if l != IGNORE_INDEX]
+    text = tok.decode(sup, skip_special_tokens=False)
+    assert "world" in text and "<|eot_id|>" in text
+    assert labels[0] == IGNORE_INDEX  # the <|begin_of_text|> prefix
+
+
+def test_qwen_text_template_matches_qwen2_vl():
+    from infinitevl_tpu.data.template import get_template
+
+    msgs = [{"role": "user", "content": "hi"}]
+    assert get_template("qwen").render_prompt(msgs) == get_template(
+        "qwen2_vl"
+    ).render_prompt(msgs)
