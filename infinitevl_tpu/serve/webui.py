@@ -73,6 +73,46 @@ class TrainRunner:
         return {"ok": True, "aborting": self.thread is not None and self.thread.is_alive()}
 
 
+class ExportRunner:
+    """Background HF-safetensors + ollama-Modelfile export (the reference
+    LlamaBoard's export tab, webui/components/export.py role)."""
+
+    def __init__(self):
+        self.status: Dict[str, Any] = {"state": "idle"}
+        self._thread = None
+
+    def start(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        if self._thread and self._thread.is_alive():
+            return {"error": "export already running"}
+
+        def work():
+            try:
+                from ..cli import _build_generator
+                from ..data.template import get_ollama_modelfile, get_template
+                from ..hparams import parse_args
+                from ..utils.checkpoint import export_hf_safetensors
+
+                args = parse_args(dict(config))
+                out = args.train.output_dir
+                self.status = {"state": "running", "output_dir": out}
+                gen, cfg = _build_generator(args)
+                export_hf_safetensors(gen.params, cfg, out)
+                with open(os.path.join(out, "Modelfile"), "w") as f:
+                    f.write(
+                        get_ollama_modelfile(get_template(args.data.template))
+                    )
+                self.status = {"state": "done", "output_dir": out}
+            except Exception as e:  # noqa: BLE001 - surfaced to the UI
+                self.status = {
+                    "state": "error",
+                    "error": f"{type(e).__name__}: {e}",
+                }
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+        return {"ok": True, "output_dir": config.get("output_dir", "output")}
+
+
 def _read_log(output_dir: str, limit: int = 2000):
     path = os.path.join(output_dir, "trainer_log.jsonl")
     if not os.path.exists(path):
@@ -89,7 +129,13 @@ def _read_log(output_dir: str, limit: int = 2000):
     return recs[-limit:]
 
 
-def make_board_handler(runner: TrainRunner, runs_root: str = "output"):
+def make_board_handler(
+    runner: TrainRunner,
+    runs_root: str = "output",
+    exporter: Optional[ExportRunner] = None,
+):
+    exporter = exporter or ExportRunner()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             pass
@@ -113,6 +159,8 @@ def make_board_handler(runner: TrainRunner, runs_root: str = "output"):
                 return
             if self.path == "/api/status":
                 return self._json(200, runner.status)
+            if self.path == "/api/export/status":
+                return self._json(200, exporter.status)
             if self.path.startswith("/api/log"):
                 from urllib.parse import parse_qs, urlparse
 
@@ -145,6 +193,9 @@ def make_board_handler(runner: TrainRunner, runs_root: str = "output"):
                 return self._json(400 if "error" in res else 200, res)
             if self.path == "/api/abort":
                 return self._json(200, runner.abort())
+            if self.path == "/api/export":
+                res = exporter.start(req)
+                return self._json(400 if "error" in res else 200, res)
             self._json(404, {"error": "not found"})
 
     return Handler
@@ -207,6 +258,14 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <button onclick=start()>Start</button>
 <button onclick=abortRun()>Abort</button>
 <div id=status>idle</div>
+<fieldset><legend>export (HF safetensors + ollama Modelfile)</legend>
+<label>checkpoint <input id=exp_model_path placeholder="(blank = random init)" size=22></label>
+<label>preset <select id=exp_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
+<label>template <select id=exp_template><option>qwen2_vl</option><option>qwen</option><option>chatml</option><option>llama3</option></select></label>
+<label>output_dir <input id=exp_out value=output/export size=16></label>
+<button onclick=doExport()>Export</button>
+<span id=exp_status></span>
+</fieldset>
 <pre id=yaml style="display:none"></pre>
 <div id=charts></div>
 <div id=tip class=tip></div>
@@ -224,6 +283,22 @@ async function start(){const r=await fetch("/api/train",{method:"POST",
  const j=await r.json();
  document.getElementById("status").textContent=j.error?("error: "+j.error):("running -> "+j.output_dir);}
 async function abortRun(){await fetch("/api/abort",{method:"POST",body:"{}"});}
+async function doExport(){
+ const c={config_preset:document.getElementById("exp_preset").value,
+  template:document.getElementById("exp_template").value,
+  output_dir:document.getElementById("exp_out").value};
+ const mp=document.getElementById("exp_model_path").value;
+ if(mp)c.model_name_or_path=mp;
+ const r=await fetch("/api/export",{method:"POST",
+  headers:{"Content-Type":"application/json"},body:JSON.stringify(c)});
+ const j=await r.json();
+ document.getElementById("exp_status").textContent=j.error||("started -> "+j.output_dir);
+ pollExport();}
+async function pollExport(){
+ const s=await (await fetch("/api/export/status")).json();
+ document.getElementById("exp_status").textContent=
+  s.state+(s.error?" | "+s.error:"")+(s.state==="done"?" -> "+s.output_dir:"");
+ if(s.state==="running")setTimeout(pollExport,2000);}
 function chart(name,pts){
  const W=940,H=150,P=36;const xs=pts.map(p=>p[0]),ys=pts.map(p=>p[1]);
  const x0=Math.min(...xs),x1=Math.max(...xs),y0=Math.min(...ys),y1=Math.max(...ys);

@@ -93,3 +93,28 @@ def test_board_rejects_bad_config_and_traversal(board):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_board_export_flow(board, tmp_path):
+    """Export tab: POST /api/export runs the HF-safetensors + Modelfile
+    export in the background; status polls to done (reference LlamaBoard
+    export tab)."""
+    import os
+
+    port, root = board
+    out = f"{root}/export1"
+    res = _req(
+        port,
+        "/api/export",
+        {"config_preset": "tiny", "template": "qwen2_vl", "output_dir": out},
+    )
+    assert "error" not in res
+    for _ in range(120):
+        st = _req(port, "/api/export/status")
+        if st["state"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert st["state"] == "done", st
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    assert os.path.exists(os.path.join(out, "config.json"))
+    assert "TEMPLATE" in open(os.path.join(out, "Modelfile")).read()
