@@ -273,3 +273,29 @@ def test_get_rope_index_fuzz(setup):
         )
         np.testing.assert_array_equal(pos_mine, pos_ref.numpy(), err_msg=f"trial {trial}")
         np.testing.assert_array_equal(d_mine, d_ref.numpy(), err_msg=f"trial {trial}")
+
+
+def test_image_preprocess_fuzz():
+    """Seeded fuzz over random sizes/aspect ratios (incl. min-pixel upscales
+    and max-pixel downscales): grids must match the HF Qwen2VL image
+    processor exactly for every case."""
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+        Qwen2VLImageProcessor,
+    )
+
+    from infinitevl_tpu.data.processing import preprocess_image
+
+    rng = np.random.RandomState(7)
+    proc = Qwen2VLImageProcessor(
+        min_pixels=56 * 56, max_pixels=14 * 14 * 4 * 1280
+    )
+    for trial in range(10):
+        h = int(rng.randint(30, 1400))
+        w = int(rng.randint(30, 1400))
+        img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        flat, grid = preprocess_image(img)
+        ref = proc(images=[img], return_tensors="np")
+        np.testing.assert_array_equal(
+            np.asarray(grid), ref["image_grid_thw"][0], err_msg=f"{(h, w)}"
+        )
+        assert flat.shape == ref["pixel_values"].shape, (h, w)
