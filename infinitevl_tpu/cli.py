@@ -121,7 +121,8 @@ def cmd_eval(config_path: str):
     args = _load(config_path)
     gen, cfg = _build_generator(args)
     evaluator = MCQEvaluator(
-        gen, _tokenizer(args), batch_size=args.eval.eval_batch_size
+        gen, _tokenizer(args), batch_size=args.eval.eval_batch_size,
+        lang=args.eval.lang,
     )
     import os
 

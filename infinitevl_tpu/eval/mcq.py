@@ -13,31 +13,46 @@ import numpy as np
 
 CHOICES = ("A", "B", "C", "D")
 
+# per-language instruction/answer strings (reference eval/template.py
+# registers "en" and "zh" eval templates)
+_LANG = {
+    "en": {
+        "system": (
+            "The following are multiple choice questions (with answers) "
+            "about {subject}.\n\n"
+        ),
+        "answer": "Answer:",
+    },
+    "zh": {
+        "system": "以下是关于{subject}的单项选择题，请直接给出正确答案的选项。\n\n",
+        "answer": "答案：",
+    },
+}
+
 
 def format_example(
     example: Dict[str, Any],
     support_set: Sequence[Dict[str, Any]] = (),
     subject_name: str = "",
+    lang: str = "en",
 ) -> str:
     """Few-shot MCQ prompt."""
+    strings = _LANG.get(lang, _LANG["en"])
     parts = []
     if subject_name:
-        parts.append(
-            f"The following are multiple choice questions (with answers) "
-            f"about {subject_name}.\n\n"
-        )
+        parts.append(strings["system"].format(subject=subject_name))
     for ex in support_set:
-        parts.append(_one(ex, with_answer=True))
-    parts.append(_one(example, with_answer=False))
+        parts.append(_one(ex, strings, with_answer=True))
+    parts.append(_one(example, strings, with_answer=False))
     return "".join(parts)
 
 
-def _one(ex: Dict[str, Any], with_answer: bool) -> str:
+def _one(ex: Dict[str, Any], strings: Dict[str, str], with_answer: bool) -> str:
     s = ex["question"] + "\n"
     for c in CHOICES:
         if c in ex and ex[c]:
             s += f"{c}. {ex[c]}\n"
-    s += "Answer:"
+    s += strings["answer"]
     if with_answer:
         s += f" {ex['answer']}\n\n"
     return s
@@ -71,7 +86,9 @@ class MCQEvaluator:
     so the evaluator compiles O(#buckets) programs instead of one per prompt
     length (each XLA compile costs 30-250 s through the relay)."""
 
-    def __init__(self, generator, tokenizer, batch_size: int = 8):
+    def __init__(self, generator, tokenizer, batch_size: int = 8,
+                 lang: str = "en"):
+        self.lang = lang
         self.generator = generator
         self.tokenizer = tokenizer
         self.batch_size = batch_size
@@ -126,7 +143,8 @@ class MCQEvaluator:
         subject_name: str = "",
     ) -> Dict[str, float]:
         prompts = [
-            format_example(ex, support_set, subject_name) for ex in examples
+            format_example(ex, support_set, subject_name, lang=self.lang)
+            for ex in examples
         ]
         preds = self._score_prompts(prompts)
         correct = 0

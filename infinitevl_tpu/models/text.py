@@ -118,7 +118,8 @@ def swa_attention_forward(
         from ..ops.swa import ring_write_stacked
 
         out, _, _ = swa_cached_attention(
-            q, k, v, rings_k[layer_idx], rings_v[layer_idx], cum_len, window
+            q, k, v, rings_k[layer_idx], rings_v[layer_idx], cum_len, window,
+            write_ring=False,  # written once below, into the stacks
         )
         new_rk, new_rv = ring_write_stacked(
             rings_k, rings_v, layer_idx, k, v, cum_len

@@ -223,12 +223,15 @@ def swa_cached_attention(
     cum_len: jax.Array,  # scalar int32 tokens seen before this call
     window: int,
     scale: Optional[float] = None,
+    write_ring: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Streaming/decode SWA step: attend over (ring ++ new), then write the
     new tokens into the ring. Functional analogue of the reference cache
     `update` + masked attention (modeling_infinitevl.py:133-184,1067-1108).
 
-    Returns (output [B,T,Hq,D], ring_k', ring_v')."""
+    write_ring=False skips the ring update (callers that write into the
+    STACKED state via ring_write_stacked pass False so the write happens
+    exactly once). Returns (output [B,T,Hq,D], ring_k', ring_v')."""
     B, T = q.shape[0], q.shape[1]
     cap = ring_k.shape[2]
     q_pos = cum_len + jnp.arange(T, dtype=jnp.int32)
@@ -240,5 +243,6 @@ def swa_cached_attention(
     v_all = jnp.concatenate([ring_v_t, new_v.astype(ring_v.dtype)], axis=1)
     mask = sliding_window_mask(q_pos, k_pos, window)[None]  # [1, T, cap+T]
     out = attention_dense(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask, scale)
-    ring_k, ring_v = ring_write(ring_k, ring_v, new_k, new_v, cum_len)
+    if write_ring:
+        ring_k, ring_v = ring_write(ring_k, ring_v, new_k, new_v, cum_len)
     return out, ring_k, ring_v

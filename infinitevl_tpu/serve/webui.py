@@ -80,37 +80,53 @@ class ExportRunner:
     def __init__(self):
         self.status: Dict[str, Any] = {"state": "idle"}
         self._thread = None
+        self._lock = threading.Lock()
 
     def start(self, config: Dict[str, Any]) -> Dict[str, Any]:
-        if self._thread and self._thread.is_alive():
-            return {"error": "export already running"}
+        with self._lock:
+            if self._thread and self._thread.is_alive():
+                return {"error": "export already running"}
+            # set synchronously: the UI polls right after POST and must not
+            # observe 'idle' while the worker is still importing/parsing
+            self.status = {
+                "state": "running",
+                "output_dir": config.get("output_dir", "output"),
+            }
 
-        def work():
-            try:
-                from ..cli import _build_generator
-                from ..data.template import get_ollama_modelfile, get_template
-                from ..hparams import parse_args
-                from ..utils.checkpoint import export_hf_safetensors
-
-                args = parse_args(dict(config))
-                out = args.train.output_dir
-                self.status = {"state": "running", "output_dir": out}
-                gen, cfg = _build_generator(args)
-                export_hf_safetensors(gen.params, cfg, out)
-                with open(os.path.join(out, "Modelfile"), "w") as f:
-                    f.write(
-                        get_ollama_modelfile(get_template(args.data.template))
+            def work():
+                try:
+                    from ..cli import _build_generator
+                    from ..data.template import (
+                        get_ollama_modelfile,
+                        get_template,
                     )
-                self.status = {"state": "done", "output_dir": out}
-            except Exception as e:  # noqa: BLE001 - surfaced to the UI
-                self.status = {
-                    "state": "error",
-                    "error": f"{type(e).__name__}: {e}",
-                }
+                    from ..hparams import parse_args
+                    from ..utils.checkpoint import export_hf_safetensors
 
-        self._thread = threading.Thread(target=work, daemon=True)
-        self._thread.start()
-        return {"ok": True, "output_dir": config.get("output_dir", "output")}
+                    args = parse_args(dict(config))
+                    out = args.train.output_dir
+                    self.status = {"state": "running", "output_dir": out}
+                    gen, cfg = _build_generator(args)
+                    export_hf_safetensors(gen.params, cfg, out)
+                    with open(os.path.join(out, "Modelfile"), "w") as f:
+                        f.write(
+                            get_ollama_modelfile(
+                                get_template(args.data.template)
+                            )
+                        )
+                    self.status = {"state": "done", "output_dir": out}
+                except Exception as e:  # noqa: BLE001 - surfaced to the UI
+                    self.status = {
+                        "state": "error",
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+
+            self._thread = threading.Thread(target=work, daemon=True)
+            self._thread.start()
+            return {
+                "ok": True,
+                "output_dir": config.get("output_dir", "output"),
+            }
 
 
 def _read_log(output_dir: str, limit: int = 2000):

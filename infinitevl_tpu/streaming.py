@@ -439,16 +439,14 @@ class StreamingEngine:
         The snapshot is a pytree slice of values (no copies of the parent
         buffers are mutated), so ask() on it leaves the multi-stream state
         untouched — the same free-branching property as single-stream QA."""
-        eng = StreamingEngine(
-            self.params, self.cfg, frame_hw=self.frame_hw, dtype=self.dtype,
-            fuse=False,  # self.params is already in its final layout
-        )
+        # bypass __init__: it would allocate (and immediately discard) a
+        # fresh zero state — ~130 MB of device buffers per call at 3B dims
+        eng = StreamingEngine.__new__(StreamingEngine)
+        eng.__dict__.update(self.__dict__)
         eng.state = jax.tree.map(
             lambda x: x if x.ndim == 0 else x[:, row : row + 1], self.state
         )
-        eng.pos_base = self.pos_base
-        eng.pos_max = self.pos_max
-        eng.frames = self.frames
+        eng.frame_times_ms = []
         return eng
 
     def push_frames_batched(

@@ -580,7 +580,12 @@ def predict_and_score(params, cfg, data, tokenizer, args: AllArgs):
         if len(sup) == 0 or sup[0] == 0:
             continue
         cut = int(sup[0])
-        gold = [int(t) for t in labels[cut:] if t != -100]
+        # score only the FIRST assistant span: the generation prompt ends
+        # before turn 1, so comparing against a concatenation of all later
+        # turns would deflate the metrics on multi-turn examples
+        after = labels[cut:]
+        span_end = np.argmax(after == -100) if (after == -100).any() else len(after)
+        gold = [int(t) for t in after[:span_end]]
         out = gen.generate(
             ids[None, :cut],
             max_new_tokens=min(len(gold) + 8, args.gen.max_new_tokens),
@@ -612,6 +617,11 @@ def run_sft(args: AllArgs, tokenizer=None):
     cfg = build_config(args)
     tcfg = cfg.text
     dtype = jnp.bfloat16 if args.train.bf16 else jnp.float32
+    # one tokenizer instance for the whole workflow: SimpleTokenizer grows
+    # its vocab while encoding, so do_predict must decode with the SAME
+    # instance that encoded the dataset (a fresh one maps everything to
+    # <unk> and the similarity scores become fiction)
+    tokenizer = tokenizer or SimpleTokenizer(config=cfg)
     data = build_dataset(args, tokenizer, cfg=cfg)
     mm = is_multimodal(data)
     mesh = _maybe_mesh(args)
@@ -658,10 +668,7 @@ def run_sft(args: AllArgs, tokenizer=None):
             params, lora, alpha=args.finetune.lora_alpha, rank=args.finetune.lora_rank
         )
         if args.train.do_predict and not mm:
-            predict_and_score(
-                merged, cfg, data,
-                tokenizer or SimpleTokenizer(config=cfg), args,
-            )
+            predict_and_score(merged, cfg, data, tokenizer, args)
         return merged
     if ft == "freeze":
         # train only the last freeze_trainable_layers decoder layers
@@ -696,9 +703,7 @@ def run_sft(args: AllArgs, tokenizer=None):
     )
     if args.train.do_predict and not mm:
         # text-only scoring (the reference's predict path is text decode too)
-        predict_and_score(
-            final, cfg, data, tokenizer or SimpleTokenizer(config=cfg), args
-        )
+        predict_and_score(final, cfg, data, tokenizer, args)
     return final
 
 

@@ -233,3 +233,7 @@ def test_sft_do_predict_writes_scores(tmp_path):
     assert len(lines) == scores["samples"]
     row = json.loads(lines[0])
     assert "predict" in row and "label" in row
+    # the label must decode through the SAME tokenizer that encoded the
+    # dataset: a fresh instance maps everything to <unk> and the scores
+    # become fiction (regression guard)
+    assert row["label"].strip() and "<unk>" not in row["label"]
