@@ -137,6 +137,10 @@ class TextConfig:
     # Fused Pallas kernel for the DeltaNet single-token decode step over the
     # stacked state (TPU backend only; XLA two-pass step elsewhere).
     use_pallas_delta_step: bool = True
+    # Chunk the SwiGLU MLP over the sequence in STATELESS forwards longer
+    # than this (0 = off): bounds the backward's [T, intermediate] temps
+    # for long-context training. Exact (the MLP is pointwise over T).
+    mlp_chunk_t: int = 8192
 
     def __post_init__(self):
         if self.layer_types is None:

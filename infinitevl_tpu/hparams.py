@@ -59,6 +59,12 @@ class TrainArgs:
     data_parallel: int = 1
     model_parallel: int = 1
     param_mode: str = "fsdp"  # tp | fsdp | replicated
+    # gradient checkpointing (reference model_utils/checkpointing.py role):
+    # remat recomputes layer internals in the backward; remat_group > 1
+    # checkpoints groups of layers (fewer live boundary activations — the
+    # 3B 32K LoRA recipe needs remat: true, remat_group: 6 on one v5e)
+    remat: bool = False
+    remat_group: int = 1
     # predict_with_generate analogue: after training, greedy-generate the
     # first predict_samples examples' prompts and score BLEU-4/ROUGE vs the
     # gold completions (reference train/sft/workflow.py predict path)

@@ -30,6 +30,10 @@ def _dense(x: jax.Array, p: Params) -> jax.Array:
     y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
+    if "lora_a" in p:
+        # low-rank side path (train/lora.attach_lora): keeps gradients and
+        # intermediates rank-r sized instead of weight-shaped
+        y = y + ((x @ p["lora_a"]) @ p["lora_b"]).astype(y.dtype)
     return y
 
 
@@ -42,6 +46,16 @@ def mlp_forward(p: Params, x: jax.Array) -> jax.Array:
         inter = gu.shape[-1] // 2
         return _dense(silu(gu[..., :inter]) * gu[..., inter:], p["down"])
     return _dense(silu(_dense(x, p["gate"])) * _dense(x, p["up"]), p["down"])
+
+
+def mlp_forward_chunked(p: Params, x: jax.Array, chunk_t: int) -> jax.Array:
+    """MLP over sequence chunks, each checkpointed: the SwiGLU backward
+    holds ~3 [T, intermediate] temps (2 GB/layer at 3B/32K); chunking
+    bounds them to the chunk length. Pointwise over T, so exact."""
+    B, T, D = x.shape
+    xc = x.reshape(B, T // chunk_t, chunk_t, D).swapaxes(0, 1)
+    y = jax.lax.map(jax.checkpoint(lambda c: mlp_forward(p, c)), xc)
+    return y.swapaxes(0, 1).reshape(B, T, D)
 
 
 # ---------------------------------------------------------------------------
@@ -370,7 +384,11 @@ def decoder_layer_forward(
     x = resid + attn
     resid = x
     h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-    x = resid + mlp_forward(p["mlp"], h)
+    ct = cfg.mlp_chunk_t
+    if ct and layer_state is None and h.shape[1] > ct and h.shape[1] % ct == 0:
+        x = resid + mlp_forward_chunked(p["mlp"], h, ct)
+    else:
+        x = resid + mlp_forward(p["mlp"], h)
     return x, new_state
 
 
@@ -383,8 +401,17 @@ def text_forward(
     segment_ids: Optional[jax.Array] = None,
     output_hidden_states: bool = False,
     remat: bool = False,
+    remat_group: int = 1,
 ):
     """Run the decoder stack.
+
+    remat_group > 1 checkpoints GROUPS of layers instead of each layer:
+    only num_layers/remat_group boundary activations stay live (134 MB
+    each at 3B/32K — per-layer remat alone keeps 4.8 GB of boundaries,
+    which together with the merged-LoRA copies overflows one v5e at the
+    stage-3 32K recipe), at the cost of recomputing the group's inner
+    layers once more in the backward. Ignored when output_hidden_states
+    (distillation needs every layer boundary anyway).
 
     Returns (hidden [B,T,D], new_state or None, hidden_states list or None).
     """
@@ -401,6 +428,39 @@ def text_forward(
 
     swa_i = 0
     lin_i = 0
+    if (
+        remat
+        and state is None
+        and collected is None
+        and remat_group > 1
+    ):
+        roles_all = tuple(
+            cfg.layer_role(i) for i in range(len(params["layers"]))
+        )
+
+        def run_group(roles, group_params, x, cos, sin, segment_ids):
+            # NESTED checkpointing: each layer inside the group is itself
+            # rematted, so the group's backward recompute never holds more
+            # than one layer's internals (a flat group blows up to 6 layers
+            # of [T, 12K] projections live at once — measured 45 GB at 32K)
+            for lp, role in zip(group_params, roles):
+                layer_fn = jax.checkpoint(
+                    functools.partial(decoder_layer_forward, lp, cfg, role)
+                )
+                x, _ = layer_fn(x, cos, sin, None, segment_ids)
+            return x
+
+        for start in range(0, len(params["layers"]), remat_group):
+            end = start + remat_group
+            group_fn = jax.checkpoint(
+                functools.partial(run_group, roles_all[start:end])
+            )
+            x = group_fn(
+                params["layers"][start:end], x, cos, sin, segment_ids
+            )
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, None, None
+
     for idx, layer_p in enumerate(params["layers"]):
         role = cfg.layer_role(idx)
         if collected is not None:

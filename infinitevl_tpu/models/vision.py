@@ -135,6 +135,8 @@ def _dense(x, p):
     y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
+    if "lora_a" in p:  # low-rank side path (train/lora.attach_lora)
+        y = y + ((x @ p["lora_a"]) @ p["lora_b"]).astype(y.dtype)
     return y
 
 

@@ -154,13 +154,50 @@ def apply_lora(
     return walk(params, lora)
 
 
+def attach_lora(
+    params: Params, lora: Params, alpha: float = 16.0, rank: int = 8
+) -> Params:
+    """Return params with the adapter factors ATTACHED as low-rank side
+    paths: matched dicts gain lora_a [d_in, r] and lora_b [r, d_out]
+    (pre-scaled by alpha/rank); the matmul helpers add (x @ a) @ b to the
+    frozen kernel's output.
+
+    Unlike apply_lora's on-the-fly merge, no weight-shaped copies or
+    weight-shaped cotangents ever exist — gradients through the attached
+    tree are rank-r sized. That is the difference between the 3B 32K
+    stage-3 LoRA recipe OOMing (21.5 GB with merged weights) and fitting
+    on one 16 GB v5e."""
+    scale = alpha / rank
+
+    def walk(p, l):
+        if isinstance(p, dict):
+            out = {}
+            for k, v in p.items():
+                if isinstance(l, dict) and k in l and isinstance(l[k], dict) \
+                        and "a" in l[k]:
+                    new = dict(v)
+                    new["lora_a"] = l[k]["a"]
+                    new["lora_b"] = l[k]["b"] * scale
+                    out[k] = new
+                else:
+                    out[k] = walk(v, l.get(k) if isinstance(l, dict) else None)
+            return out
+        if isinstance(p, (list, tuple)):
+            ls = l if isinstance(l, (list, tuple)) else [None] * len(p)
+            return type(p)(walk(v, lv) for v, lv in zip(p, ls))
+        return p
+
+    return walk(params, lora)
+
+
 def merge_lora(params: Params, lora: Params, alpha: float = 16.0, rank: int = 8) -> Params:
     """Fold adapters into base weights (export path)."""
     return apply_lora(params, lora, alpha, rank)
 
 
 def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
-                       rank: int = 8, remat: bool = False):
+                       rank: int = 8, remat: bool = False,
+                       remat_group: int = 1):
     """Only the adapter tree is optimized; base weights stay frozen.
     remat=True enables per-layer gradient checkpointing (the stage-3
     32K-context recipe).
@@ -186,7 +223,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
         base = base_params if base_params is not None else _base
 
         def loss_fn(l):
-            merged = apply_lora(base, l, alpha, rank)
+            merged = attach_lora(base, l, alpha, rank)
             if full_cfg is not None:
                 if "text" not in merged:
                     merged = {"text": merged}
@@ -202,6 +239,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                     video_grid_thw=video_grid_thw,
                     segment_ids=batch.get("segment_ids"),
                     remat=remat,
+                    remat_group=remat_group,
                 )
             text = merged["text"] if "text" in merged else merged
             return sft_loss_fn(
@@ -212,6 +250,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                 batch["position_ids"],
                 batch.get("segment_ids"),
                 remat=remat,
+                remat_group=remat_group,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(lora)

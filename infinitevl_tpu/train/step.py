@@ -166,16 +166,21 @@ def sft_loss_fn(
     segment_ids: Optional[jax.Array] = None,
     inputs_embeds: Optional[jax.Array] = None,
     remat: bool = False,
+    remat_group: int = 1,
 ) -> jax.Array:
     embeds = inputs_embeds if inputs_embeds is not None else embed_tokens(params, input_ids)
     hidden, _, _ = text_forward(
         params, cfg, embeds, position_ids, state=None, segment_ids=segment_ids,
-        remat=remat,
+        remat=remat, remat_group=remat_group,
     )
     if remat:
-        # long-context path: chunked CE avoids the [T, V] logits tensor
+        # long-context path: chunked CE avoids the [T, V] logits tensor;
+        # shrink the chunk further at very long T (each fp32 logits chunk
+        # is chunk x V x 4 B = 0.62 GB at 1024 — the margin that decides
+        # whether the 3B 16K LoRA recipe fits one 16 GB chip)
         w = params.get("lm_head", params["embed"].T)
-        return fused_linear_cross_entropy(hidden, w, labels)
+        ce_chunk = 512 if input_ids.shape[1] >= 16384 else 1024
+        return fused_linear_cross_entropy(hidden, w, labels, chunk=ce_chunk)
     logits = lm_head(params, cfg, hidden)
     return cross_entropy_loss(logits, labels)
 
@@ -192,6 +197,7 @@ def mm_sft_loss_fn(
     video_grid_thw: Optional[tuple] = None,
     segment_ids: Optional[jax.Array] = None,
     remat: bool = False,
+    remat_group: int = 1,
 ) -> jax.Array:
     """Multimodal SFT loss: ViT features scattered into the token embeds
     (the reference trains the full VLM on image batches — collator emits
@@ -212,17 +218,19 @@ def mm_sft_loss_fn(
         )
     hidden, _, _ = text_forward(
         tp, cfg.text, embeds, position_ids, state=None, segment_ids=segment_ids,
-        remat=remat,
+        remat=remat, remat_group=remat_group,
     )
     if remat:
         w = tp.get("lm_head", tp["embed"].T)
-        return fused_linear_cross_entropy(hidden, w, labels)
+        ce_chunk = 512 if input_ids.shape[1] >= 16384 else 1024
+        return fused_linear_cross_entropy(hidden, w, labels, chunk=ce_chunk)
     logits = lm_head(tp, cfg.text, hidden)
     return cross_entropy_loss(logits, labels)
 
 
 def make_mm_sft_train_step(
-    cfg: InfiniteVLConfig, tx: optax.GradientTransformation, remat: bool = False
+    cfg: InfiniteVLConfig, tx: optax.GradientTransformation, remat: bool = False,
+    remat_group: int = 1,
 ):
     """Multimodal train step. Returns (params, opt_state, batch, grid_thw,
     video_grid_thw) -> (params, opt_state, loss); jit with static_argnums for
@@ -243,6 +251,7 @@ def make_mm_sft_train_step(
                 video_grid_thw=video_grid_thw,
                 segment_ids=batch.get("segment_ids"),
                 remat=remat,
+                remat_group=remat_group,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -254,7 +263,8 @@ def make_mm_sft_train_step(
 
 
 def make_sft_train_step(
-    cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False
+    cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False,
+    remat_group: int = 1,
 ):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, loss).
     params: full pytree with a "text" subtree (so sharding-rule paths match);
@@ -271,6 +281,7 @@ def make_sft_train_step(
                 batch["position_ids"],
                 batch.get("segment_ids"),
                 remat=remat,
+                remat_group=remat_group,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

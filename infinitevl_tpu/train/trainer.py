@@ -650,6 +650,8 @@ def run_sft(args: AllArgs, tokenizer=None):
                 tx,
                 alpha=args.finetune.lora_alpha,
                 rank=args.finetune.lora_rank,
+                remat=args.train.remat,
+                remat_group=args.train.remat_group,
             ),
             static_argnums=(4, 5),
             donate_argnums=(0, 1),
@@ -686,12 +688,21 @@ def run_sft(args: AllArgs, tokenizer=None):
     opt_state = tx.init(params)
     if mm:
         step_fn = jax.jit(
-            make_mm_sft_train_step(cfg, tx),
+            make_mm_sft_train_step(
+                cfg, tx, remat=args.train.remat,
+                remat_group=args.train.remat_group,
+            ),
             static_argnums=(3, 4),
             donate_argnums=(0, 1),
         )
     else:
-        step_fn = jax.jit(make_sft_train_step(tcfg, tx), donate_argnums=(0, 1))
+        step_fn = jax.jit(
+            make_sft_train_step(
+                tcfg, tx, remat=args.train.remat,
+                remat_group=args.train.remat_group,
+            ),
+            donate_argnums=(0, 1),
+        )
     trainer = Trainer(
         step_fn, params, opt_state, args.train.output_dir,
         args.train.logging_steps, args.train.save_steps,
