@@ -151,6 +151,70 @@ def delta_rule_step(
     return o.astype(v.dtype), s
 
 
+def _wyut_precompute(
+    qf: jax.Array,  # [..., C, K] fp32, already scaled
+    kf: jax.Array,  # [..., C, K] fp32
+    vf: jax.Array,  # [..., C, V] fp32
+    gf: jax.Array,  # [..., C] fp32 log-decay (segment starts already zeroed)
+    bf: jax.Array,  # [..., C] fp32 beta
+    seg: Optional[jax.Array],  # [..., C] segment ids (head axis broadcast) or None
+) -> Tuple[jax.Array, ...]:
+    """Per-chunk WY/UT precompute, batch-dim agnostic.
+
+    Works on a single chunk ([B, H, C, ·], the streamed scan body) or on all
+    chunks at once ([B, H, N, C, ·], the vectorized path) — the chunkwise
+    math of the reference pipeline (chunk.py:74-177 / wy_fast.py) is local
+    to each chunk, so the two calls share this code exactly.
+
+    Returns (w, u, q_b, attn, k_out, carry)."""
+    K = qf.shape[-1]
+    C = qf.shape[-2]
+    gcs = jnp.cumsum(gf, axis=-1)  # within-chunk inclusive cumsum [..., C]
+    b_end = gcs[..., -1]  # [...]
+
+    # Pairwise decay ratios within chunk: R[i, j] = exp(g_i - g_j), i >= j
+    gi = gcs[..., :, None]
+    gj = gcs[..., None, :]
+    tril = jnp.tril(jnp.ones((C, C), dtype=bool))
+    stril = jnp.tril(jnp.ones((C, C), dtype=bool), k=-1)
+    ratio = jnp.where(tril, jnp.exp(jnp.minimum(gi - gj, 0.0)), 0.0)
+
+    if seg is not None:
+        first_of_chunk = seg[..., :1]
+        last_of_chunk = seg[..., -1:]
+        same_as_chunk_start = seg == first_of_chunk
+        same_seg = seg[..., :, None] == seg[..., None, :]
+        ratio = jnp.where(same_seg, ratio, 0.0)
+
+    kk = jnp.einsum("...ik,...jk->...ij", kf, kf)  # [..., C, C]
+    a_mat = jnp.where(stril, kk * ratio, 0.0) * bf[..., :, None]
+    # X = (I + A)^{-1} rhs, rhs stacked [diag(b) K | V] to solve once
+    kb = kf * jnp.exp(gcs)[..., None]
+    if seg is not None:
+        # decay-from-chunk-start only valid within first segment of chunk;
+        # cross-segment state terms are masked below anyway, but keep kb finite
+        kb = jnp.where(same_as_chunk_start[..., None], kb, 0.0)
+    rhs = jnp.concatenate([kb, vf], axis=-1) * bf[..., None]
+    x = _solve_unit_lower(a_mat, rhs)
+    w = x[..., :K]  # [..., C, K]
+    u = x[..., K:]  # [..., C, V]
+
+    # Output-side precomputables
+    qk = jnp.einsum("...ik,...jk->...ij", qf, kf)
+    attn = jnp.where(tril, qk * ratio, 0.0)  # includes diagonal
+    q_b = qf * jnp.exp(gcs)[..., None]  # decay-weighted queries for inter term
+    if seg is not None:
+        q_b = jnp.where(same_as_chunk_start[..., None], q_b, 0.0)
+    k_out = kf * jnp.exp(b_end[..., None] - gcs)[..., None]  # decay-to-chunk-end
+    carry = jnp.exp(b_end)  # [...] state decay across the chunk
+    if seg is not None:
+        # only the chunk's final segment carries state into the next chunk
+        k_out = jnp.where((seg == last_of_chunk)[..., None], k_out, 0.0)
+        # a segment boundary inside the chunk kills the incoming state carry
+        carry = jnp.where((first_of_chunk == last_of_chunk)[..., 0], carry, 0.0)
+    return w, u, q_b, attn, k_out, carry
+
+
 def delta_rule_chunk(
     q: jax.Array,  # [B, T, H, K]
     k: jax.Array,
@@ -162,6 +226,7 @@ def delta_rule_chunk(
     use_qk_l2norm: bool = True,
     chunk_size: int = 64,
     segment_ids: Optional[jax.Array] = None,  # [B, T] int32; see note
+    stream: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Chunkwise-parallel gated delta rule (training / prefill path).
 
@@ -170,6 +235,24 @@ def delta_rule_chunk(
     chunk.py:211-214). State is reset at segment boundaries by zeroing the
     decay carry-over and masking cross-segment interactions. With segment
     ids present, `initial_state` seeds only the first segment.
+
+    ``stream`` selects between two evaluation orders of the SAME math:
+
+    - vectorized (False): the WY/UT precompute runs for all N chunks up
+      front as [B, H, N, C, ·] tensors, then a light scan threads the state.
+      Best wall-clock at small N (prefill chunks), but the backward holds
+      every chunk's intermediates at once — ~4.5 GB fp32 per 3B delta layer
+      at 32K, the round-2 long-context-OOM root cause.
+    - streamed (True): the precompute runs inside a `jax.checkpoint`-wrapped
+      scan body, so each chunk's intermediates exist only while that chunk
+      is processed; the backward saves just the per-chunk carry states
+      (N x [B, H, K, V] fp32, ~0.5 GB/layer at 32K) and recomputes the rest
+      per chunk — the JAX expression of the reference kernel pipeline's
+      streaming structure (chunk.py:74-177 never materializes all chunks).
+
+    Gradients are exact either way (verified in tests/test_delta_rule.py).
+    Default (None) streams at N >= 32 chunks (T >= 4K at C=128): long-context
+    training streams, short prefill chunks keep the vectorized fast path.
     """
     B, T, H, K = q.shape
     V = v.shape[-1]
@@ -211,89 +294,85 @@ def delta_rule_chunk(
         x = x.reshape(B, N, C, H, d) if d else x.reshape(B, N, C, H)
         return jnp.moveaxis(x, 3, 1)  # [B, H, N, C, (d)]
 
-    qf = chunked(q, K).astype(jnp.float32) * scale
-    kf = chunked(k, K).astype(jnp.float32)
-    vf = chunked(v, V).astype(jnp.float32)
-    gf = chunked(g, 0).astype(jnp.float32)  # [B, H, N, C]
-    bf = chunked(beta, 0).astype(jnp.float32)
+    if stream is None:
+        stream = N >= 32
 
+    gf_all = chunked(g, 0).astype(jnp.float32)  # [B, H, N, C]
+    bf_all = chunked(beta, 0).astype(jnp.float32)
     if segment_ids is not None:
         seg = segment_ids.reshape(B, 1, N, C)
-        first_of_chunk = seg[..., :1]
-        last_of_chunk = seg[..., -1:]
-        same_as_chunk_start = seg == first_of_chunk
         # decay resets at segment start: zero g on the first token of a segment
         starts_c = is_start.reshape(B, 1, N, C)
-        gf = jnp.where(starts_c, 0.0, gf)
+        gf_all = jnp.where(starts_c, 0.0, gf_all)
     else:
         seg = None
-        same_as_chunk_start = None
-
-    gcs = jnp.cumsum(gf, axis=-1)  # within-chunk inclusive cumsum [B,H,N,C]
-    b_end = gcs[..., -1]  # [B, H, N]
-
-    # Pairwise decay ratios within chunk: R[i, j] = exp(g_i - g_j), i >= j
-    gi = gcs[..., :, None]
-    gj = gcs[..., None, :]
-    tril = jnp.tril(jnp.ones((C, C), dtype=bool))
-    stril = jnp.tril(jnp.ones((C, C), dtype=bool), k=-1)
-    ratio = jnp.where(tril, jnp.exp(jnp.minimum(gi - gj, 0.0)), 0.0)
-
-    if seg is not None:
-        same_seg = seg[..., :, None] == seg[..., None, :]
-        ratio = jnp.where(same_seg, ratio, 0.0)
-
-    kk = jnp.einsum("bhnik,bhnjk->bhnij", kf, kf)  # [B,H,N,C,C]
-    a_mat = jnp.where(stril, kk * ratio, 0.0) * bf[..., :, None]
-    # X = (I + A)^{-1} rhs, rhs stacked [diag(b) K | V] to solve once
-    kb = kf * jnp.exp(gcs)[..., None]
-    if seg is not None:
-        # decay-from-chunk-start only valid within first segment of chunk;
-        # cross-segment state terms are masked below anyway, but keep kb finite
-        kb = jnp.where(same_as_chunk_start[..., None], kb, 0.0)
-    rhs = jnp.concatenate([kb, vf], axis=-1) * bf[..., None]
-    x = _solve_unit_lower(a_mat, rhs)
-    w = x[..., :K]  # [B,H,N,C,K]
-    u = x[..., K:]  # [B,H,N,C,V]
-
-    # Output-side precomputables
-    qk = jnp.einsum("bhnik,bhnjk->bhnij", qf, kf)
-    attn = jnp.where(tril, qk * ratio, 0.0)  # includes diagonal
-    q_b = qf * jnp.exp(gcs)[..., None]  # decay-weighted queries for inter term
-    if seg is not None:
-        q_b = jnp.where(same_as_chunk_start[..., None], q_b, 0.0)
-    k_out = kf * jnp.exp(b_end[..., None] - gcs)[..., None]  # decay-to-chunk-end
-    carry = jnp.exp(b_end)  # [B, H, N] state decay across the chunk
-    if seg is not None:
-        # only the chunk's final segment carries state into the next chunk
-        k_out = jnp.where((seg == last_of_chunk)[..., None], k_out, 0.0)
-        # a segment boundary inside the chunk kills the incoming state carry
-        carry = jnp.where((first_of_chunk == last_of_chunk)[..., 0], carry, 0.0)
 
     if initial_state is None:
         s0 = jnp.zeros((B, H, K, V), dtype=jnp.float32)
     else:
         s0 = initial_state.astype(jnp.float32)
 
-    def chunk_step(s, inp):
-        w_c, u_c, qb_c, attn_c, kout_c, carry_c = inp
-        y = u_c - jnp.einsum("bhck,bhkv->bhcv", w_c, s)
-        o_inter = jnp.einsum("bhck,bhkv->bhcv", qb_c, s)
-        o = o_inter + jnp.einsum("bhij,bhjv->bhiv", attn_c, y)
-        s_new = s * carry_c[..., None, None] + jnp.einsum(
-            "bhck,bhcv->bhkv", kout_c, y
+    if not stream:
+        qf = chunked(q, K).astype(jnp.float32) * scale
+        kf = chunked(k, K).astype(jnp.float32)
+        vf = chunked(v, V).astype(jnp.float32)
+        w, u, q_b, attn, k_out, carry = _wyut_precompute(
+            qf, kf, vf, gf_all, bf_all, seg
         )
-        return s_new, o
 
-    xs = (
-        jnp.moveaxis(w, 2, 0),
-        jnp.moveaxis(u, 2, 0),
-        jnp.moveaxis(q_b, 2, 0),
-        jnp.moveaxis(attn, 2, 0),
-        jnp.moveaxis(k_out, 2, 0),
-        jnp.moveaxis(carry, 2, 0),
-    )
-    s_final, o = jax.lax.scan(chunk_step, s0, xs)  # o: [N, B, H, C, V]
+        def chunk_step(s, inp):
+            w_c, u_c, qb_c, attn_c, kout_c, carry_c = inp
+            y = u_c - jnp.einsum("bhck,bhkv->bhcv", w_c, s)
+            o_inter = jnp.einsum("bhck,bhkv->bhcv", qb_c, s)
+            o = o_inter + jnp.einsum("bhij,bhjv->bhiv", attn_c, y)
+            s_new = s * carry_c[..., None, None] + jnp.einsum(
+                "bhck,bhcv->bhkv", kout_c, y
+            )
+            return s_new, o.astype(v.dtype)
+
+        xs = tuple(
+            jnp.moveaxis(t, 2, 0) for t in (w, u, q_b, attn, k_out, carry)
+        )
+        s_final, o = jax.lax.scan(chunk_step, s0, xs)  # o: [N, B, H, C, V]
+    else:
+        # Streamed: q/k/v ride the scan in their INPUT dtype (an up-front
+        # fp32 cast would double their residency); each chunk casts, runs
+        # the full WY/UT precompute, and produces its output slice inside a
+        # checkpointed body, so the backward stores only (state, chunk
+        # inputs) per step and recomputes the intermediates chunk by chunk.
+        qc = jnp.moveaxis(chunked(q, K), 2, 0)  # [N, B, H, C, K]
+        kc = jnp.moveaxis(chunked(k, K), 2, 0)
+        vc = jnp.moveaxis(chunked(v, V), 2, 0)
+        gc = jnp.moveaxis(gf_all, 2, 0)  # [N, B, H, C] (fp32, starts zeroed)
+        bc = jnp.moveaxis(bf_all, 2, 0)
+        has_seg = seg is not None
+
+        def chunk_body(s, inp):
+            if has_seg:
+                q_c, k_c, v_c, g_c, b_c, seg_c = inp
+            else:
+                q_c, k_c, v_c, g_c, b_c = inp
+                seg_c = None
+            qf_c = q_c.astype(jnp.float32) * scale
+            kf_c = k_c.astype(jnp.float32)
+            vf_c = v_c.astype(jnp.float32)
+            w_c, u_c, qb_c, attn_c, kout_c, carry_c = _wyut_precompute(
+                qf_c, kf_c, vf_c, g_c, b_c, seg_c
+            )
+            y = u_c - jnp.einsum("bhck,bhkv->bhcv", w_c, s)
+            o = jnp.einsum("bhck,bhkv->bhcv", qb_c, s) + jnp.einsum(
+                "bhij,bhjv->bhiv", attn_c, y
+            )
+            s_new = s * carry_c[..., None, None] + jnp.einsum(
+                "bhck,bhcv->bhkv", kout_c, y
+            )
+            return s_new, o.astype(v.dtype)
+
+        xs = (qc, kc, vc, gc, bc)
+        if has_seg:
+            xs = xs + (jnp.moveaxis(seg, 2, 0),)
+        s_final, o = jax.lax.scan(jax.checkpoint(chunk_body), s0, xs)
+
     o = jnp.moveaxis(o, 0, 2).reshape(B, H, Tp, V)[:, :, :T, :]
     o = jnp.moveaxis(o, 1, 2)  # [B, T, H, V]
     return o.astype(v.dtype), s_final
@@ -312,6 +391,7 @@ def gated_delta_rule(
     recurrent_threshold: int = 64,
     segment_ids: Optional[jax.Array] = None,
     mode: Optional[str] = None,
+    stream: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Dispatch: recurrent path for short inputs (T <= threshold, matching
     the reference's q_len <= 64 switch, modeling_infinitevl.py:1230), else
@@ -336,4 +416,5 @@ def gated_delta_rule(
         use_qk_l2norm,
         chunk_size,
         segment_ids,
+        stream,
     )

@@ -159,6 +159,75 @@ def test_bfloat16_inputs():
     assert err_ratio(s, s_ref) < 2e-2
 
 
+@pytest.mark.parametrize("with_seg", [False, True])
+def test_streamed_matches_vectorized(with_seg):
+    """stream=True is the same math in a different evaluation order: outputs
+    and state must match the vectorized path to fp32 tolerance."""
+    q, k, v, g, beta, s0 = make_inputs(jax.random.PRNGKey(8), T=96)
+    seg = None
+    s0_arg = s0
+    if with_seg:
+        seg = jnp.concatenate(
+            [jnp.zeros((2, 40), jnp.int32), jnp.ones((2, 56), jnp.int32)],
+            axis=1,
+        )
+        s0_arg = None
+    o_vec, s_vec = delta_rule_chunk(
+        q, k, v, g, beta, initial_state=s0_arg, chunk_size=16,
+        segment_ids=seg, stream=False,
+    )
+    o_st, s_st = delta_rule_chunk(
+        q, k, v, g, beta, initial_state=s0_arg, chunk_size=16,
+        segment_ids=seg, stream=True,
+    )
+    assert err_ratio(o_st, o_vec) < 1e-6
+    assert err_ratio(s_st, s_vec) < 1e-6
+
+
+@pytest.mark.parametrize("with_seg", [False, True])
+def test_streamed_grads_match_vectorized(with_seg):
+    """Gradient exactness: the checkpointed streamed backward must agree
+    with the vectorized backward on every input."""
+    q, k, v, g, beta, s0 = make_inputs(jax.random.PRNGKey(9), T=80)
+    seg = (
+        jnp.concatenate(
+            [jnp.zeros((2, 30), jnp.int32), jnp.ones((2, 50), jnp.int32)],
+            axis=1,
+        )
+        if with_seg
+        else None
+    )
+
+    def loss(stream, q, k, v, g, beta):
+        o, s = delta_rule_chunk(
+            q, k, v, g, beta, initial_state=s0, chunk_size=16,
+            segment_ids=seg, stream=stream,
+        )
+        return jnp.sum(jnp.sin(o)) + jnp.sum(s**2)
+
+    g_vec = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3, 4))(
+        q, k, v, g, beta
+    )
+    g_st = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3, 4))(
+        q, k, v, g, beta
+    )
+    for a, b in zip(g_vec, g_st):
+        assert err_ratio(b, a) < 1e-5
+
+
+def test_streamed_bfloat16_dtype():
+    q, k, v, g, beta, s0 = make_inputs(jax.random.PRNGKey(10), T=64)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    o, s = delta_rule_chunk(
+        qb, kb, vb, g, beta, initial_state=s0, chunk_size=16, stream=True
+    )
+    assert o.dtype == jnp.bfloat16
+    assert s.dtype == jnp.float32
+    o_ref, s_ref = delta_rule_recurrent(qb, kb, vb, g, beta, initial_state=s0)
+    assert err_ratio(o.astype(jnp.float32), o_ref.astype(jnp.float32)) < 2e-2
+    assert err_ratio(s, s_ref) < 2e-2
+
+
 def test_chunk_differentiable():
     q, k, v, g, beta, s0 = make_inputs(jax.random.PRNGKey(7), T=32)
 
