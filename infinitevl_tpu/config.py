@@ -195,6 +195,14 @@ class TextConfig:
         )
 
     @property
+    def mamba2_layer_indices(self) -> Tuple[int, ...]:
+        return tuple(i for i, t in enumerate(self.layer_types) if t == MAMBA2)
+
+    @property
+    def num_mamba2_layers(self) -> int:
+        return len(self.mamba2_layer_indices)
+
+    @property
     def num_swa_layers(self) -> int:
         return len(self.swa_layer_indices)
 

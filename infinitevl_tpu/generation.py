@@ -246,9 +246,10 @@ class Generator:
         # overshoot past EOS is bounded by chunk_size - 1 wasted steps
         self.chunk_size = chunk_size
         # text prompts longer than this prefill through prefill_chunked
-        # (bounded compile set for arbitrary prompt lengths). 2048 fits the
-        # ring flash kernel's VMEM budget (T=4096 with the 8192 ring needs
-        # ~149 MB of the 128 MB VMEM; query blocking would lift this)
+        # (bounded compile set for arbitrary prompt lengths). The ring flash
+        # kernel blocks queries (ops/swa_pallas.py block_q) so larger chunks
+        # fit VMEM; measured at 32K total: 2048 -> 17.6K tok/s, 4096 ->
+        # 16.4K (ROUND2_NOTES) — 2048 stays the default.
         self.prefill_chunk_size = 2048
 
     def generate(

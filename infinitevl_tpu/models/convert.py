@@ -7,9 +7,10 @@ Gated DeltaNet mixer (mimic_init warm start) while keeping the layer's MLP
 and norms; preserved layers keep their attention weights and become the
 sliding-attention layers of the hybrid.
 
-Supported mixers: "gated_deltanet" (the shipped model). "mamba2" exists in
-the reference as an alternative conversion target (convert.py:90-140); here
-it raises with a pointer until that model family lands.
+Supported mixers: "gated_deltanet" (the shipped model) and "mamba2" (the
+reference's alternative conversion target, convert.py:90-140) — the mamba2
+path copies attention q/k/v into the SSD's C/B/x projections with GQA tile
+replication (see convert_layer_to_mamba2 below).
 """
 
 from __future__ import annotations

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import LINEAR, InfiniteVLConfig, TextConfig, VisionConfig
+from ..config import LINEAR, MAMBA2, InfiniteVLConfig, TextConfig, VisionConfig
 from ..ops.rope import rope_init
 
 Params = Dict[str, Any]
@@ -215,8 +215,11 @@ def init_text_params(key, cfg: TextConfig, dtype=jnp.bfloat16) -> Params:
     ks = jax.random.split(key, cfg.num_hidden_layers + 2)
     layers = []
     for i in range(cfg.num_hidden_layers):
-        if cfg.layer_role(i) == LINEAR:
+        role = cfg.layer_role(i)
+        if role == LINEAR:
             layers.append(init_delta_layer(ks[i], cfg, dtype))
+        elif role == MAMBA2:
+            layers.append(init_mamba2_layer(ks[i], cfg, dtype))
         else:  # sliding or full attention share the same parameter shape
             layers.append(init_swa_layer(ks[i], cfg, dtype))
     p = {

@@ -41,7 +41,7 @@ def init_decoder_state(
     K = cfg.linear_head_dim
     V = cfg.head_v_dim
     W = cfg.conv_size
-    return {
+    state = {
         "swa_k": jnp.zeros((S, B, Hkv, cap, Dh), dtype=dtype),
         "swa_v": jnp.zeros((S, B, Hkv, cap, Dh), dtype=dtype),
         "delta_h": jnp.zeros((L, B, H, K, V), dtype=jnp.float32),
@@ -50,6 +50,18 @@ def init_decoder_state(
         "conv_v": jnp.zeros((L, B, W, cfg.linear_value_dim), dtype=dtype),
         "cum_len": jnp.zeros((), dtype=jnp.int32),
     }
+    M = cfg.num_mamba2_layers
+    if M:
+        # mamba2-converted models (models/convert.py): fused vkq conv history
+        # + per-head SSM state [N=head_dim, P=head_dim]. The reference layer
+        # never wires its cache (fla/layers/mamba2_new.py:252-254 returns
+        # None); this makes converted models servable anyway. Keys exist only
+        # when the config has mamba2 layers so the deployed state is unchanged.
+        Ha = cfg.num_attention_heads
+        Da = cfg.head_dim
+        state["mamba_conv"] = jnp.zeros((M, B, W, 3 * Ha * Da), dtype=dtype)
+        state["mamba_h"] = jnp.zeros((M, B, Ha, Da, Da), dtype=jnp.float32)
+    return state
 
 
 def state_bytes(state: DecoderState) -> int:

@@ -291,13 +291,23 @@ def mamba2_forward(
     cfg: TextConfig,
     x: jax.Array,  # [B, T, D]
     segment_ids: Optional[jax.Array] = None,
-) -> jax.Array:
+    conv_state: Optional[jax.Array] = None,  # STACKED [M, B, W, 3HD] or None
+    h_state: Optional[jax.Array] = None,  # STACKED [M, B, H, Dh, Dh] fp32
+    layer_idx: int = 0,  # static index into the mamba2 stacks
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Mamba2 SSD mixer, the reference's second conversion target
     (fla/layers/mamba2_new.py:165-255): q/k/v projections (= C/B/x of the
     SSD), a fused short conv over the concatenated [v, k, q] stream, per-head
-    dt from in_proj, D skip connection, gated RMSNorm output."""
-    from ..ops.mamba2 import mamba2_chunk_scan
-    from ..ops.short_conv import short_conv
+    dt from in_proj, D skip connection, gated RMSNorm output.
+
+    Cached calls (decode / chunked prefill) take the STACKED conv/SSM state
+    plus a static layer index — a capability the reference layer declares
+    but never wires (mamba2_new.py:170,252-254 ignores past_key_value and
+    returns None), added here so converted models can serve.
+
+    Returns (out [B, T, D], (conv_state', h_state') or None)."""
+    from ..ops.mamba2 import mamba2_chunk_scan, mamba2_step
+    from ..ops.short_conv import short_conv, short_conv_step
 
     B, T, _ = x.shape
     H = cfg.num_attention_heads
@@ -309,10 +319,19 @@ def mamba2_forward(
     v = _dense(x, p["v_proj"])  # x
     # fused conv over [v, k, q] (mamba2_new.py:196-219 convolutional_forward)
     vkq = jnp.concatenate([v, k, q], axis=-1)
-    vkq, _ = short_conv(
-        vkq, p["conv_w"], p.get("conv_b"), None, activation="silu",
-        segment_ids=segment_ids,
-    )
+    use_cache = conv_state is not None
+    decode = use_cache and T == 1
+    cs_i = conv_state[layer_idx] if use_cache else None
+    if decode:
+        vkq1, new_cs = short_conv_step(
+            vkq[:, 0], p["conv_w"], p.get("conv_b"), cs_i, activation="silu"
+        )
+        vkq = vkq1[:, None]
+    else:
+        vkq, new_cs = short_conv(
+            vkq, p["conv_w"], p.get("conv_b"), cs_i, activation="silu",
+            carry_history=cfg.conv_carry, segment_ids=segment_ids,
+        )
     v, k, q = vkq[..., :HD], vkq[..., HD : 2 * HD], vkq[..., 2 * HD :]
     v = v.reshape(B, T, H, Dh)
     k = k.reshape(B, T, H, Dh)
@@ -323,15 +342,34 @@ def mamba2_forward(
         + p["dt_bias"].astype(jnp.float32)
     )  # [B, T, H]
     A = -jnp.exp(p["A_log"].astype(jnp.float32))  # [H]
-    y, _ = mamba2_chunk_scan(
-        v, dt, A, k, q, chunk_size=cfg.delta_chunk_size,
-        segment_ids=segment_ids,
-    )
+    if decode:
+        y1, new_h = mamba2_step(
+            v[:, 0], dt[:, 0], A, k[:, 0], q[:, 0], h_state[layer_idx]
+        )
+        y = y1[:, None]
+    else:
+        y, new_h = mamba2_chunk_scan(
+            v, dt, A, k, q,
+            initial_state=h_state[layer_idx] if use_cache else None,
+            chunk_size=cfg.delta_chunk_size,
+            segment_ids=segment_ids,
+        )
     # D skip (mamba2_new.py:240-241)
     y = y + p["D"].astype(y.dtype)[None, None, :, None] * v
     gate = _dense(x, p["g_proj"]).reshape(B, T, H, Dh)
     o = rms_norm_gated(y, gate, p["o_norm"], eps=cfg.norm_eps)
-    return _dense(o.reshape(B, T, HD), p["o_proj"])
+    out = _dense(o.reshape(B, T, HD), p["o_proj"])
+    if not use_cache:
+        return out, None
+    zero3 = (jnp.asarray(layer_idx),) + (jnp.zeros((), jnp.int32),) * 3
+    zero4 = (jnp.asarray(layer_idx),) + (jnp.zeros((), jnp.int32),) * 4
+    new_state = (
+        jax.lax.dynamic_update_slice(
+            conv_state, new_cs.astype(conv_state.dtype)[None], zero3
+        ),
+        jax.lax.dynamic_update_slice(h_state, new_h[None], zero4),
+    )
+    return out, new_state
 
 
 # ---------------------------------------------------------------------------
@@ -372,13 +410,11 @@ def decoder_layer_forward(
             p, cfg, h, cq, ck, cv, hst, segment_ids, layer_idx=lin_i
         )
     elif role == MAMBA2:
-        if layer_state is not None:
-            raise NotImplementedError(
-                "cached decoding with mamba2 layers is not wired into the "
-                "state pytree yet; mamba2 is a conversion/training mixer"
-            )
-        attn = mamba2_forward(p, cfg, h, segment_ids)
-        new_state = None
+        mcs, mhs, m2_i = layer_state or (None, None, 0)
+        attn, new_state = mamba2_forward(
+            p, cfg, h, segment_ids, conv_state=mcs, h_state=mhs,
+            layer_idx=m2_i,
+        )
     else:
         raise NotImplementedError(f"layer role {role}")
     x = resid + attn
@@ -428,6 +464,7 @@ def text_forward(
 
     swa_i = 0
     lin_i = 0
+    m2_i = 0
     if (
         remat
         and state is None
@@ -484,6 +521,12 @@ def text_forward(
                 new_state["delta_h"],
                 lin_i,
             )
+        elif state is not None and role == MAMBA2:
+            layer_state = (
+                new_state["mamba_conv"],
+                new_state["mamba_h"],
+                m2_i,
+            )
         else:
             if state is not None and role == FULL:
                 raise NotImplementedError(
@@ -517,6 +560,10 @@ def text_forward(
                 new_state["conv_v"] = out_state[2]
                 new_state["delta_h"] = out_state[3]
                 lin_i += 1
+            elif role == MAMBA2:
+                new_state["mamba_conv"] = out_state[0]
+                new_state["mamba_h"] = out_state[1]
+                m2_i += 1
 
     if collected is not None:
         # collected[i] = layer i's input; collected[n] = last layer's output

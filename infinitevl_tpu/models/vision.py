@@ -33,6 +33,12 @@ from ..ops.swa import attention_dense
 
 Params = Dict[str, Any]
 
+# Packed-sequence length at which full-attention blocks switch from the
+# dense-mask path to the segment-aware flash kernel (ops/vit_flash.py).
+# Streaming frames (S=1024+pads at 448x448) stay dense: measured faster at
+# that size and Mosaic compiles through the relay cost 30-250 s each.
+FLASH_FULL_ATTN_MIN_SEQ = 4096
+
 
 class VisionPlan:
     """Static per-grid layout: permutations, window shapes, rope tables.
@@ -191,6 +197,14 @@ def _full_attention(
             mask,
         )
         return out.reshape(S, H, D)
+    if q.shape[0] >= FLASH_FULL_ATTN_MIN_SEQ:
+        # long packed sequence (high-res image / multi-image prefill): the
+        # dense path's [H, S, S] scores are 5.4 GB fp32 at 1344x1344 —
+        # stream KV through the flash kernel instead (chunked XLA twin off
+        # TPU / in the backward)
+        from ..ops.vit_flash import vit_full_attention
+
+        return vit_full_attention(q, k, v, seg)
     mask = seg[:, None] == seg[None, :]
     out = attention_dense(q[None], k[None], v[None], mask[None])
     return out[0]

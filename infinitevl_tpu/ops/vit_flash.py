@@ -1,0 +1,220 @@
+"""Pallas segment-aware non-causal flash attention for the ViT.
+
+TPU counterpart of the reference ViT's FlashAttention-2 varlen path
+(modeling_infinitevl.py:623-667, `flash_attn_varlen_func` over cu_seqlens):
+the full-attention blocks of the vision trunk attend within each image /
+temporal frame of the packed sequence. The XLA dense path
+(ops/swa.attention_dense) materializes the full [H, S, S] score tensor —
+5.4 GB fp32 for one 1344x1344 image (S=9216, 16 heads) — which blocks
+high-resolution prefill; this kernel streams KV blocks through an online
+softmax, so HBM traffic is O(S * D) per head.
+
+Segments ride along as two small int32 arrays (column-replicated and
+row layouts) instead of the reference's cu_seqlens: Mosaic cannot
+transpose a [1, bk] vector into a [bq, 1] column in-kernel, so the wrapper
+provides both orientations and the mask is a single 2D broadcast compare.
+Pad tokens carry segment -1: they attend only other pads (finite rows,
+dropped by the caller's inverse permutation), never real tokens.
+
+head_dim is zero-padded to a lane multiple (80 -> 128 for the deployed
+ViT): zero key lanes leave scores unchanged and zero value lanes are
+sliced off on return.
+
+Backward: the kernel is wrapped in a custom_vjp whose backward
+differentiates `attention_segment_chunked` — an exact, query-chunked XLA
+twin with O(block_q * S) live memory — so high-resolution ViT *training*
+also avoids the dense score tensor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _vit_flash_kernel(
+    segq_ref,  # [block_q, 128] int32 (segment id replicated across lanes)
+    segk_ref,  # [1, block_k] int32
+    q_ref,  # [1, block_q, Dp]
+    k_ref,  # [1, block_k, Dp]
+    v_ref,  # [1, block_k, Dp]
+    o_ref,  # [1, block_q, Dp]
+    acc_ref,  # [block_q, Dp] f32
+    m_ref,  # [block_q, 128] f32
+    l_ref,  # [block_q, 128] f32
+    *,
+    scale: float,
+):
+    j = pl.program_id(2)  # kv block (innermost: scratch carries over j)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    s = jnp.dot(
+        q, k_ref[0].T.astype(jnp.float32), preferred_element_type=jnp.float32
+    )  # [block_q, block_k]
+
+    sq = segq_ref[:, :1]  # [block_q, 1]
+    sk = segk_ref[:, :]  # [1, block_k]
+    s = jnp.where(sq == sk, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur)
+    l_ref[:, :1] = l_ref[:, :1] * alpha + p.sum(axis=-1, keepdims=True)
+    m_ref[:, :1] = m_cur
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        o_ref[0] = (
+            acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret"),
+)
+def segment_flash_attention(
+    q: jax.Array,  # [S, H, D] packed sequence (ViT layout)
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,  # [S] int32 segment ids; pads -1
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Non-causal segment-masked flash attention. Returns [S, H, D].
+
+    Numerics match models/vision._full_attention's dense path to fp32
+    online-softmax tolerance (tested in tests/test_pallas_kernels.py)."""
+    S, H, D = q.shape
+    if scale is None:
+        scale = D**-0.5
+    Dp = -(-D // 128) * 128
+    Sp = -(-S // max(block_q, block_k)) * max(block_q, block_k)
+
+    def prep(x):
+        x = jnp.pad(x, ((0, Sp - S), (0, 0), (0, Dp - D)))
+        return x.transpose(1, 0, 2)  # [H, Sp, Dp]
+
+    qh, kh, vh = prep(q), prep(k), prep(v)
+    segp = jnp.pad(seg.astype(jnp.int32), (0, Sp - S), constant_values=-1)
+    seg_col = jnp.broadcast_to(segp[:, None], (Sp, 128))
+    seg_row = segp[None, :]
+
+    NQ = Sp // block_q
+    NK = Sp // block_k
+    out = pl.pallas_call(
+        functools.partial(_vit_flash_kernel, scale=scale),
+        grid=(H, NQ, NK),
+        in_specs=[
+            pl.BlockSpec((block_q, 128), lambda h, i, j: (i, 0)),
+            pl.BlockSpec((1, block_k), lambda h, i, j: (0, j)),
+            pl.BlockSpec((1, block_q, Dp), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_k, Dp), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, block_k, Dp), lambda h, i, j: (h, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dp), lambda h, i, j: (h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((H, Sp, Dp), q.dtype),
+        interpret=interpret,
+    )(seg_col, seg_row, qh, kh, vh)
+    return out[:, :S, :D].transpose(1, 0, 2)
+
+
+def attention_segment_chunked(
+    q: jax.Array,  # [S, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,  # [S] int32
+    scale: Optional[float] = None,
+    block_q: int = 256,
+) -> jax.Array:
+    """Exact XLA twin of segment_flash_attention with query chunking:
+    scores exist only as [block_q, S] per chunk (checkpointed), bounding
+    live memory to O(block_q * S * H) fp32 in forward AND backward — the
+    differentiable path for high-resolution ViT training."""
+    S, H, D = q.shape
+    if scale is None:
+        scale = D**-0.5
+    Sp = -(-S // block_q) * block_q
+    qp = jnp.pad(q, ((0, Sp - S), (0, 0), (0, 0)))
+    segp = jnp.pad(seg.astype(jnp.int32), (0, Sp - S), constant_values=-1)
+    n = Sp // block_q
+    qc = qp.reshape(n, block_q, H, D)
+    sc = segp.reshape(n, block_q)
+
+    @jax.checkpoint
+    def one_chunk(args):
+        qi, si = args  # [block_q, H, D], [block_q]
+        logits = jnp.einsum(
+            "qhd,khd->hqk", qi.astype(jnp.float32) * scale,
+            k.astype(jnp.float32),
+        )
+        mask = si[:, None] == seg[None, :]
+        logits = jnp.where(mask[None], logits, NEG_INF)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("hqk,khd->qhd", p.astype(v.dtype), v)
+
+    out = jax.lax.map(one_chunk, (qc, sc))
+    return out.reshape(Sp, H, D)[:S]
+
+
+def vit_full_attention(
+    q: jax.Array,  # [S, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,  # [S] int32, pads -1
+    scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatcher for ViT full-attention blocks over long packed sequences.
+
+    Forward runs the Pallas flash kernel on TPU; the custom VJP backward
+    differentiates the chunked XLA twin (recomputing per-chunk scores), so
+    both inference and training stay free of [S, S] score tensors."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" or interpret
+    if not use_pallas:
+        return attention_segment_chunked(q, k, v, seg, scale)
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return segment_flash_attention(q, k, v, seg, scale, interpret=interpret)
+
+    def f_fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def f_bwd(res, ct):
+        qr, kr, vr = res
+        _, vjp = jax.vjp(
+            lambda a, b, c: attention_segment_chunked(a, b, c, seg, scale),
+            qr, kr, vr,
+        )
+        return vjp(ct)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(q, k, v)

@@ -188,3 +188,102 @@ def test_delta_step_fused_stacked_parity():
                 np.testing.assert_array_equal(
                     np.asarray(new_stack[other]), np.asarray(stack[other])
                 )
+
+
+# ---------------------------------------------------------------------------
+# ViT segment-aware flash attention (ops/vit_flash.py)
+# ---------------------------------------------------------------------------
+
+
+def _vit_inputs(key, S=640, H=2, D=80, n_seg=3, with_pads=True):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (S, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (S, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (S, H, D), jnp.float32)
+    # contiguous-ish segments with scattered -1 pads (window-order layout)
+    bounds = np.sort(
+        np.asarray(jax.random.randint(ks[3], (n_seg - 1,), 1, S))
+    )
+    seg = np.zeros(S, np.int32)
+    for b in bounds:
+        seg[b:] += 1
+    if with_pads:
+        rng = np.random.RandomState(0)
+        seg[rng.choice(S, S // 10, replace=False)] = -1
+    return q, k, v, jnp.asarray(seg)
+
+
+def _vit_dense_ref(q, k, v, seg):
+    from infinitevl_tpu.ops.swa import attention_dense
+
+    mask = (seg[:, None] == seg[None, :])
+    return attention_dense(q[None], k[None], v[None], mask[None])[0]
+
+
+def test_vit_flash_parity_vs_dense():
+    from infinitevl_tpu.ops.vit_flash import segment_flash_attention
+
+    q, k, v, seg = _vit_inputs(jax.random.PRNGKey(3))
+    ref = _vit_dense_ref(q, k, v, seg)
+    out = segment_flash_attention(
+        q, k, v, seg, block_q=128, block_k=128, interpret=True
+    )
+    real = np.asarray(seg) >= 0  # pad rows are garbage-but-finite by design
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert err_ratio(np.asarray(out)[real], np.asarray(ref)[real]) < 1e-5
+
+
+def test_vit_chunked_parity_vs_dense():
+    from infinitevl_tpu.ops.vit_flash import attention_segment_chunked
+
+    q, k, v, seg = _vit_inputs(jax.random.PRNGKey(4), S=300)
+    ref = _vit_dense_ref(q, k, v, seg)
+    out = attention_segment_chunked(q, k, v, seg, block_q=64)
+    real = np.asarray(seg) >= 0
+    assert err_ratio(np.asarray(out)[real], np.asarray(ref)[real]) < 1e-5
+
+
+def test_vit_full_attention_grads_match_dense():
+    """custom_vjp backward (chunked twin) must agree with the dense VJP."""
+    from infinitevl_tpu.ops.vit_flash import vit_full_attention
+
+    q, k, v, seg = _vit_inputs(jax.random.PRNGKey(5), S=256, with_pads=False)
+
+    def loss_flash(q, k, v):
+        out = vit_full_attention(q, k, v, seg, use_pallas=True, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(_vit_dense_ref(q, k, v, seg)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        assert err_ratio(a, b) < 1e-4
+
+
+def test_vision_forward_flash_threshold_parity():
+    """vision_forward must give identical results whether the full blocks
+    route through the flash dispatcher or the dense path (threshold moved)."""
+    import infinitevl_tpu.models.vision as vision
+    from infinitevl_tpu.config import tiny_config
+    from infinitevl_tpu.models.params import init_params
+
+    cfg = tiny_config(vision_depth=2)
+    params = init_params(jax.random.PRNGKey(6), cfg)["visual"]
+    grid = ((1, 16, 16),)  # 256 patch tokens
+    plan = vision.get_vision_plan(grid, cfg.vision)
+    px = jax.random.normal(
+        jax.random.PRNGKey(7),
+        (plan.seq, cfg.vision.in_channels * cfg.vision.temporal_patch_size
+         * cfg.vision.patch_size**2),
+        jnp.float32,
+    )
+    ref = vision.vision_forward(params, cfg.vision, px, plan)
+    old = vision.FLASH_FULL_ATTN_MIN_SEQ
+    try:
+        vision.FLASH_FULL_ATTN_MIN_SEQ = 1  # force the flash/chunked route
+        out = vision.vision_forward(params, cfg.vision, px, plan)
+    finally:
+        vision.FLASH_FULL_ATTN_MIN_SEQ = old
+    assert err_ratio(out, ref) < 1e-5

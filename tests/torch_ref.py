@@ -1,11 +1,13 @@
 """Loader for the reference PyTorch implementation (read-only at
 /root/reference) with pure-torch stand-ins for its `fla` Triton dependency.
 
-The stubs implement only what model CONSTRUCTION and the non-DeltaNet paths
-need (RMSNorm / FusedRMSNormGated / ShortConvolution); the Triton kernels
-(chunk/fused_recurrent gated delta rule) raise if reached — parity tests
-route around DeltaNet layers, whose numerics are validated separately
-against float64 references in test_delta_rule.py."""
+The stubs implement what model CONSTRUCTION and the forward paths need:
+RMSNorm / FusedRMSNormGated / ShortConvolution, plus EAGER fp32 torch
+implementations of the gated-delta-rule kernels (the per-token recurrence
+of fla/ops/gated_delta_rule/fused_recurrent.py:85-101, used for both the
+chunk and fused_recurrent entry points — the two are numerics-equivalent
+at fp32), so the FULL hybrid model incl. DeltaNet layers runs end-to-end
+for parity tests."""
 
 from __future__ import annotations
 
@@ -78,11 +80,50 @@ def _install_fla_stubs():
                 y = F.silu(y)
             return y, None
 
+    def _l2norm(x, eps=1e-6):
+        # fla/modules/l2norm.py:21-43: x * rsqrt(sum(x^2) + eps), fp32
+        xf = x.float()
+        return xf * torch.rsqrt(xf.pow(2).sum(-1, keepdim=True) + eps)
+
+    def _eager_gated_delta_rule(
+        q, k, v, g, beta, scale=None, initial_state=None,
+        output_final_state=False, cu_seqlens=None,
+        use_qk_l2norm_in_kernel=False, **kw,
+    ):
+        """Eager per-token recurrence of the reference Triton kernel
+        (fused_recurrent.py:85-101): S = exp(g)*S; verr = beta*(v - k.S);
+        S += k (x) verr; o = (scale*q).S — all fp32, q/k l2-normalized."""
+        assert cu_seqlens is None, "varlen not needed in parity tests"
+        if scale is None:
+            scale = q.shape[-1] ** -0.5
+        if use_qk_l2norm_in_kernel:
+            qf, kf = _l2norm(q) * scale, _l2norm(k)
+        else:
+            qf, kf = q.float() * scale, k.float()
+        vf, gf, bf = v.float(), g.float(), beta.float()
+        B, T, H, K = qf.shape
+        V = vf.shape[-1]
+        S = (
+            initial_state.float().clone()
+            if initial_state is not None
+            else torch.zeros(B, H, K, V)
+        )
+        o = torch.zeros(B, T, H, V)
+        for t in range(T):
+            S = S * gf[:, t].exp()[..., None, None]
+            pred = torch.einsum("bhk,bhkv->bhv", kf[:, t], S)
+            verr = (vf[:, t] - pred) * bf[:, t][..., None]
+            S = S + torch.einsum("bhk,bhv->bhkv", kf[:, t], verr)
+            o[:, t] = torch.einsum("bhk,bhkv->bhv", qf[:, t], S)
+        return o.to(v.dtype), (S if output_final_state else None)
+
     modules.RMSNorm = RMSNorm
     modules.FusedRMSNormGated = FusedRMSNormGated
     modules.ShortConvolution = ShortConvolution
-    ops_gdr.chunk_gated_delta_rule = _na
-    ops_gdr.fused_recurrent_gated_delta_rule = _na
+    # chunk and fused_recurrent are numerics-equivalent; the eager
+    # recurrence serves both entry points at fp32
+    ops_gdr.chunk_gated_delta_rule = _eager_gated_delta_rule
+    ops_gdr.fused_recurrent_gated_delta_rule = _eager_gated_delta_rule
 
     fla.layers = layers
     fla.modules = modules
