@@ -46,20 +46,13 @@ def _build_generator(args):
 
 def _tokenizer(args, cfg=None):
     """HF tokenizer when checkpoint files exist; SimpleTokenizer otherwise."""
-    if args.model.model_name_or_path:
-        try:
-            from transformers import AutoTokenizer
-
-            return AutoTokenizer.from_pretrained(args.model.model_name_or_path)
-        except Exception:
-            pass
-    from .data.loader import SimpleTokenizer
+    from .data.loader import resolve_tokenizer
 
     if cfg is None:
         from .train.trainer import build_config
 
         cfg = build_config(args)
-    return SimpleTokenizer(config=cfg)
+    return resolve_tokenizer(args, cfg)
 
 
 def cmd_train(config_path: str):

@@ -14,6 +14,10 @@ from typing import Any, Dict, Optional, Tuple
 @dataclasses.dataclass
 class ModelArgs:
     model_name_or_path: Optional[str] = None  # HF checkpoint dir
+    # Explicit tokenizer dir; defaults to model_name_or_path. Whenever HF
+    # tokenizer files are present they are used for every workflow
+    # (train/eval/serve); SimpleTokenizer is only the offline-smoke fallback.
+    tokenizer_path: Optional[str] = None
     config_preset: str = "infinitevl_3b"  # or "tiny"
     dtype: str = "bfloat16"
     use_pallas_swa: bool = True
@@ -112,6 +116,9 @@ class FinetuneArgs:
     lora_alpha: int = 16
     lora_dropout: float = 0.0
     lora_target: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
+    # reference finetuning_args.py:100-107 peft kwargs
+    use_rslora: bool = False  # scale alpha/sqrt(r) instead of alpha/r
+    use_dora: bool = False  # weight-decomposed LoRA (magnitude + direction)
 
 
 @dataclasses.dataclass

@@ -28,12 +28,16 @@ Params = Dict[str, Any]
 
 def _dense(x: jax.Array, p: Params) -> jax.Array:
     y = x @ p["kernel"]
-    if "bias" in p:
-        y = y + p["bias"]
     if "lora_a" in p:
         # low-rank side path (train/lora.attach_lora): keeps gradients and
         # intermediates rank-r sized instead of weight-shaped
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]).astype(y.dtype)
+    if "dora_scale" in p:
+        # DoRA per-column magnitude rescale, applied pre-bias (peft
+        # semantics): y = x @ (m * W_eff / ||W_eff||_col)
+        y = y * p["dora_scale"].astype(y.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
     return y
 
 

@@ -139,10 +139,12 @@ def get_vision_plan(
 
 def _dense(x, p):
     y = x @ p["kernel"]
-    if "bias" in p:
-        y = y + p["bias"]
     if "lora_a" in p:  # low-rank side path (train/lora.attach_lora)
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]).astype(y.dtype)
+    if "dora_scale" in p:  # DoRA magnitude rescale, pre-bias
+        y = y * p["dora_scale"].astype(y.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
     return y
 
 

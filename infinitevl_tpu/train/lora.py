@@ -17,6 +17,30 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
+def lora_scale(alpha: float, rank: int, use_rslora: bool = False) -> float:
+    """Adapter scaling: alpha/r, or alpha/sqrt(r) with rank-stabilized LoRA
+    (the reference's use_rslora peft kwarg, adapter.py:220; rsLoRA paper's
+    gamma_r = alpha / sqrt(r) keeps update magnitude rank-independent)."""
+    if use_rslora:
+        return alpha / float(rank) ** 0.5
+    return alpha / rank
+
+
+def _dora_column_norms(kernel, a, b_scaled):
+    """Column L2 norms of (W + a @ b_scaled) WITHOUT materializing the
+    [d_in, d_out] product: ||W_j||^2 + 2 (W^T a  b)_jj + (b^T a^T a b)_jj,
+    fp32. Cost is two [*, r] matmuls per weight (r = lora rank)."""
+    w = kernel.astype(jnp.float32)
+    af = a.astype(jnp.float32)
+    bf = b_scaled.astype(jnp.float32)
+    t1 = jnp.sum(w * w, axis=0)  # [d_out]
+    c = w.T @ af  # [d_out, r]
+    t2 = jnp.einsum("jr,rj->j", c, bf)
+    gram = af.T @ af  # [r, r]
+    t3 = jnp.einsum("rj,rs,sj->j", bf, gram, bf)
+    return jnp.sqrt(jnp.maximum(t1 + 2.0 * t2 + t3, 1e-12))
+
+
 def init_lora(
     params: Params,
     key: jax.Array,
@@ -24,6 +48,7 @@ def init_lora(
     target: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj"),
     dtype=jnp.float32,
     method: str = "lora",
+    use_dora: bool = False,
 ) -> Params:
     """Adapter tree mirroring params' structure: for every dict node named in
     `target` that holds a 'kernel', create {'a','b'}.
@@ -35,7 +60,12 @@ def init_lora(
       (scripts/pissa_init.py / pissa_init in model args). With PiSSA the
       caller must subtract the principal component from the base (see
       pissa_decompose) or train with the adapter ADDED as-is on a base whose
-      principal part was removed."""
+      principal part was removed.
+
+    use_dora adds a learnable magnitude vector 'm' per adapter (DoRA,
+    reference adapter.py:221 use_dora peft kwarg): the effective weight is
+    m * (W + aB) / ||W + aB||_col. m initializes to ||W||_col, so with
+    b = 0 the forward is exactly the base model at init."""
     counter = [0]
 
     def walk(node, path):
@@ -66,6 +96,12 @@ def init_lora(
                             ).astype(dtype),
                             "b": jnp.zeros((rank, d_out), dtype=dtype),
                         }
+                    if use_dora:
+                        out[k]["m"] = jnp.sqrt(
+                            jnp.sum(
+                                v["kernel"].astype(jnp.float32) ** 2, axis=0
+                            )
+                        ).astype(dtype)
                 else:
                     sub = walk(v, path + (k,))
                     if sub is not None:
@@ -125,13 +161,15 @@ def pissa_decompose(
 
 
 def apply_lora(
-    params: Params, lora: Params, alpha: float = 16.0, rank: int = 8
+    params: Params, lora: Params, alpha: float = 16.0, rank: int = 8,
+    use_rslora: bool = False,
 ) -> Params:
     """Return params with LoRA deltas merged on the fly (functional: the
     result references base arrays except patched kernels). Used inside the
     jitted loss so gradients flow to the adapter leaves only when the loss
-    is differentiated w.r.t. `lora`."""
-    scale = alpha / rank
+    is differentiated w.r.t. `lora`. DoRA adapters ('m' present) fold the
+    magnitude/direction decomposition into the merged kernel."""
+    scale = lora_scale(alpha, rank, use_rslora)
 
     def walk(p, l):
         if isinstance(p, dict):
@@ -141,7 +179,15 @@ def apply_lora(
                         and "a" in l[k]:
                     new = dict(v)
                     delta = (l[k]["a"] @ l[k]["b"]) * scale
-                    new["kernel"] = v["kernel"] + delta.astype(v["kernel"].dtype)
+                    merged = v["kernel"] + delta.astype(v["kernel"].dtype)
+                    if "m" in l[k]:
+                        norms = _dora_column_norms(
+                            v["kernel"], l[k]["a"], l[k]["b"] * scale
+                        )
+                        merged = merged * (
+                            l[k]["m"].astype(jnp.float32) / norms
+                        ).astype(merged.dtype)[None, :]
+                    new["kernel"] = merged
                     out[k] = new
                 else:
                     out[k] = walk(v, l.get(k) if isinstance(l, dict) else None)
@@ -155,19 +201,26 @@ def apply_lora(
 
 
 def attach_lora(
-    params: Params, lora: Params, alpha: float = 16.0, rank: int = 8
+    params: Params, lora: Params, alpha: float = 16.0, rank: int = 8,
+    use_rslora: bool = False,
 ) -> Params:
     """Return params with the adapter factors ATTACHED as low-rank side
     paths: matched dicts gain lora_a [d_in, r] and lora_b [r, d_out]
-    (pre-scaled by alpha/rank); the matmul helpers add (x @ a) @ b to the
-    frozen kernel's output.
+    (pre-scaled by alpha/rank, or alpha/sqrt(rank) with rsLoRA); the matmul
+    helpers add (x @ a) @ b to the frozen kernel's output.
+
+    DoRA adapters additionally attach 'dora_scale' [d_out] = m / ||W +
+    aB||_col (computed here — per weight, once per step, differentiable to
+    a/b/m); the matmul helpers multiply the pre-bias output by it, which is
+    exactly y = x @ (m * (W + aB) / ||W + aB||_col) without ever forming
+    the decomposed weight.
 
     Unlike apply_lora's on-the-fly merge, no weight-shaped copies or
     weight-shaped cotangents ever exist — gradients through the attached
     tree are rank-r sized. That is the difference between the 3B 32K
     stage-3 LoRA recipe OOMing (21.5 GB with merged weights) and fitting
     on one 16 GB v5e."""
-    scale = alpha / rank
+    scale = lora_scale(alpha, rank, use_rslora)
 
     def walk(p, l):
         if isinstance(p, dict):
@@ -178,6 +231,11 @@ def attach_lora(
                     new = dict(v)
                     new["lora_a"] = l[k]["a"]
                     new["lora_b"] = l[k]["b"] * scale
+                    if "m" in l[k]:
+                        norms = _dora_column_norms(
+                            v["kernel"], l[k]["a"], new["lora_b"]
+                        )
+                        new["dora_scale"] = l[k]["m"].astype(jnp.float32) / norms
                     out[k] = new
                 else:
                     out[k] = walk(v, l.get(k) if isinstance(l, dict) else None)
@@ -190,14 +248,15 @@ def attach_lora(
     return walk(params, lora)
 
 
-def merge_lora(params: Params, lora: Params, alpha: float = 16.0, rank: int = 8) -> Params:
+def merge_lora(params: Params, lora: Params, alpha: float = 16.0,
+               rank: int = 8, use_rslora: bool = False) -> Params:
     """Fold adapters into base weights (export path)."""
-    return apply_lora(params, lora, alpha, rank)
+    return apply_lora(params, lora, alpha, rank, use_rslora)
 
 
 def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                        rank: int = 8, remat: bool = False,
-                       remat_group: int = 1):
+                       remat_group: int = 1, use_rslora: bool = False):
     """Only the adapter tree is optimized; base weights stay frozen.
     remat=True enables per-layer gradient checkpointing (the stage-3
     32K-context recipe).
@@ -223,7 +282,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
         base = base_params if base_params is not None else _base
 
         def loss_fn(l):
-            merged = attach_lora(base, l, alpha, rank)
+            merged = attach_lora(base, l, alpha, rank, use_rslora)
             if full_cfg is not None:
                 if "text" not in merged:
                     merged = {"text": merged}

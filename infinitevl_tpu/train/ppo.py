@@ -341,7 +341,7 @@ def run_ppo(args, tokenizer=None, reward_fn=None):
     injected reward_fn."""
     import os
 
-    from ..data.loader import SimpleTokenizer, load_dataset_info, load_examples
+    from ..data.loader import SimpleTokenizer, load_dataset_info, load_examples, resolve_tokenizer
     from ..models.params import init_text_params, load_hf_checkpoint
     from ..utils.checkpoint import restore_train_state
     from ..utils.logging import TrainerLog
@@ -350,7 +350,7 @@ def run_ppo(args, tokenizer=None, reward_fn=None):
     cfg = build_config(args)
     tcfg = cfg.text
     dtype = jnp.float32  # PPO ratios want fp32 accuracy
-    tokenizer = tokenizer or SimpleTokenizer()
+    tokenizer = resolve_tokenizer(args, None, tokenizer)
     info = load_dataset_info(os.path.join(args.data.dataset_dir, "dataset_info.json"))
     examples = load_examples(info[args.data.dataset], args.data.dataset_dir)
     if args.data.max_samples:

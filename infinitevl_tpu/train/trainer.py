@@ -19,6 +19,7 @@ import numpy as np
 from ..config import InfiniteVLConfig, infinitevl_3b, tiny_config
 from ..data.loader import (
     SimpleTokenizer,
+    resolve_tokenizer,
     encode_kto,
     encode_pairwise,
     encode_supervised,
@@ -101,7 +102,7 @@ def build_dataset(
     has_media = any(ex.get("images") or ex.get("videos") for ex in examples)
     if has_media:
         cfg = cfg or build_config(args)
-        tokenizer = tokenizer or SimpleTokenizer(config=cfg)
+        tokenizer = resolve_tokenizer(args, cfg, tokenizer)
         if args.data.packing:
             logger.warning("packing is not supported for multimodal datasets; disabled")
         return encode_supervised_mm(
@@ -117,7 +118,7 @@ def build_dataset(
             video_min_pixels=args.data.video_min_pixels,
             video_max_pixels=args.data.video_max_pixels,
         )
-    tokenizer = tokenizer or SimpleTokenizer()
+    tokenizer = resolve_tokenizer(args, None, tokenizer)
     enc = encode_supervised(
         examples, tokenizer, args.data.template, args.data.cutoff_len
     )
@@ -262,7 +263,7 @@ def build_preference_dataset(
     examples = load_examples(attr, args.data.dataset_dir)
     if args.data.max_samples:
         examples = examples[: args.data.max_samples]
-    tokenizer = tokenizer or SimpleTokenizer()
+    tokenizer = resolve_tokenizer(args, None, tokenizer)
     if kind == "pairwise":
         return encode_pairwise(
             examples, tokenizer, args.data.template, args.data.cutoff_len
@@ -621,7 +622,7 @@ def run_sft(args: AllArgs, tokenizer=None):
     # its vocab while encoding, so do_predict must decode with the SAME
     # instance that encoded the dataset (a fresh one maps everything to
     # <unk> and the similarity scores become fiction)
-    tokenizer = tokenizer or SimpleTokenizer(config=cfg)
+    tokenizer = resolve_tokenizer(args, cfg, tokenizer)
     data = build_dataset(args, tokenizer, cfg=cfg)
     mm = is_multimodal(data)
     mesh = _maybe_mesh(args)
@@ -640,6 +641,7 @@ def run_sft(args: AllArgs, tokenizer=None):
             jax.random.PRNGKey(args.train.seed + 1),
             rank=args.finetune.lora_rank,
             target=args.finetune.lora_target,
+            use_dora=args.finetune.use_dora,
         )
         # adapters are small: replicate them over the mesh
         lora = _shard_tree(lora, mesh, "replicated")
@@ -652,6 +654,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                 rank=args.finetune.lora_rank,
                 remat=args.train.remat,
                 remat_group=args.train.remat_group,
+                use_rslora=args.finetune.use_rslora,
             ),
             static_argnums=(4, 5),
             donate_argnums=(0, 1),
@@ -667,7 +670,8 @@ def run_sft(args: AllArgs, tokenizer=None):
             _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
         )
         merged = merge_lora(
-            params, lora, alpha=args.finetune.lora_alpha, rank=args.finetune.lora_rank
+            params, lora, alpha=args.finetune.lora_alpha,
+            rank=args.finetune.lora_rank, use_rslora=args.finetune.use_rslora
         )
         if args.train.do_predict and not mm:
             predict_and_score(merged, cfg, data, tokenizer, args)

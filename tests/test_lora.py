@@ -70,3 +70,119 @@ def test_lora_training_reduces_loss_and_freezes_base():
         - np.asarray(params["text"]["layers"][0]["q_proj"]["kernel"])
     ).max()
     assert d > 0
+
+
+def test_rslora_scaling():
+    """use_rslora scales the delta by alpha/sqrt(r) (reference
+    finetuning_args.py:100, peft use_rslora kwarg)."""
+    from infinitevl_tpu.train.lora import attach_lora, lora_scale
+
+    assert lora_scale(16, 4, use_rslora=False) == 4.0
+    assert abs(lora_scale(16, 4, use_rslora=True) - 8.0) < 1e-9
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    lora = init_lora(params, jax.random.PRNGKey(1), rank=4)
+    # make b nonzero so scaling is observable
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    at_std = attach_lora(params, lora, alpha=16, rank=4)
+    at_rs = attach_lora(params, lora, alpha=16, rank=4, use_rslora=True)
+    b_std = at_std["text"]["layers"][0]["q_proj"]["lora_b"]
+    b_rs = at_rs["text"]["layers"][0]["q_proj"]["lora_b"]
+    np.testing.assert_allclose(
+        np.asarray(b_rs), np.asarray(b_std) * 2.0, rtol=1e-6
+    )
+
+
+def test_rslora_gradients_flow():
+    from infinitevl_tpu.train.lora import attach_lora
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    lora = init_lora(params, jax.random.PRNGKey(1), rank=4)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(8)[None, None], (3, 1, 8))
+
+    def loss(l):
+        m = attach_lora(params, l, alpha=16, rank=4, use_rslora=True)
+        h, _, _ = text_forward(m["text"], cfg, embed_tokens(m["text"], ids), pos)
+        return jnp.sum(h**2)
+
+    g = jax.grad(loss)(lora)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(x)) for x in leaves)
+    # a-grads must be nonzero even at b=0 init? No: dL/da = 0 when b=0 for
+    # the side path; perturb b and check both factors receive gradient.
+    lora2 = jax.tree.map(lambda x: x + 0.01, lora)
+    g2 = jax.grad(loss)(lora2)
+    a_g = g2["text"]["layers"][0]["q_proj"]["a"]
+    b_g = g2["text"]["layers"][0]["q_proj"]["b"]
+    assert float(jnp.abs(a_g).max()) > 0 and float(jnp.abs(b_g).max()) > 0
+
+
+def test_dora_identity_at_init_and_merge_parity():
+    """DoRA: m initializes to ||W||_col so the forward equals the base at
+    init; after perturbing the adapter, attach_lora (side-path + column
+    rescale) must equal apply_lora (fully-merged decomposed weight)."""
+    from infinitevl_tpu.train.lora import apply_lora, attach_lora
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    lora = init_lora(params, jax.random.PRNGKey(1), rank=4, use_dora=True)
+    assert "m" in lora["text"]["layers"][0]["q_proj"]
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(8)[None, None], (3, 1, 8))
+    h_base, _, _ = text_forward(
+        params["text"], cfg, embed_tokens(params["text"], ids), pos
+    )
+    att = attach_lora(params, lora, alpha=8, rank=4)
+    h_init, _, _ = text_forward(
+        att["text"], cfg, embed_tokens(att["text"], ids), pos
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_init), np.asarray(h_base), atol=1e-5
+    )
+    # perturb all factors; attach vs merge parity
+    lora_p = jax.tree.map(lambda x: x + 0.02, lora)
+    att_p = attach_lora(params, lora_p, alpha=8, rank=4)
+    mrg_p = apply_lora(params, lora_p, alpha=8, rank=4)
+    h_att, _, _ = text_forward(
+        att_p["text"], cfg, embed_tokens(att_p["text"], ids), pos
+    )
+    h_mrg, _, _ = text_forward(
+        mrg_p["text"], cfg, embed_tokens(mrg_p["text"], ids), pos
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_att), np.asarray(h_mrg), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_dora_gradients_reach_magnitude():
+    from infinitevl_tpu.train.lora import attach_lora
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    lora = init_lora(params, jax.random.PRNGKey(1), rank=4, use_dora=True)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(8)[None, None], (3, 1, 8))
+
+    def loss(l):
+        m = attach_lora(params, l, alpha=8, rank=4)
+        h, _, _ = text_forward(m["text"], cfg, embed_tokens(m["text"], ids), pos)
+        return jnp.sum(jnp.sin(h))
+
+    g = jax.grad(loss)(lora)
+    m_g = g["text"]["layers"][0]["q_proj"]["m"]
+    assert np.all(np.isfinite(np.asarray(jax.tree.leaves(g)[0])))
+    assert float(jnp.abs(m_g).max()) > 0  # magnitude is trainable
+    # finite-difference check on one magnitude coordinate
+    eps = 1e-3
+    lp = jax.tree.map(lambda x: x, lora)
+    lp["text"]["layers"][0]["q_proj"]["m"] = (
+        lora["text"]["layers"][0]["q_proj"]["m"].at[3].add(eps)
+    )
+    lm = jax.tree.map(lambda x: x, lora)
+    lm["text"]["layers"][0]["q_proj"]["m"] = (
+        lora["text"]["layers"][0]["q_proj"]["m"].at[3].add(-eps)
+    )
+    fd = (loss(lp) - loss(lm)) / (2 * eps)
+    assert abs(float(m_g[3]) - float(fd)) < 5e-2 * (abs(float(fd)) + 1)
