@@ -115,14 +115,72 @@ def convert_sharegpt(ex: Dict[str, Any], columns: Optional[Dict[str, str]] = Non
 def load_examples(
     attr: DatasetAttr, data_dir: str = "data"
 ) -> List[Dict[str, Any]]:
-    path = os.path.join(data_dir, attr.file_name)
-    with open(path) as f:
-        if path.endswith(".jsonl"):
-            raw = [json.loads(line) for line in f if line.strip()]
-        else:
-            raw = json.load(f)
+    """Load one registry entry. `file_name` may be a glob pattern
+    (hub-style local shards, e.g. "corpus/part-*.jsonl"); shards load in
+    sorted order."""
+    import glob as _glob
+
+    pattern = os.path.join(data_dir, attr.file_name)
+    paths = sorted(_glob.glob(pattern)) if _glob.has_magic(pattern) else [pattern]
+    if not paths:
+        raise FileNotFoundError(f"no files match {pattern}")
+    raw: List[Dict[str, Any]] = []
+    for path in paths:
+        with open(path) as f:
+            if path.endswith(".jsonl"):
+                raw.extend(json.loads(line) for line in f if line.strip())
+            else:
+                raw.extend(json.load(f))
     conv = convert_alpaca if attr.formatting == "alpaca" else convert_sharegpt
     return [conv(ex, attr.columns) for ex in raw]
+
+
+def load_mixed_examples(
+    names: List[str],
+    registry: Dict[str, DatasetAttr],
+    data_dir: str = "data",
+    mix_strategy: str = "concat",
+    interleave_probs: Optional[List[float]] = None,
+    seed: int = 42,
+) -> List[Dict[str, Any]]:
+    """Multi-dataset loading with the reference's mixing strategies
+    (data/data_utils.py:49-74 merge_dataset):
+
+    - concat: datasets back to back
+    - interleave_under: sample by `interleave_probs` until ANY dataset is
+      exhausted (datasets.interleave_datasets first_exhausted)
+    - interleave_over: sample until ALL datasets are exhausted at least
+      once; early-exhausted sets wrap around (all_exhausted)
+    """
+    import numpy as _np
+
+    sets = [load_examples(registry[n], data_dir) for n in names]
+    if len(sets) == 1 or mix_strategy == "concat":
+        return [ex for s in sets for ex in s]
+    if not mix_strategy.startswith("interleave"):
+        raise ValueError(f"unknown mixing strategy {mix_strategy!r}")
+    probs = interleave_probs or [1.0 / len(sets)] * len(sets)
+    if len(probs) != len(sets):
+        raise ValueError(
+            f"interleave_probs has {len(probs)} entries for {len(sets)} datasets"
+        )
+    total = float(sum(probs))
+    probs = [p / total for p in probs]
+    rng = _np.random.RandomState(seed)
+    cursors = [0] * len(sets)
+    exhausted = [False] * len(sets)
+    out: List[Dict[str, Any]] = []
+    under = mix_strategy.endswith("under")
+    while True:
+        i = int(rng.choice(len(sets), p=probs))
+        if cursors[i] >= len(sets[i]):
+            exhausted[i] = True
+            if under or all(exhausted):
+                break
+            cursors[i] = 0  # over-sampling wraps around (all_exhausted)
+        out.append(sets[i][cursors[i]])
+        cursors[i] += 1
+    return out
 
 
 def encode_supervised(

@@ -4,8 +4,9 @@ Minimal, tokenizer-agnostic re-design of the reference's template registry
 (src/llamafactory/data/template.py:40-1575): a template renders a message
 list into prompt/response strings with the family's control tokens, and
 `encode_turns` produces (input_ids, labels) with non-assistant tokens masked
-to IGNORE_INDEX. Only the families InfiniteVL ships with are registered
-(qwen2_vl and plain chatml); the registry is open for more.
+to IGNORE_INDEX. Registered families: qwen2_vl/qwen/chatml, llama3/llama2,
+gemma, phi/phi4, mistral(+small), deepseek(+3), glm4, yi, zephyr, vicuna,
+alpaca, baichuan2, default/fewshot/empty; the registry is open for more.
 
 Tool calling follows the Qwen 2.5 convention the reference implements in
 data/tool_utils.py (QwenToolUtils): tool signatures go into the system turn
@@ -96,6 +97,22 @@ class Template:
     # emitted once before the first turn (reference format_prefix, e.g.
     # llama3's <|begin_of_text|>)
     prefix: str = ""
+    # per-role suffix overrides; None falls back to turn_suffix. Needed for
+    # the reference's slot-based templates where e.g. gemma's system turn
+    # ends in "\n\n" but its chat turns end in "<end_of_turn>\n".
+    system_suffix: Optional[str] = None
+    user_suffix: Optional[str] = None
+    # Llama2Template semantics (reference template.py:365-395): the system
+    # text renders INSIDE the first user turn (prepended to its content)
+    # instead of as its own turn.
+    system_inline: bool = False
+
+    def _suffix(self, role: str) -> str:
+        if role == "system" and self.system_suffix is not None:
+            return self.system_suffix
+        if role == "user" and self.user_suffix is not None:
+            return self.user_suffix
+        return self.turn_suffix
 
     def _prepare(
         self,
@@ -135,6 +152,13 @@ class Template:
                 "role": "system",
                 "content": msgs[0]["content"] + format_tools(tools),
             }
+        if self.system_inline and msgs and msgs[0]["role"] == "system":
+            sys_text = self.system_prefix.format(content=msgs[0]["content"])
+            msgs = msgs[1:]
+            for m in msgs:
+                if m["role"] == "user":
+                    m["content"] = sys_text + m["content"]
+                    break
         return msgs
 
     def render_prompt(
@@ -155,7 +179,7 @@ class Template:
                 out.append(self.assistant_prefix + content)
             else:
                 raise ValueError(f"unknown role {role!r}")
-            out.append(self.turn_suffix)
+            out.append(self._suffix(role))
         if add_generation_prompt:
             out.append(self.assistant_prefix)
         return "".join(out)
@@ -185,7 +209,7 @@ class Template:
                 labels += [IGNORE_INDEX] * len(prefix) + body
             else:
                 fmt = self.system_prefix if role == "system" else self.user_prefix
-                seg = fmt.format(content=content) + self.turn_suffix
+                seg = fmt.format(content=content) + self._suffix(role)
                 t = tokenizer.encode(seg, add_special_tokens=False)
                 ids += t
                 labels += [IGNORE_INDEX] * len(t)
@@ -298,5 +322,239 @@ register_template(
         turn_suffix="<|eot_id|>",
         stop_words=("<|eot_id|>",),
         prefix="<|begin_of_text|>",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# High-traffic template registrations mirroring the reference's registry
+# (src/llamafactory/data/template.py, cited per entry). Token-literal slots
+# are the models' published chat formats (unavoidable-similarity category).
+# BOS/EOS literals are written as the models' published token strings; the
+# tokenizer maps them to the special ids.
+# ---------------------------------------------------------------------------
+
+# reference template.py:819 (gemma/gemma2; :834 gemma3 is a copy)
+for _name in ("gemma", "gemma3"):
+    register_template(
+        Template(
+            name=_name,
+            system_prefix="{content}",
+            system_suffix="\n\n",
+            user_prefix="<start_of_turn>user\n{content}",
+            user_suffix="<end_of_turn>\n",
+            assistant_prefix="<start_of_turn>model\n",
+            turn_suffix="<end_of_turn>\n",
+            prefix="<bos>",
+            stop_words=("<end_of_turn>",),
+        )
+    )
+
+# reference template.py:1299 (phi-3)
+register_template(
+    Template(
+        name="phi",
+        system_prefix="<|system|>\n{content}",
+        user_prefix="<|user|>\n{content}",
+        assistant_prefix="<|assistant|>\n",
+        turn_suffix="<|end|>\n",
+        stop_words=("<|end|>",),
+    )
+)
+
+# reference template.py:1318 (phi-4)
+register_template(
+    Template(
+        name="phi4",
+        system_prefix="<|im_start|>system<|im_sep|>{content}",
+        user_prefix="<|im_start|>user<|im_sep|>{content}",
+        assistant_prefix="<|im_start|>assistant<|im_sep|>",
+        turn_suffix="<|im_end|>",
+        stop_words=("<|im_end|>",),
+    )
+)
+
+# reference template.py:1202 (mistral v3+, Llama2Template: system inlines
+# into the first user turn)
+register_template(
+    Template(
+        name="mistral",
+        system_prefix="{content}\n\n",
+        system_inline=True,
+        user_prefix="[INST] {content}[/INST]",
+        user_suffix="",
+        assistant_prefix=" ",
+        turn_suffix="</s>",
+        prefix="<s>",
+    )
+)
+
+# reference template.py:1216 (mistral_small / ministral tekken v7)
+register_template(
+    Template(
+        name="mistral_small",
+        system_prefix="[SYSTEM_PROMPT]{content}[/SYSTEM_PROMPT]",
+        system_suffix="",
+        user_prefix="[INST]{content}[/INST]",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="</s>",
+        prefix="<s>",
+    )
+)
+
+# reference template.py:927/:936 (llama2 family, system inside first [INST])
+for _name, _sys in (
+    ("llama2", ""),
+    ("llama2_zh", "You are a helpful assistant. 你是一个乐于助人的助手。"),
+):
+    register_template(
+        Template(
+            name=_name,
+            system_prefix="<<SYS>>\n{content}\n<</SYS>>\n\n",
+            system_inline=True,
+            user_prefix="<s>[INST] {content} [/INST]",
+            user_suffix="",
+            assistant_prefix=" ",
+            turn_suffix="</s>",
+            default_system=_sys,
+        )
+    )
+
+# reference template.py:750 / :758
+register_template(
+    Template(
+        name="deepseek",
+        system_prefix="{content}",
+        system_suffix="\n\n",
+        user_prefix="User: {content}",
+        user_suffix="\n\n",
+        assistant_prefix="Assistant:",
+        turn_suffix="<｜end▁of▁sentence｜>",
+        prefix="<｜begin▁of▁sentence｜>",
+    )
+)
+register_template(
+    Template(
+        name="deepseek3",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="<｜User｜>{content}",
+        user_suffix="",
+        assistant_prefix="<｜Assistant｜>",
+        turn_suffix="<｜end▁of▁sentence｜>",
+        prefix="<｜begin▁of▁sentence｜>",
+    )
+)
+
+# reference template.py:849 (glm4; efficient_eos — no eos between turns)
+register_template(
+    Template(
+        name="glm4",
+        system_prefix="<|system|>\n{content}",
+        system_suffix="",
+        user_prefix="<|user|>\n{content}",
+        user_suffix="",
+        assistant_prefix="<|assistant|>\n",
+        turn_suffix="",
+        prefix="[gMASK]<sop>",
+        stop_words=("<|user|>", "<|observation|>"),
+    )
+)
+
+# reference template.py:1530 (yi: chatml control tokens, no default system)
+register_template(
+    Template(
+        name="yi",
+        system_prefix="<|im_start|>system\n{content}<|im_end|>",
+        user_prefix="<|im_start|>user\n{content}<|im_end|>",
+        assistant_prefix="\n<|im_start|>assistant\n",
+        turn_suffix="\n",
+        stop_words=("<|im_end|>",),
+    )
+)
+
+# reference template.py:1564 (zephyr)
+register_template(
+    Template(
+        name="zephyr",
+        system_prefix="<|system|>\n{content}</s>",
+        system_suffix="",
+        user_prefix="<|user|>\n{content}</s>",
+        user_suffix="",
+        assistant_prefix="<|assistant|>\n",
+        turn_suffix="</s>",
+        default_system="You are Zephyr, a helpful assistant.",
+    )
+)
+
+# reference template.py:1470 (vicuna)
+register_template(
+    Template(
+        name="vicuna",
+        system_prefix="{content} ",
+        system_suffix="",
+        user_prefix="USER: {content} ",
+        user_suffix="",
+        assistant_prefix="ASSISTANT:",
+        turn_suffix="</s>",
+        default_system=(
+            "A chat between a curious user and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the user's questions."
+        ),
+    )
+)
+
+# reference template.py:539 (alpaca)
+register_template(
+    Template(
+        name="alpaca",
+        system_prefix="{content}",
+        system_suffix="\n\n",
+        user_prefix="### Instruction:\n{content}\n\n",
+        user_suffix="",
+        assistant_prefix="### Response:\n",
+        turn_suffix="\n\n",
+        default_system=(
+            "Below is an instruction that describes a task. Write a response "
+            "that appropriately completes the request.\n\n"
+        ),
+    )
+)
+
+# reference template.py:779 (default)
+register_template(
+    Template(
+        name="default",
+        system_prefix="System: {content}",
+        user_prefix="Human: {content}",
+        assistant_prefix="Assistant: ",
+        turn_suffix="\n",
+    )
+)
+
+# reference template.py:579 (baichuan2; reserved control tokens)
+register_template(
+    Template(
+        name="baichuan2",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="<reserved_106>{content}",
+        user_suffix="",
+        assistant_prefix="<reserved_107>",
+        turn_suffix="",
+    )
+)
+
+# reference template.py:811 (fewshot: bare completion format used by eval)
+register_template(
+    Template(
+        name="fewshot",
+        system_prefix="{content}",
+        system_suffix="\n\n",
+        user_prefix="{content}",
+        user_suffix="\n\n",
+        assistant_prefix="",
+        turn_suffix="\n\n",
     )
 )

@@ -232,6 +232,7 @@ class Generator:
         dtype=jnp.bfloat16,
         chunk_size: int = 8,
         fuse: bool = False,
+        quant: Optional[str] = None,
     ):
         if fuse:
             # opt-in: one matmul per projection group — measured SLOWER on
@@ -239,6 +240,14 @@ class Generator:
             from .models.fuse import fuse_projections
 
             params = fuse_projections(params)
+        if quant == "int8":
+            # weight-only int8 serving (models/quant.py): halves the decode
+            # weight-read floor; logits parity tested in tests/test_quant.py
+            from .models.quant import quantize_params
+
+            params = quantize_params(params)
+        elif quant is not None:
+            raise ValueError(f"unknown quant mode {quant!r} (use 'int8')")
         self.params = params
         self.cfg = cfg
         self.dtype = dtype

@@ -30,8 +30,11 @@ class ModelArgs:
 
 @dataclasses.dataclass
 class DataArgs:
-    dataset: Optional[str] = None  # registry name
+    dataset: Optional[str] = None  # registry name, or comma-separated list
     dataset_dir: str = "data"
+    # multi-dataset mixing (reference data_args.py:66-73 / merge_dataset)
+    mix_strategy: str = "concat"  # concat | interleave_under | interleave_over
+    interleave_probs: Optional[Tuple[float, ...]] = None
     template: str = "qwen2_vl"
     cutoff_len: int = 2048
     max_samples: Optional[int] = None

@@ -27,7 +27,14 @@ Params = Dict[str, Any]
 
 
 def _dense(x: jax.Array, p: Params) -> jax.Array:
-    y = x @ p["kernel"]
+    if "kernel_q" in p:
+        # weight-only int8 (models/quant.py): XLA fuses the int8->x.dtype
+        # convert into the dot's operand read; the column scale commutes
+        # with the contraction, so this is exact dequant-then-matmul at
+        # half the HBM bytes
+        y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["kernel"]
     if "lora_a" in p:
         # low-rank side path (train/lora.attach_lora): keeps gradients and
         # intermediates rank-r sized instead of weight-shaped

@@ -138,7 +138,10 @@ def get_vision_plan(
 
 
 def _dense(x, p):
-    y = x @ p["kernel"]
+    if "kernel_q" in p:  # weight-only int8 (models/quant.py)
+        y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["kernel"]
     if "lora_a" in p:  # low-rank side path (train/lora.attach_lora)
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]).astype(y.dtype)
     if "dora_scale" in p:  # DoRA magnitude rescale, pre-bias

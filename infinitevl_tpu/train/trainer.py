@@ -25,6 +25,7 @@ from ..data.loader import (
     encode_supervised,
     encode_supervised_mm,
     load_dataset_info,
+    load_mixed_examples,
     load_examples,
     pack_examples,
     shift_labels,
@@ -95,8 +96,16 @@ def build_dataset(
 ) -> List[Dict[str, np.ndarray]]:
     info_path = os.path.join(args.data.dataset_dir, "dataset_info.json")
     registry = load_dataset_info(info_path)
-    attr = registry[args.data.dataset]
-    examples = load_examples(attr, args.data.dataset_dir)
+    names = [n.strip() for n in args.data.dataset.split(",") if n.strip()]
+    examples = load_mixed_examples(
+        names, registry, args.data.dataset_dir,
+        mix_strategy=args.data.mix_strategy,
+        interleave_probs=(
+            list(args.data.interleave_probs)
+            if args.data.interleave_probs else None
+        ),
+        seed=args.train.seed,
+    )
     if args.data.max_samples:
         examples = examples[: args.data.max_samples]
     has_media = any(ex.get("images") or ex.get("videos") for ex in examples)
@@ -259,8 +268,16 @@ def build_preference_dataset(
     """Pairwise (rm/dpo) or unpaired-feedback (kto) dataset encoding."""
     info_path = os.path.join(args.data.dataset_dir, "dataset_info.json")
     registry = load_dataset_info(info_path)
-    attr = registry[args.data.dataset]
-    examples = load_examples(attr, args.data.dataset_dir)
+    names = [n.strip() for n in args.data.dataset.split(",") if n.strip()]
+    examples = load_mixed_examples(
+        names, registry, args.data.dataset_dir,
+        mix_strategy=args.data.mix_strategy,
+        interleave_probs=(
+            list(args.data.interleave_probs)
+            if args.data.interleave_probs else None
+        ),
+        seed=args.train.seed,
+    )
     if args.data.max_samples:
         examples = examples[: args.data.max_samples]
     tokenizer = resolve_tokenizer(args, None, tokenizer)

@@ -160,3 +160,118 @@ def test_qwen_text_template_matches_qwen2_vl():
     assert get_template("qwen").render_prompt(msgs) == get_template(
         "qwen2_vl"
     ).render_prompt(msgs)
+
+
+def test_new_template_renderings():
+    """Spot-check the round-3 template registrations against the exact turn
+    formats of the reference registry (template.py, cited per template)."""
+    from infinitevl_tpu.data.template import get_template
+
+    msgs = [
+        {"role": "system", "content": "SYS"},
+        {"role": "user", "content": "U1"},
+        {"role": "assistant", "content": "A1"},
+        {"role": "user", "content": "U2"},
+    ]
+    gem = get_template("gemma").render_prompt(msgs)
+    assert gem == (
+        "<bos>SYS\n\n<start_of_turn>user\nU1<end_of_turn>\n"
+        "<start_of_turn>model\nA1<end_of_turn>\n"
+        "<start_of_turn>user\nU2<end_of_turn>\n<start_of_turn>model\n"
+    )
+    phi4 = get_template("phi4").render_prompt(msgs[:3], add_generation_prompt=False)
+    assert phi4 == (
+        "<|im_start|>system<|im_sep|>SYS<|im_end|>"
+        "<|im_start|>user<|im_sep|>U1<|im_end|>"
+        "<|im_start|>assistant<|im_sep|>A1<|im_end|>"
+    )
+    # mistral: system inlines into the FIRST user turn (Llama2Template)
+    mis = get_template("mistral").render_prompt(msgs)
+    assert mis == "<s>[INST] SYS\n\nU1[/INST] A1</s>[INST] U2[/INST] "
+    ds3 = get_template("deepseek3").render_prompt(msgs[1:3], add_generation_prompt=False)
+    assert ds3 == "<｜begin▁of▁sentence｜><｜User｜>U1<｜Assistant｜>A1<｜end▁of▁sentence｜>"
+    glm = get_template("glm4").render_prompt(msgs[:2])
+    assert glm == "[gMASK]<sop><|system|>\nSYS<|user|>\nU1<|assistant|>\n"
+    vic = get_template("vicuna").render_prompt([msgs[1]])
+    assert vic.startswith("A chat between a curious user")
+    assert vic.endswith("USER: U1 ASSISTANT:")
+
+
+def test_new_templates_supervision_mask():
+    """encode_turns on the new formats: assistant bodies supervised, the
+    rest masked — for every newly-registered family."""
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.data.template import get_template
+
+    msgs = [
+        {"role": "user", "content": "hello there"},
+        {"role": "assistant", "content": "general kenobi"},
+    ]
+    for name in ("gemma", "phi", "phi4", "mistral", "mistral_small",
+                 "llama2", "deepseek", "deepseek3", "glm4", "yi", "zephyr",
+                 "vicuna", "alpaca", "default", "baichuan2", "fewshot"):
+        tok = SimpleTokenizer()
+        ids, labels = get_template(name).encode_turns(tok, msgs)
+        assert len(ids) == len(labels) > 0, name
+        assert labels[0] == -100, name
+        sup = [i for i, l in zip(ids, labels) if l != -100]
+        assert sup, name
+        assert "general" in tok.decode(sup), name
+
+
+def test_load_examples_glob(tmp_path):
+    """file_name may be a glob over local shards (hub-style)."""
+    import json as _json
+
+    from infinitevl_tpu.data.loader import DatasetAttr, load_examples
+
+    for i in range(3):
+        rows = [{"instruction": f"q{i}-{j}", "output": f"a{i}-{j}"}
+                for j in range(2)]
+        (tmp_path / f"part-{i}.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+    attr = DatasetAttr(name="sharded", file_name="part-*.jsonl")
+    ex = load_examples(attr, str(tmp_path))
+    assert len(ex) == 6
+    assert ex[0]["messages"][0]["content"] == "q0-0"  # sorted shard order
+
+
+def test_mix_strategies(tmp_path):
+    import json as _json
+
+    from infinitevl_tpu.data.loader import (
+        DatasetAttr,
+        load_mixed_examples,
+    )
+
+    (tmp_path / "a.json").write_text(_json.dumps(
+        [{"instruction": f"a{i}", "output": "x"} for i in range(4)]
+    ))
+    (tmp_path / "b.json").write_text(_json.dumps(
+        [{"instruction": f"b{i}", "output": "y"} for i in range(12)]
+    ))
+    reg = {
+        "a": DatasetAttr(name="a", file_name="a.json"),
+        "b": DatasetAttr(name="b", file_name="b.json"),
+    }
+    cat = load_mixed_examples(["a", "b"], reg, str(tmp_path))
+    assert len(cat) == 16
+    assert cat[0]["messages"][0]["content"] == "a0"
+    under = load_mixed_examples(
+        ["a", "b"], reg, str(tmp_path), mix_strategy="interleave_under",
+        interleave_probs=[0.5, 0.5], seed=0,
+    )
+    # stops when either set is exhausted -> can never exceed 2*min+... and
+    # must contain rows from both
+    srcs = {m["messages"][0]["content"][0] for m in under}
+    assert srcs == {"a", "b"}
+    assert len(under) < 16
+    over = load_mixed_examples(
+        ["a", "b"], reg, str(tmp_path), mix_strategy="interleave_over",
+        interleave_probs=[0.75, 0.25], seed=0,
+    )
+    # all_exhausted: every row of both sets appears at least once
+    texts = [m["messages"][0]["content"] for m in over]
+    assert all(f"a{i}" in texts for i in range(4))
+    assert all(f"b{i}" in texts for i in range(12))
