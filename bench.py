@@ -327,6 +327,104 @@ def main():
         f"tok/s (compile {t1-t0:.0f}s, one 2048-token program)"
     )
 
+    # --- int8 weight-only decode (models/quant.py): the B=1 floor is the
+    # weight read; int8 halves the bytes the step streams. Quality bound is
+    # the per-channel quantization error (parity-tested in test_quant.py).
+    from infinitevl_tpu.models.quant import quantize_params
+
+    t0 = time.time()
+    qparams = jax.block_until_ready(quantize_params(params))
+    qstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+    qstate["cum_len"] = jnp.asarray(500_000, jnp.int32)
+
+    def dstep_q(carry):
+        t, s = carry
+        logits, s = decode_step(qparams, cfg, t, delta, s)
+        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+    ms_dec_q = device_time_ms(dstep_q, (tok, qstate), n1=5, n2=45)
+    tok_s_int8 = 1000 / ms_dec_q
+    log(
+        f"decode int8 @500K ctx: {ms_dec_q:.2f} ms/tok = {tok_s_int8:.1f} "
+        f"tok/s ({time.time()-t0:.0f}s; bf16 was {1000/ms_dec:.1f})"
+    )
+    del qparams, qstate
+
+    # --- high-resolution image prefill: one 1344x1344 image (9216 patch
+    # tokens) through the ViT. The dense path needs 5.4 GB of scores PER
+    # full-attention block at this size; the segment-aware flash kernel
+    # (ops/vit_flash.py) streams KV instead. ---
+    from infinitevl_tpu.models.vision import get_vision_plan, vision_forward
+
+    grid_hr = ((1, 96, 96),)
+    plan_hr = get_vision_plan(grid_hr, cfg.vision)
+    pix_hr = jnp.asarray(
+        np.random.RandomState(3).randn(plan_hr.seq, in_feat), jnp.bfloat16
+    )
+    vparams = params["visual"]
+
+    t0 = time.time()
+    vit_hr = jax.jit(lambda px: vision_forward(vparams, cfg.vision, px, plan_hr))
+    # chain via the pixel input's shape-compatible slice to slope-time
+    out_hr = jax.block_until_ready(vit_hr(pix_hr))
+    t1 = time.time()
+    n1, n2 = 2, 6
+    for _ in range(n1):
+        out_hr = vit_hr(pix_hr)
+    np.asarray(out_hr[0, :1])
+    t2 = time.time()
+    for _ in range(n2):
+        out_hr = vit_hr(pix_hr)
+    np.asarray(out_hr[0, :1])
+    t3 = time.time()
+    ms_hr = ((t3 - t2) - (t2 - t1)) / (n2 - n1) * 1e3
+    log(
+        f"high-res image prefill (1344x1344, {plan_hr.seq} patches): "
+        f"{ms_hr:.0f} ms ViT forward (compile {t1-t0:.0f}s)"
+    )
+    del vparams, out_hr, pix_hr
+
+    # --- LoRA train-step throughput @8K (3B, remat, side-path LoRA): the
+    # driver-visible training perf metric (VERDICT r2 weak #2). ---
+    import optax
+
+    from infinitevl_tpu.train.lora import init_lora, make_lora_sft_step
+    from infinitevl_tpu.utils.profiling import decoder_flops_per_token
+
+    Ttr = 8192
+    t0 = time.time()
+    lora = init_lora(params, jax.random.PRNGKey(1))
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(lora)
+    step_fn = jax.jit(
+        make_lora_sft_step(cfg.text, tx, remat=True, remat_group=6),
+        donate_argnums=(0, 1),
+    )
+    rtr = np.random.RandomState(0)
+    batch_tr = {
+        "input_ids": jnp.asarray(rtr.randint(3, 1000, (1, Ttr)), jnp.int32),
+        "labels": jnp.asarray(rtr.randint(3, 1000, (1, Ttr)), jnp.int32),
+        "segment_ids": jnp.ones((1, Ttr), jnp.int32),
+        "position_ids": jnp.broadcast_to(
+            jnp.arange(Ttr)[None, None], (3, 1, Ttr)
+        ).astype(jnp.int32),
+    }
+
+    def tstep(carry):
+        l, o = carry
+        l, o, _ = step_fn(l, o, params, batch_tr)
+        return (l, o)
+
+    ms_train = device_time_ms(tstep, (lora, opt_state), n1=2, n2=6)
+    train_tok_s = Ttr / ms_train * 1000
+    # useful FLOPs = 3x forward (fwd + ~2x bwd; remat recompute excluded)
+    train_mfu = 3.0 * train_tok_s * decoder_flops_per_token(cfg) / 197e12
+    log(
+        f"LoRA train step @8K: {ms_train:.0f} ms = {train_tok_s:.0f} tok/s, "
+        f"~{100*train_mfu:.0f}% MFU ({time.time()-t0:.0f}s)"
+    )
+    del lora, opt_state
+
     # --- dense full-attention baseline (the FA2-transformer comparison,
     # README.md:49): same dims, every layer full attention over an L-entry
     # KV cache. Past ~300K the dense cache exceeds v5e HBM entirely. ---
@@ -428,6 +526,10 @@ def main():
                 "fps_clip4": round(fps_clip, 2),
                 "fps_clip4_paired": round(2 * fps_clip, 2),
                 "pallas_parity_err": pallas_err,
+                "decode_tok_s_int8": round(tok_s_int8, 1),
+                "hires_prefill_ms_1344": round(ms_hr, 1),
+                "train_tok_s": round(train_tok_s, 0),
+                "train_mfu": round(train_mfu, 3),
                 "params_b": round(n_params / 1e9, 2),
                 "state_mb": round(state_mb, 1),
                 "vs_dense_96k": round(dense_speedup, 2) if dense_speedup else None,

@@ -140,7 +140,21 @@ class TextConfig:
     # Chunk the SwiGLU MLP over the sequence in STATELESS forwards longer
     # than this (0 = off): bounds the backward's [T, intermediate] temps
     # for long-context training. Exact (the MLP is pointwise over T).
-    mlp_chunk_t: int = 8192
+    # 4096 keeps each live [chunk, intermediate] temp at 86 MB (the 8192
+    # default's 172 MB chunks were among the top 32K-LoRA allocations).
+    mlp_chunk_t: int = 4096
+    # Streamed delta-chunk evaluation (ops/delta_rule.py stream=True) when
+    # the chunk count N reaches this (0 = never). Streaming trades ~8%
+    # step time at 8K for bounded backward memory; 16K is the first length
+    # that OOMs vectorized on one v5e, so the default threshold is
+    # 16384/delta_chunk_size = 128 chunks.
+    delta_stream_min_chunks: int = 128
+    # Sequence-chunked whole-layer evaluation for STATELESS delta forwards
+    # longer than this (0 = off): projections/conv/delta/gate run per
+    # seq-chunk inside a checkpointed scan, bounding the layer backward to
+    # O(chunk) temporaries (models/text.delta_forward_seq_chunked). The
+    # long-context training memory lever.
+    delta_seq_chunk_t: int = 4096
 
     def __post_init__(self):
         if self.layer_types is None:

@@ -105,6 +105,18 @@ def swa_attention_forward(
     B, T, _ = x.shape
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     window = window if window is not None else cfg.sliding_window
+    if (
+        rings_k is None
+        and "q_proj" in p
+        and cfg.delta_seq_chunk_t
+        and T >= 2 * window
+    ):
+        # long stateless (training) forward: whole layer in window-sized
+        # sequence chunks (see swa_forward_seq_chunked)
+        out = swa_forward_seq_chunked(
+            p, cfg, x, cos, sin, segment_ids, window
+        )
+        return out, None, None
     if "qkv_proj" in p:  # fused layout (models/fuse.py): one matmul
         qkv = _dense(x, p["qkv_proj"])
         nq, nk = Hq * Dh, Hkv * Dh
@@ -179,6 +191,23 @@ def delta_forward(
     H = cfg.num_linear_heads
     K = cfg.linear_head_dim
     V = cfg.head_v_dim
+
+    if (
+        conv_q is None
+        and mode is None
+        and "q_proj" in p
+        and cfg.delta_seq_chunk_t
+        and T > cfg.delta_seq_chunk_t
+    ):
+        # long stateless (training) forward: evaluate the WHOLE layer in
+        # sequence chunks so full-T intermediates never exist (see
+        # delta_forward_seq_chunked)
+        return (
+            delta_forward_seq_chunked(
+                p, cfg, x, segment_ids, cfg.delta_seq_chunk_t
+            ),
+            None,
+        )
 
     if "fused_proj" in p:  # fused layout (models/fuse.py): one matmul
         fused = _dense(x, p["fused_proj"])  # [B, T, 2HK+VD+2H+HV]
@@ -267,6 +296,11 @@ def delta_forward(
         chunk = cfg.delta_chunk_size
         if T <= 512:
             chunk = min(chunk, 64)
+        n_chunks = -(-T // chunk)
+        stream = (
+            cfg.delta_stream_min_chunks > 0
+            and n_chunks >= cfg.delta_stream_min_chunks
+        )
         o, new_h = gated_delta_rule(
             q, k, v, g, beta,
             initial_state=h[layer_idx] if use_cache else None,
@@ -274,6 +308,7 @@ def delta_forward(
             recurrent_threshold=cfg.recurrent_threshold,
             segment_ids=segment_ids,
             mode=mode,
+            stream=stream,
         )
         if use_cache:
             new_h_stack = jax.lax.dynamic_update_slice(
@@ -295,6 +330,188 @@ def delta_forward(
     else:
         new_state = None
     return o, new_state
+
+
+def swa_forward_seq_chunked(
+    p: Params,
+    cfg: TextConfig,
+    x: jax.Array,  # [B, T, D]
+    cos: jax.Array,  # [B, T, head_dim]
+    sin: jax.Array,
+    segment_ids: Optional[jax.Array],
+    window: int,
+) -> jax.Array:
+    """Stateless (training) sliding-window attention layer evaluated in
+    window-sized sequence chunks inside a checkpointed scan.
+
+    A query at position p attends keys in (p - W, p], so chunking at C = W
+    with the previous chunk's post-RoPE K/V carried gives every query its
+    full window: attention runs over (prev ++ cur) = 2W tokens and keeps
+    the current chunk's outputs. The first chunk's zero-KV carry rides
+    segment id -1, which no real token matches. Exact vs the full-length
+    path (tested); attention FLOPs roughly double for these layers, but
+    the backward never holds full-T projections or the Hq-repeated KV
+    ([16, 32K, 128] tensors were the top allocations at 32K after the
+    delta layers were streamed). GQA K/V carried at Hkv=2 is 16 MB."""
+    B, T, _ = x.shape
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    C = window
+    seg = (
+        segment_ids
+        if segment_ids is not None
+        else jnp.zeros((B, T), jnp.int32)
+    ).astype(jnp.int32)
+    pad = (-T) % C
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        cos = jnp.pad(cos, ((0, 0), (0, pad), (0, 0)))
+        sin = jnp.pad(sin, ((0, 0), (0, pad), (0, 0)))
+        seg = jnp.pad(seg, ((0, 0), (0, pad)), constant_values=-2)
+    Tp = T + pad
+    N = Tp // C
+    D = x.shape[-1]
+    xs = (
+        jnp.moveaxis(x.reshape(B, N, C, D), 1, 0),
+        jnp.moveaxis(cos.reshape(B, N, C, -1), 1, 0),
+        jnp.moveaxis(sin.reshape(B, N, C, -1), 1, 0),
+        jnp.moveaxis(seg.reshape(B, N, C), 1, 0),
+    )
+    pk0 = jnp.zeros((B, C, Hkv, Dh), x.dtype)
+    pv0 = jnp.zeros((B, C, Hkv, Dh), x.dtype)
+    pseg0 = jnp.full((B, C), -1, jnp.int32)
+
+    def body(carry, inp):
+        pk, pv, pseg = carry
+        x_c, cos_c, sin_c, seg_c = inp
+        q = _dense(x_c, p["q_proj"]).reshape(B, C, Hq, Dh)
+        k = _dense(x_c, p["k_proj"]).reshape(B, C, Hkv, Dh)
+        v = _dense(x_c, p["v_proj"]).reshape(B, C, Hkv, Dh)
+        q, k = apply_rotary(q, k, cos_c, sin_c)
+        # pad the query block with inert rows so (prev ++ cur) stays square
+        # for swa_prefill_dense's equal-length contract; their outputs are
+        # discarded
+        qp = jnp.concatenate([jnp.zeros_like(q), q], axis=1)
+        k2 = jnp.concatenate([pk, k], axis=1)
+        v2 = jnp.concatenate([pv, v], axis=1)
+        seg2 = jnp.concatenate([pseg, seg_c], axis=1)
+        out = swa_prefill_dense(qp, k2, v2, window, segment_ids=seg2)
+        y_c = _dense(out[:, C:].reshape(B, C, Hq * Dh), p["o_proj"])
+        return (k, v, seg_c), y_c
+
+    _, ys = jax.lax.scan(jax.checkpoint(body), (pk0, pv0, pseg0), xs)
+    return jnp.moveaxis(ys, 0, 1).reshape(B, Tp, D)[:, :T]
+
+
+def delta_forward_seq_chunked(
+    p: Params,
+    cfg: TextConfig,
+    x: jax.Array,  # [B, T, D]
+    segment_ids: Optional[jax.Array],
+    seq_chunk: int,
+) -> jax.Array:
+    """Stateless (training) DeltaNet layer evaluated in SEQUENCE chunks
+    inside a checkpointed scan: projections, short conv, chunkwise delta,
+    gated norm and o_proj all run per seq_chunk tokens, so the layer's
+    backward never materializes full-length [T, H*V] intermediates — the
+    32K-LoRA OOM root cause after the delta-kernel precompute itself was
+    streamed (the XLA scheduler holds several layers' full-T conv/gate/o
+    temporaries at once; measured 21.4 GB at 32K without this).
+
+    Exactness (tested vs delta_forward in tests/test_text_model.py):
+    - conv: the previous chunk's last W-1 raw projections ride the carry
+      with their segment ids, so cross-chunk taps match the full-sequence
+      zero-padded + segment-masked conv exactly.
+    - delta state: carried fp32 [B, H, K, V]; when a chunk's first token
+      starts a new packed segment the incoming state is zeroed, which is
+      equivalent to the full call's g-zeroing at segment starts (the
+      decay on a zero state is a no-op and within-chunk decay ratios
+      cancel the un-zeroed g).
+    Scan-carry residuals per layer backward: T/seq_chunk states (~17 MB at
+    32K/4096) instead of multi-GB."""
+    from ..ops.short_conv import causal_conv1d
+
+    B, T, D = x.shape
+    H = cfg.num_linear_heads
+    K = cfg.linear_head_dim
+    V = cfg.head_v_dim
+    W = p["conv_q_w"].shape[0]
+    C = seq_chunk
+    seg = (
+        segment_ids
+        if segment_ids is not None
+        else jnp.zeros((B, T), jnp.int32)
+    ).astype(jnp.int32)
+    pad = (-T) % C
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        # pad tokens get segment -2: they never interact with real tokens
+        seg = jnp.pad(seg, ((0, 0), (0, pad)), constant_values=-2)
+    Tp = T + pad
+    N = Tp // C
+    xs = (
+        jnp.moveaxis(x.reshape(B, N, C, D), 1, 0),  # [N, B, C, D]
+        jnp.moveaxis(seg.reshape(B, N, C), 1, 0),  # [N, B, C]
+    )
+    s0 = jnp.zeros((B, H, K, V), jnp.float32)
+    tails0 = tuple(
+        jnp.zeros((B, W - 1, p[f"conv_{n}_w"].shape[1]), x.dtype)
+        for n in ("q", "k", "v")
+    )
+    # zero history starts invisible: segment -1 matches nothing real
+    tseg0 = jnp.full((B, W - 1), -1, jnp.int32)
+
+    def body(carry, inp):
+        s, tq, tk, tv, tseg = carry
+        x_c, seg_c = inp
+        raws = []
+        outs = []
+        for name, tail in (("q", tq), ("k", tk), ("v", tv)):
+            raw = _dense(x_c, p[f"{name}_proj"])
+            hist = jnp.concatenate([jnp.zeros_like(tail[:, :1]), tail], axis=1)
+            y = causal_conv1d(
+                raw, p[f"conv_{name}_w"], p.get(f"conv_{name}_b"),
+                initial_state=hist, segment_ids=seg_c,
+                initial_state_segment_ids=tseg,
+            )
+            raws.append(raw)
+            outs.append(y)
+        q = outs[0].reshape(B, C, H, K)
+        k = outs[1].reshape(B, C, H, K)
+        v = outs[2].reshape(B, C, H, V)
+        a_lin = _dense(x_c, p["a_proj"])
+        b_lin = _dense(x_c, p["b_proj"])
+        beta = jax.nn.sigmoid(b_lin.astype(jnp.float32))
+        g = -jnp.exp(p["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+            a_lin.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32)
+        )
+        # a new segment at the chunk edge severs the carried state
+        cont = (seg_c[:, 0] == tseg[:, -1])[:, None, None, None]
+        from ..ops.delta_rule import delta_rule_chunk
+
+        chunk = cfg.delta_chunk_size
+        o, s_new = delta_rule_chunk(
+            q, k, v, g, beta,
+            initial_state=s * cont,
+            chunk_size=chunk,
+            segment_ids=seg_c,
+            stream=False,
+        )
+        gate = _dense(x_c, p["g_proj"]).reshape(B, C, H, V)
+        o = rms_norm_gated(o, gate, p["o_norm"], eps=cfg.norm_eps)
+        y_c = _dense(o.reshape(B, C, H * V), p["o_proj"])
+        new_carry = (
+            s_new,
+            raws[0][:, C - (W - 1):],
+            raws[1][:, C - (W - 1):],
+            raws[2][:, C - (W - 1):],
+            seg_c[:, C - (W - 1):],
+        )
+        return new_carry, y_c
+
+    _, ys = jax.lax.scan(
+        jax.checkpoint(body), (s0, *tails0, tseg0), xs
+    )
+    return jnp.moveaxis(ys, 0, 1).reshape(B, Tp, D)[:, :T]
 
 
 def mamba2_forward(

@@ -304,8 +304,13 @@ def delta_rule_chunk(
         # decay resets at segment start: zero g on the first token of a segment
         starts_c = is_start.reshape(B, 1, N, C)
         gf_all = jnp.where(starts_c, 0.0, gf_all)
+        # a segment boundary EXACTLY at a chunk edge: the within-chunk masks
+        # can't see it (the whole chunk shares one segment), so the incoming
+        # state must be severed explicitly per chunk [B, N]
+        edge_start = is_start.reshape(B, N, C)[:, :, 0].astype(jnp.float32)
     else:
         seg = None
+        edge_start = None
 
     if initial_state is None:
         s0 = jnp.zeros((B, H, K, V), dtype=jnp.float32)
@@ -320,8 +325,14 @@ def delta_rule_chunk(
             qf, kf, vf, gf_all, bf_all, seg
         )
 
+        has_edge = edge_start is not None
+
         def chunk_step(s, inp):
-            w_c, u_c, qb_c, attn_c, kout_c, carry_c = inp
+            if has_edge:
+                w_c, u_c, qb_c, attn_c, kout_c, carry_c, edge_c = inp
+                s = s * (1.0 - edge_c)[:, None, None, None]
+            else:
+                w_c, u_c, qb_c, attn_c, kout_c, carry_c = inp
             y = u_c - jnp.einsum("bhck,bhkv->bhcv", w_c, s)
             o_inter = jnp.einsum("bhck,bhkv->bhcv", qb_c, s)
             o = o_inter + jnp.einsum("bhij,bhjv->bhiv", attn_c, y)
@@ -333,6 +344,8 @@ def delta_rule_chunk(
         xs = tuple(
             jnp.moveaxis(t, 2, 0) for t in (w, u, q_b, attn, k_out, carry)
         )
+        if has_edge:
+            xs = xs + (jnp.moveaxis(edge_start, 1, 0),)
         s_final, o = jax.lax.scan(chunk_step, s0, xs)  # o: [N, B, H, C, V]
     else:
         # Streamed: q/k/v ride the scan in their INPUT dtype (an up-front
@@ -349,7 +362,8 @@ def delta_rule_chunk(
 
         def chunk_body(s, inp):
             if has_seg:
-                q_c, k_c, v_c, g_c, b_c, seg_c = inp
+                q_c, k_c, v_c, g_c, b_c, seg_c, edge_c = inp
+                s = s * (1.0 - edge_c)[:, None, None, None]
             else:
                 q_c, k_c, v_c, g_c, b_c = inp
                 seg_c = None
@@ -370,7 +384,10 @@ def delta_rule_chunk(
 
         xs = (qc, kc, vc, gc, bc)
         if has_seg:
-            xs = xs + (jnp.moveaxis(seg, 2, 0),)
+            xs = xs + (
+                jnp.moveaxis(seg, 2, 0),
+                jnp.moveaxis(edge_start, 1, 0),
+            )
         s_final, o = jax.lax.scan(jax.checkpoint(chunk_body), s0, xs)
 
     o = jnp.moveaxis(o, 0, 2).reshape(B, H, Tp, V)[:, :, :T, :]

@@ -36,6 +36,7 @@ def causal_conv1d(
     activation: str = "silu",
     initial_state: Optional[jax.Array] = None,  # [B, W, D]; used as left context
     segment_ids: Optional[jax.Array] = None,  # [B, T]; packing boundaries
+    initial_state_segment_ids: Optional[jax.Array] = None,  # [B, W-1]
 ) -> jax.Array:
     """Depthwise causal convolution over time.
 
@@ -44,8 +45,11 @@ def causal_conv1d(
 
     With `segment_ids`, taps that would read across a packed-segment
     boundary contribute zero (the varlen masking causal-conv1d does with
-    cu_seqlens in the reference's CUDA kernel).
-    """
+    cu_seqlens in the reference's CUDA kernel). The left context defaults to
+    segment -1 (never visible); sequence-chunked exact evaluation
+    (models/text.delta_forward_seq_chunked) passes the history's true
+    segment ids via `initial_state_segment_ids` so a segment spanning the
+    chunk edge keeps its conv context."""
     B, T, D = x.shape
     W = weight.shape[0]
     if initial_state is not None:
@@ -55,14 +59,12 @@ def causal_conv1d(
     xp = jnp.concatenate([left, x], axis=1)  # [B, T + W - 1, D]
     segp = None
     if segment_ids is not None:
-        # left context (zeros or cached history) never matches any segment
-        segp = jnp.concatenate(
-            [
-                jnp.full((B, W - 1), -1, dtype=segment_ids.dtype),
-                segment_ids,
-            ],
-            axis=1,
-        )
+        if initial_state_segment_ids is not None:
+            left_seg = initial_state_segment_ids.astype(segment_ids.dtype)
+        else:
+            # left context (zeros or cached history) never matches any segment
+            left_seg = jnp.full((B, W - 1), -1, dtype=segment_ids.dtype)
+        segp = jnp.concatenate([left_seg, segment_ids], axis=1)
     acc = jnp.zeros((B, T, D), dtype=jnp.float32)
     for i in range(W):
         tap = xp[:, i : i + T, :].astype(jnp.float32)

@@ -245,3 +245,25 @@ def test_chunk_differentiable():
     gm = g.at[0, 3, 1].add(-eps)
     fd = (loss(q, k, v, gp, beta) - loss(q, k, v, gm, beta)) / (2 * eps)
     assert abs(float(grads[3][0, 3, 1]) - float(fd)) < 5e-2 * (abs(float(fd)) + 1)
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_segment_boundary_at_chunk_edge(stream):
+    """Regression (round 3): a packed-segment boundary landing EXACTLY on a
+    chunk_size multiple used to leak the previous segment's state (the
+    within-chunk masks see a single-segment chunk and keep the carry)."""
+    B, T, H, K, V = 1, 32, 2, 8, 16
+    q, k, v, g, beta, _ = make_inputs(
+        jax.random.PRNGKey(11), B=B, T=T, H=H, K=K, V=V, with_state=False
+    )
+    seg = jnp.asarray([[0] * 16 + [1] * 16], jnp.int32)
+    o1, _ = delta_rule_recurrent(q[:, :16], k[:, :16], v[:, :16],
+                                 g[:, :16], beta[:, :16])
+    o2, s2 = delta_rule_recurrent(q[:, 16:], k[:, 16:], v[:, 16:],
+                                  g[:, 16:], beta[:, 16:])
+    gt = jnp.concatenate([o1, o2], axis=1)
+    o, s = delta_rule_chunk(
+        q, k, v, g, beta, chunk_size=8, segment_ids=seg, stream=stream
+    )
+    assert err_ratio(o, gt) < 2e-4
+    assert err_ratio(s, s2) < 2e-4

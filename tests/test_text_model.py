@@ -175,3 +175,152 @@ def test_grouped_remat_matches_ungrouped():
     for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(gr)):
         err = np.abs(np.asarray(a) - np.asarray(b)).max()
         assert err < 1e-5, err
+
+
+def test_delta_stream_threshold_parity():
+    """text_forward with the streamed delta path (low threshold) must match
+    the vectorized path exactly (same math, different evaluation order)."""
+    import dataclasses
+
+    from infinitevl_tpu import tiny_config
+
+    cfg0 = tiny_config().text
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 40), 0, cfg0.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(40)[None, None], (3, 1, 40))
+    params = init_text_params(jax.random.PRNGKey(0), cfg0, dtype=jnp.float32)
+    cfg_vec = dataclasses.replace(cfg0, delta_stream_min_chunks=0)
+    cfg_st = dataclasses.replace(cfg_vec, delta_stream_min_chunks=2)
+    h_vec, _, _ = text_forward(
+        params, cfg_vec, embed_tokens(params, ids), pos
+    )
+    h_st, _, _ = text_forward(params, cfg_st, embed_tokens(params, ids), pos)
+    assert err_ratio(h_st, h_vec) < 1e-5
+
+
+def test_delta_seq_chunked_layer_parity():
+    """delta_forward_seq_chunked == delta_forward exactly, including packed
+    segments whose boundaries straddle the sequence-chunk edges, non-multiple
+    lengths (padding), and gradients."""
+    import dataclasses
+
+    from infinitevl_tpu import tiny_config
+    from infinitevl_tpu.models.params import init_delta_layer
+    from infinitevl_tpu.models.text import (
+        delta_forward,
+        delta_forward_seq_chunked,
+    )
+
+    cfg = dataclasses.replace(
+        tiny_config().text, delta_chunk_size=8, delta_seq_chunk_t=0
+    )
+    p = init_delta_layer(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, T, D = 2, 53, cfg.hidden_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D), jnp.float32) * 0.3
+    # segments: row 0 has a boundary exactly at a chunk edge (16) and one
+    # mid-chunk (37); row 1 one segment
+    seg = jnp.asarray(
+        [[0] * 16 + [1] * 21 + [2] * (T - 37), [0] * T], jnp.int32
+    )
+    ref, _ = delta_forward(p, cfg, x, None, None, None, None, seg)
+    out = delta_forward_seq_chunked(p, cfg, x, seg, seq_chunk=16)
+    assert err_ratio(out, ref) < 1e-5
+    # no segments given
+    ref2, _ = delta_forward(p, cfg, x, None, None, None, None, None)
+    out2 = delta_forward_seq_chunked(p, cfg, x, None, seq_chunk=16)
+    assert err_ratio(out2, ref2) < 1e-5
+
+    def loss(fn, x):
+        return jnp.sum(jnp.sin(fn(x)))
+
+    g_ref = jax.grad(
+        lambda x: loss(
+            lambda x: delta_forward(p, cfg, x, None, None, None, None, seg)[0],
+            x,
+        )
+    )(x)
+    g_out = jax.grad(
+        lambda x: loss(
+            lambda x: delta_forward_seq_chunked(p, cfg, x, seg, 16), x
+        )
+    )(x)
+    assert err_ratio(g_out, g_ref) < 1e-5
+
+
+def test_delta_seq_chunked_dispatch():
+    """delta_forward auto-dispatches to the seq-chunked path above the
+    threshold; results match the direct path."""
+    import dataclasses
+
+    from infinitevl_tpu import tiny_config
+    from infinitevl_tpu.models.params import init_delta_layer
+    from infinitevl_tpu.models.text import delta_forward
+
+    cfg0 = tiny_config().text
+    p = init_delta_layer(jax.random.PRNGKey(2), cfg0, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 48, cfg0.hidden_size),
+                          jnp.float32) * 0.3
+    cfg_off = dataclasses.replace(cfg0, delta_seq_chunk_t=0, delta_chunk_size=8)
+    cfg_on = dataclasses.replace(cfg0, delta_seq_chunk_t=16, delta_chunk_size=8)
+    ref, _ = delta_forward(p, cfg_off, x, None, None, None, None, None)
+    out, st = delta_forward(p, cfg_on, x, None, None, None, None, None)
+    assert st is None
+    assert err_ratio(out, ref) < 1e-5
+
+
+def test_swa_seq_chunked_layer_parity():
+    """swa_forward_seq_chunked == the full-length SWA layer, with packed
+    segments crossing the window-chunk edges, ragged tails, and gradients."""
+    import dataclasses
+
+    from infinitevl_tpu import tiny_config
+    from infinitevl_tpu.models.params import init_swa_layer
+    from infinitevl_tpu.models.text import (
+        swa_attention_forward,
+        swa_forward_seq_chunked,
+    )
+    from infinitevl_tpu.ops.rope import mrope_cos_sin
+
+    cfg = dataclasses.replace(tiny_config().text, delta_seq_chunk_t=0)
+    W = cfg.sliding_window  # 16
+    p = init_swa_layer(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, T = 2, 3 * W + 5  # ragged tail
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.hidden_size),
+                          jnp.float32) * 0.3
+    pos = jnp.broadcast_to(jnp.arange(T)[None, None], (3, B, T))
+    import numpy as np_
+
+    inv_freq = 1.0 / (
+        cfg.rope_theta
+        ** (np_.arange(0, cfg.head_dim, 2, dtype=np_.float64) / cfg.head_dim)
+    )
+    cos, sin = mrope_cos_sin(
+        pos, jnp.asarray(inv_freq, jnp.float32), cfg.mrope_section, 1.0,
+        dtype=jnp.float32,
+    )
+    seg = jnp.asarray(
+        [[0] * W + [1] * (2 * W) + [2] * 5, [0] * T], jnp.int32
+    )
+    ref, _, _ = swa_attention_forward(
+        p, cfg, x, cos, sin, None, None, None, segment_ids=seg, window=W
+    )
+    out = swa_forward_seq_chunked(p, cfg, x, cos, sin, seg, W)
+    assert err_ratio(out, ref) < 1e-5
+
+    def loss(fn, x):
+        return jnp.sum(jnp.sin(fn(x)))
+
+    g_ref = jax.grad(
+        lambda x: loss(
+            lambda x: swa_attention_forward(
+                p, cfg, x, cos, sin, None, None, None, segment_ids=seg,
+                window=W,
+            )[0],
+            x,
+        )
+    )(x)
+    g_out = jax.grad(
+        lambda x: loss(
+            lambda x: swa_forward_seq_chunked(p, cfg, x, cos, sin, seg, W), x
+        )
+    )(x)
+    assert err_ratio(g_out, g_ref) < 1e-5
