@@ -391,9 +391,13 @@ def main():
     from infinitevl_tpu.train.lora import init_lora, make_lora_sft_step
     from infinitevl_tpu.utils.profiling import decoder_flops_per_token
 
+    # 8K rides the python layer loop (the auto default below 16K: measured
+    # ~13% faster than scan-over-layers; 16K+ train via scan_layers, see
+    # examples/sft_32k_lora_yarn.yaml)
     Ttr = 8192
     t0 = time.time()
-    lora = init_lora(params, jax.random.PRNGKey(1))
+    lora = init_lora(params["text"], jax.random.PRNGKey(1))
+    base_tr = params["text"]
     tx = optax.adamw(1e-4)
     opt_state = tx.init(lora)
     step_fn = jax.jit(
@@ -412,7 +416,7 @@ def main():
 
     def tstep(carry):
         l, o = carry
-        l, o, _ = step_fn(l, o, params, batch_tr)
+        l, o, _ = step_fn(l, o, base_tr, batch_tr)
         return (l, o)
 
     ms_train = device_time_ms(tstep, (lora, opt_state), n1=2, n2=6)
@@ -423,7 +427,7 @@ def main():
         f"LoRA train step @8K: {ms_train:.0f} ms = {train_tok_s:.0f} tok/s, "
         f"~{100*train_mfu:.0f}% MFU ({time.time()-t0:.0f}s)"
     )
-    del lora, opt_state
+    del lora, opt_state, base_tr
 
     # --- dense full-attention baseline (the FA2-transformer comparison,
     # README.md:49): same dims, every layer full attention over an L-entry

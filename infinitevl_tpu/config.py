@@ -153,8 +153,9 @@ class TextConfig:
     # longer than this (0 = off): projections/conv/delta/gate run per
     # seq-chunk inside a checkpointed scan, bounding the layer backward to
     # O(chunk) temporaries (models/text.delta_forward_seq_chunked). The
-    # long-context training memory lever.
-    delta_seq_chunk_t: int = 4096
+    # long-context training memory lever. 8192 keeps 8K training on the
+    # full-T vectorized path (measured fastest) while 16K+ chunks.
+    delta_seq_chunk_t: int = 8192
 
     def __post_init__(self):
         if self.layer_types is None:

@@ -72,6 +72,12 @@ class TrainArgs:
     # 3B 32K LoRA recipe needs remat: true, remat_group: 6 on one v5e)
     remat: bool = False
     remat_group: int = 1
+    # scan-over-layers for LoRA training when the layer pattern repeats:
+    # an HLO loop serializes the per-layer remat recomputes the scheduler
+    # otherwise hoists (models/stacked.py). Requires remat. None = auto:
+    # on from cutoff_len >= 16384 (the first length that OOMs the python
+    # layer loop on one v5e; below it the loop is ~13% faster).
+    scan_layers: Optional[bool] = None
     # predict_with_generate analogue: after training, greedy-generate the
     # first predict_samples examples' prompts and score BLEU-4/ROUGE vs the
     # gold completions (reference train/sft/workflow.py predict path)

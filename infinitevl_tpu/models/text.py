@@ -201,10 +201,13 @@ def delta_forward(
     ):
         # long stateless (training) forward: evaluate the WHOLE layer in
         # sequence chunks so full-T intermediates never exist (see
-        # delta_forward_seq_chunked)
+        # delta_forward_seq_chunked). delta_seq_chunk_t gates ACTIVATION
+        # (8K stays on the fastest full-T path); evaluation chunks cap at
+        # 4096 — measured 13.5 GB total at 3B/32K vs 14.9 GB with 8192
+        # chunks (compiler HBM accounting, ROUND3_NOTES)
         return (
             delta_forward_seq_chunked(
-                p, cfg, x, segment_ids, cfg.delta_seq_chunk_t
+                p, cfg, x, segment_ids, min(cfg.delta_seq_chunk_t, 4096)
             ),
             None,
         )
@@ -689,6 +692,46 @@ def text_forward(
     x = inputs_embeds
     new_state = dict(state) if state is not None else None
     collected = [] if output_hidden_states else None
+
+    if "layer_stacks" in params:
+        # scan-over-layers (models/stacked.py): one HLO loop over the layer
+        # pattern period — the backward holds one body's residuals at a
+        # time BY CONSTRUCTION (a Python layer loop lets the scheduler
+        # hoist every layer's remat recompute; measured 17.9 GB plateau at
+        # 3B/32K). Training-only: stateless, no hidden-state collection.
+        if state is not None or collected is not None:
+            raise ValueError(
+                "layer_stacks params support stateless training forwards "
+                "only (unstack_layer_params for inference/distillation)"
+            )
+        stacks = params["layer_stacks"]
+        period = len(stacks)
+        pattern = tuple(cfg.layer_role(j) for j in range(period))
+
+        def body(x, slices):
+            for j, role in enumerate(pattern):
+                layer_fn = functools.partial(
+                    decoder_layer_forward, cfg=cfg, role=role
+                )
+                if remat:
+                    layer_fn = jax.checkpoint(
+                        lambda lp, x, _f=layer_fn: _f(
+                            lp, x=x, cos=cos, sin=sin, layer_state=None,
+                            segment_ids=segment_ids,
+                        )
+                    )
+                    x, _ = layer_fn(slices[j], x)
+                else:
+                    x, _ = layer_fn(
+                        slices[j], x=x, cos=cos, sin=sin, layer_state=None,
+                        segment_ids=segment_ids,
+                    )
+            return x, None
+
+        scan_body = jax.checkpoint(body) if remat else body
+        x, _ = jax.lax.scan(scan_body, x, tuple(stacks))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, None, None
 
     swa_i = 0
     lin_i = 0

@@ -660,6 +660,32 @@ def run_sft(args: AllArgs, tokenizer=None):
             target=args.finetune.lora_target,
             use_dora=args.finetune.use_dora,
         )
+        # scan-over-layers: restack the text tree host-side so the jitted
+        # step's ARGS are the stacked layout (stacking in-graph would copy
+        # the weights); DoRA keeps the per-layer loop (its factored norm
+        # math is 2D-kernel-shaped)
+        scan_period = None
+        use_scan = args.train.scan_layers
+        if use_scan is None:  # auto: memory regime starts at 16K
+            use_scan = args.data.cutoff_len >= 16384
+        if args.train.remat and use_scan and not args.finetune.use_dora:
+            from ..models.stacked import detect_period, stack_layer_params
+
+            scan_period = detect_period(cfg.text.layer_types)
+            if scan_period is not None and scan_period < tcfg.num_hidden_layers:
+
+                def _stack(tree):
+                    if "text" in tree:
+                        return {
+                            **tree,
+                            "text": stack_layer_params(tree["text"], scan_period),
+                        }
+                    return stack_layer_params(tree, scan_period)
+
+                params = _stack(params)
+                lora = _stack(lora)
+            else:
+                scan_period = None
         # adapters are small: replicate them over the mesh
         lora = _shard_tree(lora, mesh, "replicated")
         opt_state = tx.init(lora)
@@ -690,6 +716,15 @@ def run_sft(args: AllArgs, tokenizer=None):
             params, lora, alpha=args.finetune.lora_alpha,
             rank=args.finetune.lora_rank, use_rslora=args.finetune.use_rslora
         )
+        if scan_period is not None:
+            from ..models.stacked import unstack_layer_params
+
+            merged = {
+                **merged,
+                "text": unstack_layer_params(
+                    merged["text"], scan_period, tcfg.num_hidden_layers
+                ),
+            }
         if args.train.do_predict and not mm:
             predict_and_score(merged, cfg, data, tokenizer, args)
         return merged

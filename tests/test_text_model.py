@@ -324,3 +324,47 @@ def test_swa_seq_chunked_layer_parity():
         )
     )(x)
     assert err_ratio(g_out, g_ref) < 1e-5
+
+
+def test_scan_layers_parity():
+    """Scan-over-layers (stacked params) == the per-layer loop, values and
+    gradients, with and without remat."""
+    import dataclasses
+
+    from infinitevl_tpu import tiny_config
+    from infinitevl_tpu.models.stacked import (
+        detect_period,
+        stack_layer_params,
+        unstack_layer_params,
+    )
+
+    cfg = tiny_config().text
+    period = detect_period(cfg.layer_types)
+    assert period == 4
+    params = init_text_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    stacked = stack_layer_params(params, period)
+    # round trip
+    rt = unstack_layer_params(stacked, period, cfg.num_hidden_layers)
+    for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 24), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(24)[None, None], (3, 1, 24))
+    emb = embed_tokens(params, ids)
+    h_ref, _, _ = text_forward(params, cfg, emb, pos)
+    h_scan, st, hs = text_forward(stacked, cfg, emb, pos)
+    assert st is None and hs is None
+    assert err_ratio(h_scan, h_ref) < 1e-5
+    h_scan_r, _, _ = text_forward(stacked, cfg, emb, pos, remat=True)
+    assert err_ratio(h_scan_r, h_ref) < 1e-5
+
+    def loss(p, stacked_layout):
+        h, _, _ = text_forward(p, cfg, emb, pos, remat=True)
+        return jnp.sum(h**2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_scan = jax.grad(lambda p: loss(p, True))(stacked)
+    g_scan_un = unstack_layer_params(g_scan, period, cfg.num_hidden_layers)
+    for a, b in zip(jax.tree.leaves(g_scan_un), jax.tree.leaves(g_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 1e-4 * (1.0 + np.abs(b).max())

@@ -237,3 +237,38 @@ def test_sft_do_predict_writes_scores(tmp_path):
     # dataset: a fresh instance maps everything to <unk> and the scores
     # become fiction (regression guard)
     assert row["label"].strip() and "<unk>" not in row["label"]
+
+
+def test_sft_lora_scan_layers(tmp_path):
+    """LoRA + remat + scan_layers: the stacked-params training path runs
+    end-to-end from yaml and exports an UNSTACKED merged model."""
+    import json
+
+    from infinitevl_tpu.hparams import parse_args
+    from infinitevl_tpu.train.trainer import run_exp
+
+    args = parse_args(
+        {
+            "config_preset": "tiny",
+            "stage": "sft",
+            "dataset": "demo",
+            "dataset_dir": "data",
+            "finetuning_type": "lora",
+            "lora_rank": 2,
+            "remat": True,
+            "scan_layers": True,
+            "cutoff_len": 32,
+            "per_device_train_batch_size": 1,
+            "max_steps": 2,
+            "logging_steps": 1,
+            "save_steps": 1000,
+            "bf16": False,
+            "learning_rate": 1e-3,
+            "output_dir": str(tmp_path),
+        }
+    )
+    merged = run_exp(args)
+    assert "layers" in merged["text"] and "layer_stacks" not in merged["text"]
+    assert len(merged["text"]["layers"]) == 8
+    log = (tmp_path / "trainer_log.jsonl").read_text().strip().splitlines()
+    assert len(log) >= 2 and "loss" in json.loads(log[0])
