@@ -110,9 +110,12 @@ def swa_attention_forward(
         and "q_proj" in p
         and cfg.delta_seq_chunk_t
         and T >= 2 * window
+        and T > cfg.delta_seq_chunk_t
     ):
         # long stateless (training) forward: whole layer in window-sized
-        # sequence chunks (see swa_forward_seq_chunked)
+        # sequence chunks (see swa_forward_seq_chunked). Gated by the same
+        # absolute threshold as the delta layers so short-T (tests, frame
+        # steps, tiny windows) keep the single-call path.
         out = swa_forward_seq_chunked(
             p, cfg, x, cos, sin, segment_ids, window
         )
