@@ -41,7 +41,8 @@ def _build_generator(args):
         params = load_hf_checkpoint(args.model.model_name_or_path, cfg, dtype)
     else:
         params = init_params(jax.random.PRNGKey(0), cfg, dtype)
-    return Generator(params, cfg, dtype=dtype), cfg
+    quant = "int8" if args.model.quantization_bit == 8 else None
+    return Generator(params, cfg, dtype=dtype, quant=quant), cfg
 
 
 def _tokenizer(args, cfg=None):

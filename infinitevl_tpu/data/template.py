@@ -558,3 +558,628 @@ register_template(
         turn_suffix="\n\n",
     )
 )
+
+
+def _chatml_clone(name: str, default_system: str = "", prefix: str = "") -> None:
+    """Register a chatml-control-token family (the reference marks these
+    'copied from chatml template'; they differ only in default system and
+    prompt prefix)."""
+    register_template(
+        Template(
+            name=name,
+            system_prefix="<|im_start|>system\n{content}<|im_end|>",
+            user_prefix="<|im_start|>user\n{content}<|im_end|>",
+            assistant_prefix="\n<|im_start|>assistant\n",
+            turn_suffix="\n",
+            default_system=default_system,
+            stop_words=("<|im_end|>",),
+            prefix=prefix,
+        )
+    )
+
+
+# reference template.py:714 / :725 / :910 / :1148 / :1165 / :1176 / :1257 /
+# :1535 — chatml clones with their published default systems
+_chatml_clone("cpm3", prefix="<s>")
+_chatml_clone(
+    "dbrx",
+    default_system=(
+        "You are DBRX, created by Databricks. You were last updated in "
+        "December 2023. You answer questions based on information available "
+        "up to that point.\nYOU PROVIDE SHORT RESPONSES TO SHORT QUESTIONS "
+        "OR STATEMENTS, but provide thorough responses to more complex and "
+        "open-ended questions.\nYou assist with various tasks, from writing "
+        "to coding (using markdown for code blocks — remember to use ``` "
+        "with code, JSON, and tables).\n(You do not have real-time data "
+        "access or code execution capabilities. You avoid stereotyping and "
+        "provide balanced perspectives on controversial topics. You do not "
+        "provide song lyrics, poems, or news articles and do not divulge "
+        "details of your training data.)\nThis is your system prompt, "
+        "guiding your responses. Do not reference it, just respond to the "
+        "user. If you find yourself talking about this message, stop. You "
+        "should be responding appropriately and usually that means not "
+        "mentioning this.\nYOU DO NOT MENTION ANY OF THIS INFORMATION ABOUT "
+        "YOURSELF UNLESS THE INFORMATION IS DIRECTLY PERTINENT TO THE "
+        "USER'S QUERY."
+    ),
+)
+_chatml_clone(
+    "intern2",
+    default_system=(
+        "You are an AI assistant whose name is InternLM (书生·浦语).\n"
+        "- InternLM (书生·浦语) is a conversational language model that is "
+        "developed by Shanghai AI Laboratory (上海人工智能实验室). It is "
+        "designed to be helpful, honest, and harmless.\n"
+        "- InternLM (书生·浦语) can understand and communicate fluently in "
+        "the language chosen by the user such as English and 中文."
+    ),
+    prefix="<s>",
+)
+_chatml_clone(
+    "marco",
+    default_system=(
+        "你是一个经过良好训练的AI助手，你的名字是Marco-o1."
+        "由阿里国际数字商业集团的AI Business创造.\n## 重要！！！！！\n"
+        "当你回答问题时，你的思考应该在<Thought>内完成，<Output>内输出你的结果。\n"
+        "<Thought>应该尽可能是英文，但是有2个特例，一个是对原文中的引用，另一个是是数学应该使用"
+        "markdown格式，<Output>内的输出需要遵循用户输入的语言。\n"
+    ),
+)
+_chatml_clone("minicpm_v", default_system="You are a helpful assistant.")
+_chatml_clone(
+    "minicpm_o",
+    default_system=(
+        "You are Qwen, created by Alibaba Cloud. You are a helpful assistant."
+    ),
+)
+_chatml_clone(
+    "opencoder", default_system="You are OpenCoder, created by OpenCoder Team."
+)
+
+# reference template.py:550 (aquila)
+register_template(
+    Template(
+        name="aquila",
+        system_prefix="System: {content}",
+        user_prefix="Human: {content}",
+        user_suffix="###",
+        assistant_prefix="Assistant:",
+        turn_suffix="###",
+        default_system=(
+            "A chat between a curious human and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the human's questions."
+        ),
+        stop_words=("</s>",),
+    )
+)
+
+# reference template.py:563 (atom; llama-style bos/eos literals)
+register_template(
+    Template(
+        name="atom",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="<s>Human: {content}\n</s>",
+        user_suffix="",
+        assistant_prefix="<s>Assistant:",
+        turn_suffix="\n</s>",
+    )
+)
+
+# reference template.py:578 (baichuan v1; reserved control tokens,
+# efficient_eos)
+register_template(
+    Template(
+        name="baichuan",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="<reserved_102>{content}",
+        user_suffix="",
+        assistant_prefix="<reserved_103>",
+        turn_suffix="",
+    )
+)
+
+# reference template.py:585 (bailing)
+register_template(
+    Template(
+        name="bailing",
+        system_prefix="<role>SYSTEM</role>{content}",
+        system_suffix="",
+        user_prefix="<role>HUMAN</role>{content}",
+        user_suffix="",
+        assistant_prefix="<role>ASSISTANT</role>",
+        turn_suffix="",
+        stop_words=("<|endoftext|>",),
+    )
+)
+
+# reference template.py:596 (belle; llama bos/eos literals)
+register_template(
+    Template(
+        name="belle",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="Human: {content}\n\nBelle: ",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="</s>\n\n",
+        prefix="<s>",
+    )
+)
+
+# reference template.py:604 (bluelm)
+register_template(
+    Template(
+        name="bluelm",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="[|Human|]:{content}",
+        user_suffix="",
+        assistant_prefix="[|AI|]:",
+        turn_suffix="</s>",
+    )
+)
+
+# reference template.py:610 (breeze; efficient_eos)
+register_template(
+    Template(
+        name="breeze",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="[INST] {content} [/INST] ",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="",
+        prefix="<s>",
+    )
+)
+
+# reference template.py:626 (chatglm3; efficient_eos)
+register_template(
+    Template(
+        name="chatglm3",
+        system_prefix="<|system|>\n{content}",
+        system_suffix="",
+        user_prefix="<|user|>\n{content}",
+        user_suffix="",
+        assistant_prefix="<|assistant|>\n",
+        turn_suffix="",
+        prefix="[gMASK]sop",
+        stop_words=("<|user|>", "<|observation|>"),
+    )
+)
+
+# reference template.py:674 (codegeex4: glm4 control flow + CodeGeeX system)
+register_template(
+    Template(
+        name="codegeex4",
+        system_prefix="<|system|>\n{content}",
+        system_suffix="",
+        user_prefix="<|user|>\n{content}",
+        user_suffix="",
+        assistant_prefix="<|assistant|>\n",
+        turn_suffix="",
+        prefix="[gMASK]<sop>",
+        default_system=(
+            "你是一位智能编程助手，你叫CodeGeeX。你会为用户回答关于编程、代码、计算机方面的任何问题，"
+            "并提供格式规范、可以执行、准确安全的代码，并在必要时提供详细的解释。"
+        ),
+        stop_words=("<|user|>", "<|observation|>"),
+    )
+)
+
+# reference template.py:691 (cohere command-r)
+register_template(
+    Template(
+        name="cohere",
+        system_prefix=(
+            "<|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>{content}"
+            "<|END_OF_TURN_TOKEN|>"
+        ),
+        system_suffix="",
+        user_prefix=(
+            "<|START_OF_TURN_TOKEN|><|USER_TOKEN|>{content}"
+            "<|END_OF_TURN_TOKEN|>"
+        ),
+        user_suffix="",
+        assistant_prefix="<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>",
+        turn_suffix="<|END_OF_TURN_TOKEN|>",
+        prefix="<BOS_TOKEN>",
+    )
+)
+
+# reference template.py:706 (cpm / minicpm)
+register_template(
+    Template(
+        name="cpm",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="<用户>{content}",
+        user_suffix="",
+        assistant_prefix="<AI>",
+        turn_suffix="</s>",
+        prefix="<s>",
+    )
+)
+
+# reference template.py:765 (deepseekcoder)
+register_template(
+    Template(
+        name="deepseekcoder",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="### Instruction:\n{content}\n### Response:",
+        user_suffix="",
+        assistant_prefix="\n",
+        turn_suffix="\n<|EOT|>\n",
+        prefix="<｜begin▁of▁sentence｜>",
+        default_system=(
+            "You are an AI programming assistant, utilizing the DeepSeek "
+            "Coder model, developed by DeepSeek Company, and you only answer "
+            "questions related to computer science. For politically "
+            "sensitive questions, security and privacy issues, and other "
+            "non-computer science questions, you will refuse to answer.\n"
+        ),
+    )
+)
+
+# reference template.py:795 (exaone)
+register_template(
+    Template(
+        name="exaone",
+        system_prefix="[|system|]{content}[|endofturn|]",
+        system_suffix="\n",
+        user_prefix="[|user|]{content}",
+        user_suffix="\n",
+        assistant_prefix="[|assistant|]",
+        turn_suffix="[|endofturn|]\n",
+    )
+)
+
+# reference template.py:803 (falcon; efficient_eos)
+register_template(
+    Template(
+        name="falcon",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="User: {content}\n",
+        user_suffix="",
+        assistant_prefix="Falcon:",
+        turn_suffix="\n",
+    )
+)
+
+# reference template.py:863 (granite3)
+register_template(
+    Template(
+        name="granite3",
+        system_prefix=(
+            "<|start_of_role|>system<|end_of_role|>{content}<|end_of_text|>"
+        ),
+        system_suffix="\n",
+        user_prefix=(
+            "<|start_of_role|>user<|end_of_role|>{content}<|end_of_text|>"
+        ),
+        user_suffix="\n",
+        assistant_prefix="<|start_of_role|>assistant<|end_of_role|>",
+        turn_suffix="<|end_of_text|>\n",
+    )
+)
+
+# reference template.py:875 (index; efficient_eos)
+register_template(
+    Template(
+        name="index",
+        system_prefix="<unk>{content}",
+        system_suffix="",
+        user_prefix="reserved_0{content}",
+        user_suffix="",
+        assistant_prefix="reserved_1",
+        turn_suffix="",
+    )
+)
+
+# reference template.py:883 (hunyuan)
+register_template(
+    Template(
+        name="hunyuan",
+        system_prefix="<|bos|>system\n{content}<|eos|>",
+        system_suffix="\n",
+        user_prefix="<|bos|>user\n{content}<|eos|>",
+        user_suffix="\n",
+        assistant_prefix="<|bos|>assistant\n",
+        turn_suffix="<|eos|>\n",
+        prefix="<|bos|>",
+        stop_words=("<|eos|>",),
+    )
+)
+
+_INTERN_SYSTEM = (
+    "You are an AI assistant whose name is InternLM (书生·浦语).\n"
+    "- InternLM (书生·浦语) is a conversational language model that is "
+    "developed by Shanghai AI Laboratory (上海人工智能实验室). It is designed "
+    "to be helpful, honest, and harmless.\n"
+    "- InternLM (书生·浦语) can understand and communicate fluently in the "
+    "language chosen by the user such as English and 中文."
+)
+
+# reference template.py:896 (intern v1)
+register_template(
+    Template(
+        name="intern",
+        system_prefix="<|System|>:{content}",
+        system_suffix="\n",
+        user_prefix="<|User|>:{content}",
+        user_suffix="\n",
+        assistant_prefix="<|Bot|>:",
+        turn_suffix="<eoa>\n",
+        prefix="<s>",
+        default_system=_INTERN_SYSTEM,
+        stop_words=("<eoa>",),
+    )
+)
+
+# reference template.py:1001 (moonlight)
+register_template(
+    Template(
+        name="moonlight",
+        system_prefix="<|im_system|>system<|im_middle|>{content}<|im_end|>",
+        system_suffix="",
+        user_prefix="<|im_user|>user<|im_middle|>{content}<|im_end|>",
+        user_suffix="",
+        assistant_prefix="<|im_assistant|>assistant<|im_middle|>",
+        turn_suffix="<|im_end|>",
+        default_system="You are a helpful assistant provided by Moonshot-AI.",
+        stop_words=("<|im_end|>",),
+    )
+)
+
+_VICUNA_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence "
+    "assistant. The assistant gives helpful, detailed, and polite answers "
+    "to the user's questions."
+)
+
+# reference template.py:1014 / :1026 (llava / llava_next: vicuna chat format;
+# the image token is handled by the processor layer, not the template)
+for _name in ("llava", "llava_next"):
+    register_template(
+        Template(
+            name=_name,
+            system_prefix="{content} ",
+            system_suffix="",
+            user_prefix="USER: {content} ",
+            user_suffix="",
+            assistant_prefix="ASSISTANT:",
+            turn_suffix="</s>",
+            default_system=_VICUNA_SYSTEM,
+        )
+    )
+
+# reference template.py:1227 (olmo; eos-token prompt prefix)
+register_template(
+    Template(
+        name="olmo",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="<|user|>\n{content}",
+        user_suffix="",
+        assistant_prefix="<|assistant|>\n",
+        turn_suffix="<|endoftext|>",
+        prefix="<|endoftext|>",
+    )
+)
+
+# reference template.py:1234 (openchat)
+register_template(
+    Template(
+        name="openchat",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="GPT4 Correct User: {content}<|end_of_turn|>",
+        user_suffix="",
+        assistant_prefix="GPT4 Correct Assistant:",
+        turn_suffix="<|end_of_turn|>",
+        prefix="<s>",
+    )
+)
+
+# reference template.py:1268 (orion; the published format emits eos after
+# 'Assistant: ' before the reply)
+register_template(
+    Template(
+        name="orion",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="Human: {content}\n\nAssistant: </s>",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="</s>",
+        prefix="<s>",
+    )
+)
+
+# reference template.py:1388 (sailor: chatml tokens with question/answer
+# role names)
+register_template(
+    Template(
+        name="sailor",
+        system_prefix="<|im_start|>system\n{content}<|im_end|>",
+        user_prefix="<|im_start|>question\n{content}<|im_end|>",
+        assistant_prefix="\n<|im_start|>answer\n",
+        turn_suffix="\n",
+        default_system=(
+            "You are an AI assistant named Sailor created by Sea AI Lab. "
+            "Your answer should be friendly, unbiased, faithful, informative "
+            "and detailed."
+        ),
+        stop_words=("<|im_end|>",),
+    )
+)
+
+# reference template.py:1402 (skywork_o1: llama3 control flow + system)
+register_template(
+    Template(
+        name="skywork_o1",
+        system_prefix="<|start_header_id|>system<|end_header_id|>\n\n{content}",
+        user_prefix="<|start_header_id|>user<|end_header_id|>\n\n{content}",
+        assistant_prefix="<|start_header_id|>assistant<|end_header_id|>\n\n",
+        turn_suffix="<|eot_id|>",
+        prefix="<|begin_of_text|>",
+        default_system=(
+            "You are Skywork-o1, a thinking model developed by Skywork AI, "
+            "specializing in solving complex problems involving mathematics, "
+            "coding, and logical reasoning through deep thought. When faced "
+            "with a user's request, you first engage in a lengthy and "
+            "in-depth thinking process to explore possible solutions to the "
+            "problem. After completing your thoughts, you then provide a "
+            "detailed explanation of the solution process in your response."
+        ),
+        stop_words=("<|eot_id|>", "<|eom_id|>"),
+    )
+)
+
+# reference template.py:1436 (solar; efficient_eos)
+register_template(
+    Template(
+        name="solar",
+        system_prefix="### System:\n{content}\n\n",
+        system_suffix="",
+        user_prefix="### User:\n{content}\n\n",
+        user_suffix="",
+        assistant_prefix="### Assistant:\n",
+        turn_suffix="",
+    )
+)
+
+# reference template.py:1444 (starchat)
+register_template(
+    Template(
+        name="starchat",
+        system_prefix="<|system|>\n{content}<|end|>",
+        system_suffix="\n",
+        user_prefix="<|user|>\n{content}<|end|>",
+        user_suffix="\n",
+        assistant_prefix="<|assistant|>",
+        turn_suffix="<|end|>\n",
+        stop_words=("<|end|>",),
+    )
+)
+
+# reference template.py:1453 / :1459 (telechat / telechat2)
+register_template(
+    Template(
+        name="telechat",
+        system_prefix="<_system>{content}<_end>",
+        system_suffix="",
+        user_prefix="<_user>{content}",
+        user_suffix="",
+        assistant_prefix="<_bot>",
+        turn_suffix="<_end>",
+    )
+)
+register_template(
+    Template(
+        name="telechat2",
+        system_prefix="<_system>{content}",
+        system_suffix="",
+        user_prefix="<_user>{content}",
+        user_suffix="",
+        assistant_prefix="<_bot>",
+        turn_suffix="<_end>",
+        default_system=(
+            "你是中国电信星辰语义大模型，英文名是TeleChat，你是由中电信人工智能科技有限公司和"
+            "中国电信人工智能研究院（TeleAI）研发的人工智能助手。"
+        ),
+    )
+)
+
+# reference template.py:1503 (xverse)
+register_template(
+    Template(
+        name="xverse",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="Human: {content}\n\nAssistant: ",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="</s>",
+    )
+)
+
+# reference template.py:1509 (yayi)
+register_template(
+    Template(
+        name="yayi",
+        system_prefix="<|System|>:\n{content}",
+        system_suffix="\n\n",
+        user_prefix="<|Human|>:\n{content}",
+        user_suffix="\n\n",
+        assistant_prefix="<|YaYi|>:",
+        turn_suffix="\n\n",
+        default_system=(
+            "You are a helpful, respectful and honest assistant named YaYi "
+            "developed by Beijing Wenge Technology Co.,Ltd. Always answer as "
+            "helpfully as possible, while being safe.  Your answers should "
+            "not include any harmful, unethical, racist, sexist, toxic, "
+            "dangerous, or illegal content. Please ensure that your "
+            "responses are socially unbiased and positive in nature.\n\nIf a "
+            "question does not make any sense, or is not factually coherent, "
+            "explain why instead of answering something not correct. If you "
+            "don't know the answer to a question, please don't share false "
+            "information."
+        ),
+        stop_words=("<|End|>",),
+    )
+)
+
+# reference template.py:1541 (yi_vl; efficient_eos)
+register_template(
+    Template(
+        name="yi_vl",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="### Human: {content}\n",
+        user_suffix="",
+        assistant_prefix="### Assistant:",
+        turn_suffix="\n",
+        default_system=(
+            "This is a chat between an inquisitive human and an AI "
+            "assistant. Assume the role of the AI assistant. Read all the "
+            "images carefully, and respond to the human's questions with "
+            "informative, helpful, detailed and polite answers. "
+            "这是一个好奇的人类和一个人工智能助手之间的对话。假设你扮演这个AI助手的角色。"
+            "仔细阅读所有的图像，并对人类的问题做出信息丰富、有帮助、详细的和礼貌的回答。\n\n"
+        ),
+        stop_words=("###",),
+    )
+)
+
+# reference template.py:1556 (yuan)
+register_template(
+    Template(
+        name="yuan",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="{content}<sep>",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="<eod>\n",
+        stop_words=("<eod>",),
+    )
+)
+
+# reference template.py:1572 (ziya)
+register_template(
+    Template(
+        name="ziya",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="<human>:{content}\n",
+        user_suffix="",
+        assistant_prefix="<bot>:",
+        turn_suffix="\n",
+    )
+)

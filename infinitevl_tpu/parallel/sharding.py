@@ -90,23 +90,28 @@ _COLWISE = P(None, MODEL)  # kernel [in, out]: shard output features
 _ROWWISE = P(MODEL, None)  # kernel [in, out]: shard input features
 _RULES: Tuple[Tuple[str, P], ...] = (
     # --- text decoder ---
-    (r"text/layers/\d+/(q_proj|k_proj|v_proj|a_proj|b_proj|g_proj)/kernel", _COLWISE),
+    # kernel_q variants: int8 weight-only nodes (models/quant.py) shard like
+    # their bf16 kernels; the per-output-channel 'scale' follows the output
+    # dim, so it shards with colwise kernels and replicates with rowwise.
+    (r"text/layers/\d+/(q_proj|k_proj|v_proj|a_proj|b_proj|g_proj)/kernel(_q)?", _COLWISE),
+    (r"text/layers/\d+/(q_proj|k_proj|v_proj|a_proj|b_proj|g_proj)/scale", P(MODEL)),
     (r"text/layers/\d+/(q_proj|k_proj|v_proj)/bias", P(MODEL)),
-    (r"text/layers/\d+/o_proj/kernel", _ROWWISE),
-    (r"text/layers/\d+/mlp/(gate|up)/kernel", _COLWISE),
-    (r"text/layers/\d+/mlp/down/kernel", _ROWWISE),
+    (r"text/layers/\d+/o_proj/kernel(_q)?", _ROWWISE),
+    (r"text/layers/\d+/mlp/(gate|up)/kernel(_q)?", _COLWISE),
+    (r"text/layers/\d+/mlp/(gate|up)/scale", P(MODEL)),
+    (r"text/layers/\d+/mlp/down/kernel(_q)?", _ROWWISE),
     (r"text/layers/\d+/conv_[qkv]_w", P(None, MODEL)),
     (r"text/layers/\d+/conv_[qkv]_b", P(MODEL)),
     (r"text/layers/\d+/(A_log|dt_bias)", P(MODEL)),
     (r"text/embed", P(None, MODEL)),
     (r"text/lm_head", _ROWWISE),
     # --- vision ---
-    (r"visual/blocks/\d+/qkv/kernel", _COLWISE),
-    (r"visual/blocks/\d+/qkv/bias", P(MODEL)),
-    (r"visual/blocks/\d+/proj/kernel", _ROWWISE),
-    (r"visual/blocks/\d+/mlp/(gate|up)/kernel", _COLWISE),
-    (r"visual/blocks/\d+/mlp/(gate|up)/bias", P(MODEL)),
-    (r"visual/blocks/\d+/mlp/down/kernel", _ROWWISE),
+    (r"visual/blocks/\d+/qkv/kernel(_q)?", _COLWISE),
+    (r"visual/blocks/\d+/qkv/(bias|scale)", P(MODEL)),
+    (r"visual/blocks/\d+/proj/kernel(_q)?", _ROWWISE),
+    (r"visual/blocks/\d+/mlp/(gate|up)/kernel(_q)?", _COLWISE),
+    (r"visual/blocks/\d+/mlp/(gate|up)/(bias|scale)", P(MODEL)),
+    (r"visual/blocks/\d+/mlp/down/kernel(_q)?", _ROWWISE),
     (r"visual/patch_embed", P(None, MODEL)),
     (r"visual/merger/fc1/kernel", _COLWISE),
     (r"visual/merger/fc1/bias", P(MODEL)),

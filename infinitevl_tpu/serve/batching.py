@@ -68,7 +68,18 @@ class BatchingEngine:
         batch_sizes: Sequence[int] = (32, 16, 8, 4, 2, 1),
         max_wait_ms: float = 30.0,
         chunk_size: int = 8,
+        quant: Optional[str] = None,
     ):
+        if quant == "int8":
+            # weight-only int8 (models/quant.py): halves the weight-read
+            # share of every batched decode step; exact dequant-matmul, so
+            # the quality delta is the quantization error only (measured on
+            # the MCQ fixture in tests/test_quant.py)
+            from ..models.quant import quantize_params
+
+            params = quantize_params(params)
+        elif quant is not None:
+            raise ValueError(f"unknown quant mode {quant!r} (use 'int8')")
         self.params = params
         self.cfg = cfg
         self.dtype = dtype

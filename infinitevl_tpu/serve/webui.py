@@ -1,14 +1,18 @@
 """Training web board: the dependency-free counterpart of the reference's
 Gradio LlamaBoard (src/llamafactory/webui/, 5.5K LoC).
 
-One page served from the stdlib HTTP server:
-- a config form covering the common TrainArgs/DataArgs/FinetuneArgs knobs,
-  with YAML preview (LlamaBoard's "preview command")
-- start/abort for a single background training run (run_exp in a thread;
-  LlamaBoard's Runner also serializes to one run)
-- live metric charts polled from the run's trainer_log.jsonl (one small
-  chart per metric — loss / reward / kl / tokens_per_sec have different
-  scales, so they never share an axis)
+One page served from the stdlib HTTP server, with the LlamaBoard tab set
+(webui/components/{train,eval,chat,export}.py):
+- Train: a config form covering the common TrainArgs/DataArgs/FinetuneArgs
+  knobs with YAML preview (LlamaBoard's "preview command"), dataset
+  preview, config save/load, start/abort for a single background run
+  (run_exp in a thread; LlamaBoard's Runner also serializes to one run),
+  and live metric charts polled from the run's trainer_log.jsonl (one
+  small chart per metric — loss / reward / kl / tokens_per_sec have
+  different scales, so they never share an axis)
+- Evaluate: background MCQ evaluation (eval/mcq.py) with an accuracy table
+- Chat: load a model into a ChatModel and converse (webui chat tab role)
+- Export: HF safetensors + ollama Modelfile
 
 Launch: `python -m infinitevl_tpu.cli board --port 7860` or
 `from infinitevl_tpu.serve.webui import run_board`.
@@ -129,6 +133,167 @@ class ExportRunner:
             }
 
 
+class EvalRunner:
+    """Background MCQ evaluation (the reference LlamaBoard's 'Evaluate &
+    Predict' tab, webui/components/eval.py role). One eval at a time;
+    results land in status['results']."""
+
+    def __init__(self):
+        self.status: Dict[str, Any] = {"state": "idle"}
+        self._thread = None
+        self._lock = threading.Lock()
+
+    def start(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        with self._lock:
+            if self._thread and self._thread.is_alive():
+                return {"error": "an eval is already running"}
+            self.status = {"state": "running"}
+
+            def work():
+                try:
+                    from ..cli import _build_generator, _tokenizer
+                    from ..eval.mcq import MCQEvaluator
+                    from ..hparams import parse_args
+
+                    args = parse_args(dict(config))
+                    gen, cfg = _build_generator(args)
+                    evaluator = MCQEvaluator(
+                        gen,
+                        _tokenizer(args, cfg),
+                        batch_size=args.eval.eval_batch_size,
+                        lang=args.eval.lang,
+                    )
+                    task_path = os.path.join(
+                        args.data.dataset_dir, f"{args.data.dataset}.json"
+                    )
+                    with open(task_path) as f:
+                        task = json.load(f)
+                    if isinstance(task, dict):
+                        metrics = evaluator.evaluate_task(
+                            task, n_shot=args.eval.n_shot
+                        )
+                    else:
+                        metrics = evaluator.evaluate(task)
+                    self.status = {"state": "done", "results": metrics}
+                except Exception as e:  # noqa: BLE001 - surfaced to the UI
+                    self.status = {
+                        "state": "error",
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+
+            self._thread = threading.Thread(target=work, daemon=True)
+            self._thread.start()
+            return {"ok": True}
+
+
+class ChatRunner:
+    """Chat tab backend: load a model once (background — weights + first
+    compile take a while), then serve chat turns through ChatModel."""
+
+    def __init__(self):
+        self.status: Dict[str, Any] = {"state": "empty"}
+        self.model = None
+        self._thread = None
+        self._lock = threading.Lock()
+
+    def load(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        with self._lock:
+            if self._thread and self._thread.is_alive():
+                return {"error": "a model is already loading"}
+            self.status = {"state": "loading"}
+            self.model = None
+
+            def work():
+                try:
+                    from ..cli import _build_generator, _tokenizer
+                    from ..hparams import parse_args
+                    from .chat import ChatModel
+
+                    args = parse_args(dict(config))
+                    gen, cfg = _build_generator(args)
+                    self.model = ChatModel(
+                        gen, _tokenizer(args, cfg),
+                        template=args.data.template,
+                    )
+                    self.status = {
+                        "state": "ready",
+                        "template": args.data.template,
+                        "quant": "int8" if args.model.quantization_bit == 8
+                        else None,
+                    }
+                except Exception as e:  # noqa: BLE001 - surfaced to the UI
+                    self.status = {
+                        "state": "error",
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+
+            self._thread = threading.Thread(target=work, daemon=True)
+            self._thread.start()
+            return {"ok": True}
+
+    def chat(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        if self.model is None:
+            return {"error": "no model loaded (POST /api/chat/load first)"}
+        try:
+            text = self.model.chat(
+                req.get("messages", []),
+                max_new_tokens=int(req.get("max_new_tokens", 256)),
+                temperature=float(req.get("temperature", 0.0)),
+                top_k=int(req.get("top_k", 0)),
+                top_p=float(req.get("top_p", 1.0)),
+            )
+            return {"content": text}
+        except Exception as e:  # noqa: BLE001 - surfaced to the UI
+            return {"error": f"{type(e).__name__}: {e}"}
+
+
+def _dataset_preview(
+    name: str, dataset_dir: str, template: str, n: int = 3
+) -> Dict[str, Any]:
+    """First n examples of a registry dataset, raw + template-rendered
+    (LlamaBoard's 'preview dataset' button, webui/components/data.py)."""
+    from ..data.loader import load_dataset_info, load_examples
+    from ..data.template import get_template
+
+    registry = load_dataset_info(
+        os.path.join(dataset_dir, "dataset_info.json")
+    )
+    if name not in registry:
+        raise KeyError(
+            f"dataset {name!r} not in registry; available: {sorted(registry)}"
+        )
+    examples = load_examples(registry[name], dataset_dir)[:n]
+    tpl = get_template(template)
+    rows = []
+    for ex in examples:
+        rows.append(
+            {
+                "messages": ex.get("messages"),
+                "rendered": tpl.render_prompt(
+                    ex.get("messages", []), add_generation_prompt=False
+                ),
+            }
+        )
+    return {"count": len(rows), "examples": rows}
+
+
+def _config_dir(runs_root: str) -> str:
+    d = os.path.join(runs_root, "board_configs")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _safe_config_path(runs_root: str, name: str) -> Optional[str]:
+    base = os.path.basename(name)
+    if not base or base != name or not base.replace("-", "").replace(
+        "_", ""
+    ).replace(".", "").isalnum():
+        return None
+    if not base.endswith(".yaml"):
+        base += ".yaml"
+    return os.path.join(_config_dir(runs_root), base)
+
+
 def _read_log(output_dir: str, limit: int = 2000):
     path = os.path.join(output_dir, "trainer_log.jsonl")
     if not os.path.exists(path):
@@ -149,8 +314,12 @@ def make_board_handler(
     runner: TrainRunner,
     runs_root: str = "output",
     exporter: Optional[ExportRunner] = None,
+    evaluator: Optional[EvalRunner] = None,
+    chatter: Optional[ChatRunner] = None,
 ):
     exporter = exporter or ExportRunner()
+    evaluator = evaluator or EvalRunner()
+    chatter = chatter or ChatRunner()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -177,6 +346,50 @@ def make_board_handler(
                 return self._json(200, runner.status)
             if self.path == "/api/export/status":
                 return self._json(200, exporter.status)
+            if self.path == "/api/eval/status":
+                return self._json(200, evaluator.status)
+            if self.path == "/api/chat/status":
+                return self._json(200, chatter.status)
+            if self.path == "/api/templates":
+                from ..data.template import _TEMPLATES
+
+                return self._json(200, {"templates": sorted(_TEMPLATES)})
+            if self.path.startswith("/api/dataset"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    return self._json(
+                        200,
+                        _dataset_preview(
+                            q.get("name", ["demo"])[0],
+                            q.get("dir", ["data"])[0],
+                            q.get("template", ["qwen2_vl"])[0],
+                        ),
+                    )
+                except Exception as e:  # noqa: BLE001 - surfaced to the UI
+                    return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            if self.path == "/api/config/list":
+                d = _config_dir(runs_root)
+                return self._json(
+                    200,
+                    {"configs": sorted(
+                        f[:-5] for f in os.listdir(d) if f.endswith(".yaml")
+                    )},
+                )
+            if self.path.startswith("/api/config/get"):
+                from urllib.parse import parse_qs, urlparse
+
+                import yaml
+
+                q = parse_qs(urlparse(self.path).query)
+                p = _safe_config_path(
+                    runs_root, q.get("name", [""])[0]
+                )
+                if p is None or not os.path.exists(p):
+                    return self._json(404, {"error": "no such config"})
+                with open(p) as f:
+                    return self._json(200, {"config": yaml.safe_load(f)})
             if self.path.startswith("/api/log"):
                 from urllib.parse import parse_qs, urlparse
 
@@ -212,6 +425,24 @@ def make_board_handler(
             if self.path == "/api/export":
                 res = exporter.start(req)
                 return self._json(400 if "error" in res else 200, res)
+            if self.path == "/api/eval":
+                res = evaluator.start(req)
+                return self._json(400 if "error" in res else 200, res)
+            if self.path == "/api/chat/load":
+                res = chatter.load(req)
+                return self._json(400 if "error" in res else 200, res)
+            if self.path == "/api/chat":
+                res = chatter.chat(req)
+                return self._json(400 if "error" in res else 200, res)
+            if self.path == "/api/config/save":
+                import yaml
+
+                p = _safe_config_path(runs_root, str(req.get("name", "")))
+                if p is None:
+                    return self._json(400, {"error": "bad config name"})
+                with open(p, "w") as f:
+                    yaml.safe_dump(req.get("config", {}), f)
+                return self._json(200, {"ok": True, "path": p})
             self._json(404, {"error": "not found"})
 
     return Handler
@@ -245,6 +476,10 @@ fieldset{border:1px solid #e4e3df;border-radius:6px;margin-bottom:1em}
 label{display:inline-block;margin:.25em .9em .25em 0;font-size:13px;color:#52514e}
 input,select{font-size:13px;padding:2px 4px}
 button{padding:.45em 1.1em;font-size:14px;margin-right:.5em;cursor:pointer}
+.tabs{margin:.8em 0;border-bottom:1px solid #e4e3df}
+.tabbtn{border:none;background:none;padding:.5em 1em;border-bottom:2px solid
+ transparent;color:#52514e}
+.tabbtn.active{border-bottom-color:#2a78d6;color:#0b0b0b;font-weight:600}
 #status{font-size:13px;color:#52514e;margin:.6em 0}
 .chart{margin:10px 0} .chart h4{margin:0 0 2px;font-size:13px;color:#0b0b0b}
 svg{background:#fcfcfb;border:1px solid #eeede9;border-radius:4px}
@@ -253,52 +488,220 @@ svg{background:#fcfcfb;border:1px solid #eeede9;border-radius:4px}
  display:none}
 pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 </style></head><body>
-<h2>InfiniteVL-TPU training board</h2>
-<div class=sub>configure &rarr; preview &rarr; start; metrics stream from trainer_log.jsonl</div>
-<fieldset><legend>config</legend>
+<h2>InfiniteVL-TPU board</h2>
+<div class=sub>train / evaluate / chat / export; metrics stream from trainer_log.jsonl</div>
+<div class=tabs>
+<button class="tabbtn active" onclick="showTab('train',this)">Train</button>
+<button class=tabbtn onclick="showTab('eval',this)">Evaluate</button>
+<button class=tabbtn onclick="showTab('chat',this)">Chat</button>
+<button class=tabbtn onclick="showTab('export',this)">Export</button>
+</div>
+<div id=tab_train class=tab>
+<fieldset><legend>model</legend>
+<label>preset <select id=config_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
+<label>checkpoint <input id=model_name_or_path placeholder="(blank = random init)" size=22></label>
+<label>rope_scaling <select id=rope_scaling><option value="">none</option>
+ <option>linear</option><option>dynamic</option><option>yarn</option><option>llama3</option></select></label>
+<label>quant <select id=quantization_bit><option value="">bf16</option><option value=8>int8 (QLoRA)</option></select></label>
+</fieldset>
+<fieldset><legend>data</legend>
+<label>dataset <input id=dataset value=demo size=12></label>
+<label>dataset_dir <input id=dataset_dir value=data size=8></label>
+<label>template <select id=template></select></label>
+<label>cutoff <input id=cutoff_len value=1024 size=6></label>
+<label><input type=checkbox id=packing> packing</label>
+<button onclick=previewData()>Preview dataset</button>
+</fieldset>
+<fieldset><legend>train</legend>
 <label>stage <select id=stage>
  <option>sft</option><option>pt</option><option>dt</option><option>rm</option>
  <option>dpo</option><option>kto</option><option>ppo</option></select></label>
-<label>preset <select id=config_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
-<label>dataset <input id=dataset value=demo size=12></label>
-<label>dataset_dir <input id=dataset_dir value=data size=8></label>
 <label>finetuning <select id=finetuning_type><option>full</option><option>lora</option><option>freeze</option></select></label>
+<label>lora_rank <input id=lora_rank value=8 size=3></label>
+<label>lora_alpha <input id=lora_alpha value=16 size=3></label>
 <label>lr <input id=learning_rate value=1e-4 size=7></label>
 <label>batch <input id=per_device_train_batch_size value=1 size=3></label>
-<label>cutoff <input id=cutoff_len value=1024 size=6></label>
 <label>max_steps <input id=max_steps value=100 size=6></label>
 <label>output_dir <input id=output_dir value=output/board_run size=16></label>
 <label><input type=checkbox id=bf16 checked> bf16</label>
+<label><input type=checkbox id=remat> remat</label>
+<label><input type=checkbox id=scan_layers> scan_layers</label>
+</fieldset>
+<fieldset><legend>saved configs</legend>
+<label>name <input id=cfg_name value=my_run size=12></label>
+<button onclick=saveCfg()>Save</button>
+<select id=cfg_list></select>
+<button onclick=loadCfg()>Load</button>
+<span id=cfg_status></span>
 </fieldset>
 <button onclick=preview()>Preview YAML</button>
 <button onclick=start()>Start</button>
 <button onclick=abortRun()>Abort</button>
 <div id=status>idle</div>
+<pre id=yaml style="display:none"></pre>
+<pre id=data_preview style="display:none"></pre>
+<div id=charts></div>
+</div>
+<div id=tab_eval class=tab style="display:none">
+<fieldset><legend>MCQ evaluation (eval/mcq.py; MMLU-style few-shot)</legend>
+<label>checkpoint <input id=ev_model_path placeholder="(blank = random init)" size=22></label>
+<label>preset <select id=ev_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
+<label>task json <input id=ev_dataset value=mcq_demo size=12></label>
+<label>dataset_dir <input id=ev_dir value=data size=8></label>
+<label>n_shot <input id=ev_nshot value=5 size=3></label>
+<label>batch <input id=ev_batch value=4 size=3></label>
+<label>lang <select id=ev_lang><option>en</option><option>zh</option></select></label>
+<button onclick=doEval()>Evaluate</button>
+<span id=ev_status></span>
+</fieldset>
+<table id=ev_table style="display:none;font-size:13px;border-collapse:collapse">
+<thead><tr><th style="text-align:left;padding:4px 12px 4px 0">subject</th>
+<th style="text-align:right">accuracy</th></tr></thead><tbody></tbody></table>
+</div>
+<div id=tab_chat class=tab style="display:none">
+<fieldset><legend>load model</legend>
+<label>checkpoint <input id=ch_model_path placeholder="(blank = random init)" size=22></label>
+<label>preset <select id=ch_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
+<label>template <select id=ch_template></select></label>
+<label>quant <select id=ch_quant><option value="">bf16</option><option value=8>int8</option></select></label>
+<button onclick=loadChat()>Load</button>
+<span id=ch_status>empty</span>
+</fieldset>
+<div id=ch_log style="border:1px solid #e4e3df;border-radius:6px;min-height:120px;
+ padding:8px;font-size:14px;white-space:pre-wrap"></div>
+<div style="margin-top:8px">
+<input id=ch_input size=70 placeholder="message..." onkeydown="if(event.key==='Enter')sendChat()">
+<button onclick=sendChat()>Send</button>
+<button onclick="CHAT.length=0;renderChat()">Clear</button>
+<label>max_new <input id=ch_max value=128 size=4></label>
+<label>temp <input id=ch_temp value=0 size=4></label>
+</div>
+</div>
+<div id=tab_export class=tab style="display:none">
 <fieldset><legend>export (HF safetensors + ollama Modelfile)</legend>
 <label>checkpoint <input id=exp_model_path placeholder="(blank = random init)" size=22></label>
 <label>preset <select id=exp_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
-<label>template <select id=exp_template><option>qwen2_vl</option><option>qwen</option><option>chatml</option><option>llama3</option></select></label>
+<label>template <select id=exp_template></select></label>
 <label>output_dir <input id=exp_out value=output/export size=16></label>
 <button onclick=doExport()>Export</button>
 <span id=exp_status></span>
 </fieldset>
-<pre id=yaml style="display:none"></pre>
-<div id=charts></div>
+</div>
 <div id=tip class=tip></div>
 <script>
+function showTab(name,btn){for(const t of document.querySelectorAll(".tab"))t.style.display="none";
+ document.getElementById("tab_"+name).style.display="block";
+ for(const b of document.querySelectorAll(".tabbtn"))b.classList.remove("active");
+ btn.classList.add("active");}
 const FORM=["stage","config_preset","dataset","dataset_dir","finetuning_type",
- "learning_rate","per_device_train_batch_size","cutoff_len","max_steps","output_dir"];
-const NUM=new Set(["learning_rate","per_device_train_batch_size","cutoff_len","max_steps"]);
+ "learning_rate","per_device_train_batch_size","cutoff_len","max_steps","output_dir",
+ "template","lora_rank","lora_alpha"];
+const NUM=new Set(["learning_rate","per_device_train_batch_size","cutoff_len",
+ "max_steps","lora_rank","lora_alpha"]);
 function cfg(){const c={};for(const k of FORM){let v=document.getElementById(k).value;
- if(NUM.has(k))v=Number(v);c[k]=v;}c.bf16=document.getElementById("bf16").checked;
+ if(NUM.has(k))v=Number(v);c[k]=v;}
+ for(const k of ["bf16","packing","remat","scan_layers"])
+  c[k]=document.getElementById(k).checked;
+ const mp=document.getElementById("model_name_or_path").value;if(mp)c.model_name_or_path=mp;
+ const rs=document.getElementById("rope_scaling").value;if(rs)c.rope_scaling=rs;
+ const qb=document.getElementById("quantization_bit").value;if(qb)c.quantization_bit=Number(qb);
  c.logging_steps=1;return c;}
 function preview(){const c=cfg();const y=Object.entries(c).map(([k,v])=>k+": "+v).join("\\n");
  const el=document.getElementById("yaml");el.textContent=y;el.style.display="block";}
+async function previewData(){
+ const q=new URLSearchParams({name:document.getElementById("dataset").value,
+  dir:document.getElementById("dataset_dir").value,
+  template:document.getElementById("template").value});
+ const j=await (await fetch("/api/dataset?"+q)).json();
+ const el=document.getElementById("data_preview");
+ el.textContent=j.error?("error: "+j.error):
+  j.examples.map(e=>e.rendered).join("\\n----------------\\n");
+ el.style.display="block";}
+async function saveCfg(){
+ const r=await fetch("/api/config/save",{method:"POST",
+  headers:{"Content-Type":"application/json"},
+  body:JSON.stringify({name:document.getElementById("cfg_name").value,config:cfg()})});
+ const j=await r.json();
+ document.getElementById("cfg_status").textContent=j.error||"saved";loadCfgList();}
+async function loadCfgList(){
+ const j=await (await fetch("/api/config/list")).json();
+ document.getElementById("cfg_list").innerHTML=
+  (j.configs||[]).map(c=>`<option>${c}</option>`).join("");}
+async function loadCfg(){
+ const name=document.getElementById("cfg_list").value;if(!name)return;
+ const j=await (await fetch("/api/config/get?name="+encodeURIComponent(name))).json();
+ if(j.error){document.getElementById("cfg_status").textContent=j.error;return;}
+ const c=j.config||{};
+ for(const k of FORM)if(c[k]!==undefined)document.getElementById(k).value=c[k];
+ for(const k of ["bf16","packing","remat","scan_layers"])
+  if(c[k]!==undefined)document.getElementById(k).checked=c[k];
+ document.getElementById("model_name_or_path").value=c.model_name_or_path||"";
+ document.getElementById("rope_scaling").value=c.rope_scaling||"";
+ document.getElementById("quantization_bit").value=c.quantization_bit||"";
+ document.getElementById("cfg_status").textContent="loaded "+name;}
 async function start(){const r=await fetch("/api/train",{method:"POST",
  headers:{"Content-Type":"application/json"},body:JSON.stringify(cfg())});
  const j=await r.json();
  document.getElementById("status").textContent=j.error?("error: "+j.error):("running -> "+j.output_dir);}
 async function abortRun(){await fetch("/api/abort",{method:"POST",body:"{}"});}
+async function doEval(){
+ const c={config_preset:document.getElementById("ev_preset").value,
+  dataset:document.getElementById("ev_dataset").value,
+  dataset_dir:document.getElementById("ev_dir").value,
+  n_shot:Number(document.getElementById("ev_nshot").value),
+  eval_batch_size:Number(document.getElementById("ev_batch").value),
+  lang:document.getElementById("ev_lang").value};
+ const mp=document.getElementById("ev_model_path").value;if(mp)c.model_name_or_path=mp;
+ const r=await fetch("/api/eval",{method:"POST",
+  headers:{"Content-Type":"application/json"},body:JSON.stringify(c)});
+ const j=await r.json();
+ document.getElementById("ev_status").textContent=j.error||"running...";
+ if(!j.error)pollEval();}
+async function pollEval(){
+ const s=await (await fetch("/api/eval/status")).json();
+ document.getElementById("ev_status").textContent=s.state+(s.error?" | "+s.error:"");
+ if(s.state==="running"){setTimeout(pollEval,2000);return;}
+ if(s.state==="done"&&s.results){
+  const tb=document.querySelector("#ev_table tbody");
+  tb.innerHTML=Object.entries(s.results).sort().map(([k,v])=>
+   `<tr><td style="padding:2px 12px 2px 0">${k}</td>
+    <td style="text-align:right">${(100*v).toFixed(1)}%</td></tr>`).join("");
+  document.getElementById("ev_table").style.display="table";}}
+const CHAT=[];
+function renderChat(){document.getElementById("ch_log").textContent=
+ CHAT.map(m=>(m.role==="user"?"You: ":"Model: ")+m.content).join("\\n");}
+async function loadChat(){
+ const c={config_preset:document.getElementById("ch_preset").value,
+  template:document.getElementById("ch_template").value};
+ const mp=document.getElementById("ch_model_path").value;if(mp)c.model_name_or_path=mp;
+ const qb=document.getElementById("ch_quant").value;if(qb)c.quantization_bit=Number(qb);
+ const r=await fetch("/api/chat/load",{method:"POST",
+  headers:{"Content-Type":"application/json"},body:JSON.stringify(c)});
+ const j=await r.json();
+ document.getElementById("ch_status").textContent=j.error||"loading...";
+ if(!j.error)pollChatLoad();}
+async function pollChatLoad(){
+ const s=await (await fetch("/api/chat/status")).json();
+ document.getElementById("ch_status").textContent=s.state+(s.error?" | "+s.error:"");
+ if(s.state==="loading")setTimeout(pollChatLoad,2000);}
+async function sendChat(){
+ const inp=document.getElementById("ch_input");const text=inp.value.trim();
+ if(!text)return;inp.value="";
+ CHAT.push({role:"user",content:text});renderChat();
+ const r=await fetch("/api/chat",{method:"POST",
+  headers:{"Content-Type":"application/json"},
+  body:JSON.stringify({messages:CHAT,
+   max_new_tokens:Number(document.getElementById("ch_max").value),
+   temperature:Number(document.getElementById("ch_temp").value)})});
+ const j=await r.json();
+ CHAT.push({role:"assistant",content:j.error?("[error: "+j.error+"]"):j.content});
+ renderChat();}
+async function fillTemplates(){
+ const j=await (await fetch("/api/templates")).json();
+ const opts=(j.templates||["qwen2_vl"]).map(t=>`<option>${t}</option>`).join("");
+ for(const id of ["template","ch_template","exp_template"]){
+  const el=document.getElementById(id);el.innerHTML=opts;el.value="qwen2_vl";}}
+fillTemplates();loadCfgList();
 async function doExport(){
  const c={config_preset:document.getElementById("exp_preset").value,
   template:document.getElementById("exp_template").value,

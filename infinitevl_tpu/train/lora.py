@@ -65,7 +65,13 @@ def init_lora(
     use_dora adds a learnable magnitude vector 'm' per adapter (DoRA,
     reference adapter.py:221 use_dora peft kwarg): the effective weight is
     m * (W + aB) / ||W + aB||_col. m initializes to ||W||_col, so with
-    b = 0 the forward is exactly the base model at init."""
+    b = 0 the forward is exactly the base model at init.
+
+    Base nodes quantized by models/quant.quantize_params ('kernel_q' +
+    'scale' instead of 'kernel') are matched too — that is the QLoRA
+    configuration (int8 frozen base + trainable rank-r side path; reference
+    model_args.py:191 quantization_bit with a bnb NF4 base). PiSSA and DoRA
+    need the full-precision kernel per step and raise on a quantized base."""
     counter = [0]
 
     def walk(node, path):
@@ -75,10 +81,17 @@ def init_lora(
                 if (
                     k in target
                     and isinstance(v, dict)
-                    and "kernel" in v
-                    and getattr(v["kernel"], "ndim", 0) == 2
+                    and ("kernel" in v or "kernel_q" in v)
+                    and getattr(v.get("kernel", v.get("kernel_q")), "ndim", 0)
+                    == 2
                 ):
-                    d_in, d_out = v["kernel"].shape
+                    if "kernel" not in v and (method == "pissa" or use_dora):
+                        raise ValueError(
+                            "PiSSA/DoRA need the full-precision base kernel "
+                            "per step; re-load the base unquantized or use "
+                            "plain LoRA (the QLoRA configuration)"
+                        )
+                    d_in, d_out = v.get("kernel", v.get("kernel_q")).shape
                     counter[0] += 1
                     ka = jax.random.fold_in(key, counter[0])
                     if method == "pissa":
@@ -168,7 +181,12 @@ def apply_lora(
     result references base arrays except patched kernels). Used inside the
     jitted loss so gradients flow to the adapter leaves only when the loss
     is differentiated w.r.t. `lora`. DoRA adapters ('m' present) fold the
-    magnitude/direction decomposition into the merged kernel."""
+    magnitude/direction decomposition into the merged kernel.
+
+    An int8-quantized base node ('kernel_q', QLoRA) is dequantized to
+    bfloat16 before the delta is added — the merged export is full-precision
+    (peft refuses to merge into a quantized layer; dequant-then-merge is the
+    standard QLoRA export)."""
     scale = lora_scale(alpha, rank, use_rslora)
 
     def walk(p, l):
@@ -178,6 +196,12 @@ def apply_lora(
                 if isinstance(l, dict) and k in l and isinstance(l[k], dict) \
                         and "a" in l[k]:
                     new = dict(v)
+                    if "kernel" not in v and "kernel_q" in v:
+                        from ..models.quant import dequantize_kernel
+
+                        new.pop("kernel_q"), new.pop("scale")
+                        new["kernel"] = dequantize_kernel(v)
+                        v = new
                     delta = (l[k]["a"] @ l[k]["b"]) * scale
                     merged = v["kernel"] + delta.astype(v["kernel"].dtype)
                     if "m" in l[k]:

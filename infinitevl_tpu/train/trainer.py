@@ -644,6 +644,21 @@ def run_sft(args: AllArgs, tokenizer=None):
     mm = is_multimodal(data)
     mesh = _maybe_mesh(args)
     params = _load_or_init_params(args, cfg, mm, dtype)
+    if args.model.quantization_bit is not None:
+        # QLoRA: int8 frozen base + rank-r adapters (reference
+        # model_args.py:191 quantization_bit / bnb NF4; here per-channel
+        # int8, models/quant.py). Halves the frozen base's HBM footprint,
+        # which is what lets 64K-context LoRA fit one 16 GB v5e.
+        if args.model.quantization_bit != 8:
+            raise ValueError("only quantization_bit: 8 is supported on TPU")
+        if args.finetune.finetuning_type != "lora":
+            raise ValueError(
+                "quantization_bit requires finetuning_type: lora (the "
+                "quantized base is frozen; int8 leaves carry no gradients)"
+            )
+        from ..models.quant import quantize_params
+
+        params = quantize_params(params)
     params = _shard_tree(params, mesh, args.train.param_mode)
     steps = args.train.max_steps or int(
         np.ceil(args.train.num_train_epochs * len(data) / args.train.per_device_train_batch_size)

@@ -39,7 +39,9 @@ def test_board_page_and_status(board):
     port, _ = board
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
         html = r.read().decode()
-    assert "training board" in html
+    assert "InfiniteVL-TPU board" in html
+    for tab in ("Train", "Evaluate", "Chat", "Export"):
+        assert f">{tab}</button>" in html
     st = _req(port, "/api/status")
     assert st == {"running": False}
 
@@ -93,6 +95,80 @@ def test_board_rejects_bad_config_and_traversal(board):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_board_templates_dataset_and_configs(board):
+    """Round-3 tabs: template listing, dataset preview, config save/load."""
+    port, root = board
+    t = _req(port, "/api/templates")
+    assert "qwen2_vl" in t["templates"] and len(t["templates"]) > 50
+    prev = _req(port, "/api/dataset?name=demo&dir=data&template=qwen2_vl")
+    assert prev["count"] > 0
+    assert "<|im_start|>user" in prev["examples"][0]["rendered"]
+    # config save -> list -> get round trip
+    cfg = {"stage": "sft", "dataset": "demo", "cutoff_len": 64}
+    res = _req(port, "/api/config/save", {"name": "t1", "config": cfg})
+    assert res.get("ok"), res
+    lst = _req(port, "/api/config/list")
+    assert "t1" in lst["configs"]
+    got = _req(port, "/api/config/get?name=t1")
+    assert got["config"] == cfg
+    # traversal guard
+    try:
+        _req(port, "/api/config/save", {"name": "../evil", "config": {}})
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_board_eval_flow(board):
+    """Evaluate tab: background MCQ eval on the fixture task."""
+    port, root = board
+    res = _req(
+        port,
+        "/api/eval",
+        {
+            "config_preset": "tiny",
+            "dataset": "mcq_demo",
+            "dataset_dir": "data",
+            "n_shot": 2,
+            "eval_batch_size": 2,
+        },
+    )
+    assert res.get("ok"), res
+    for _ in range(240):
+        st = _req(port, "/api/eval/status")
+        if st["state"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert st["state"] == "done", st
+    assert 0.0 <= st["results"]["accuracy"] <= 1.0
+
+
+def test_board_chat_flow(board):
+    """Chat tab: load a tiny model, send a message, get a reply."""
+    port, root = board
+    res = _req(
+        port,
+        "/api/chat/load",
+        {"config_preset": "tiny", "template": "qwen2_vl"},
+    )
+    assert res.get("ok"), res
+    for _ in range(240):
+        st = _req(port, "/api/chat/status")
+        if st["state"] in ("ready", "error"):
+            break
+        time.sleep(1)
+    assert st["state"] == "ready", st
+    out = _req(
+        port,
+        "/api/chat",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_new_tokens": 4,
+        },
+    )
+    assert "content" in out, out
 
 
 def test_board_export_flow(board, tmp_path):

@@ -209,7 +209,16 @@ def test_new_templates_supervision_mask():
     ]
     for name in ("gemma", "phi", "phi4", "mistral", "mistral_small",
                  "llama2", "deepseek", "deepseek3", "glm4", "yi", "zephyr",
-                 "vicuna", "alpaca", "default", "baichuan2", "fewshot"):
+                 "vicuna", "alpaca", "default", "baichuan2", "fewshot",
+                 # round-3 breadth batch
+                 "aquila", "atom", "baichuan", "bailing", "belle", "bluelm",
+                 "breeze", "chatglm3", "codegeex4", "cohere", "cpm", "cpm3",
+                 "dbrx", "deepseekcoder", "exaone", "falcon", "granite3",
+                 "hunyuan", "index", "intern", "intern2", "llava",
+                 "llava_next", "marco", "minicpm_o", "minicpm_v",
+                 "moonlight", "olmo", "openchat", "opencoder", "orion",
+                 "sailor", "skywork_o1", "solar", "starchat", "telechat",
+                 "telechat2", "xverse", "yayi", "yi_vl", "yuan", "ziya"):
         tok = SimpleTokenizer()
         ids, labels = get_template(name).encode_turns(tok, msgs)
         assert len(ids) == len(labels) > 0, name

@@ -64,3 +64,174 @@ def test_generator_int8_generates():
         np.array([[7, 11, 13]], dtype=np.int32), max_new_tokens=5
     )
     assert out.shape == (1, 5)
+
+
+# --- QLoRA: int8 frozen base + rank-r adapters (reference
+# model_args.py:191 quantization_bit; here models/quant.py composed with
+# train/lora.attach_lora through the same _dense helper) ---
+
+
+def test_qlora_attach_matches_dequantized_base():
+    """attach_lora over a quantized base == attach_lora over the explicitly
+    dequantized base, bit-for-bit (the int8 matmul IS dequant-then-matmul)."""
+    from infinitevl_tpu.models.quant import dequantize_kernel
+    from infinitevl_tpu.train.lora import attach_lora, init_lora
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    qp = quantize_params(params, min_size=1024)
+    lora = init_lora(qp, jax.random.PRNGKey(1), rank=4)
+    # non-zero b so the side path actually contributes
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+
+    def deq(node):
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                out = {k: v for k, v in node.items()
+                       if k not in ("kernel_q", "scale")}
+                out["kernel"] = dequantize_kernel(node, jnp.float32)
+                return out
+            return {k: deq(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(deq(v) for v in node)
+        return node
+
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 16), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(16)[None, None], (3, 1, 16))
+    a_q = attach_lora(qp, lora, alpha=8, rank=4)
+    a_d = attach_lora(deq(qp), lora, alpha=8, rank=4)
+    h_q, _, _ = text_forward(a_q["text"], cfg, embed_tokens(a_q["text"], ids), pos)
+    h_d, _, _ = text_forward(a_d["text"], cfg, embed_tokens(a_d["text"], ids), pos)
+    np.testing.assert_allclose(
+        np.asarray(h_q), np.asarray(h_d), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_qlora_training_reduces_loss_and_keeps_base_int8():
+    from infinitevl_tpu.train.lora import init_lora, make_lora_sft_step
+    from infinitevl_tpu.train.step import make_optimizer
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    qp = quantize_params(params, min_size=1024)
+    lora = init_lora(qp, jax.random.PRNGKey(1), rank=4)
+    tx = make_optimizer(learning_rate=5e-3, weight_decay=0.0)
+    opt_state = tx.init(lora)
+    step = jax.jit(make_lora_sft_step(cfg, tx, qp, alpha=8, rank=4))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 12), 0, cfg.vocab_size)
+    batch = {
+        "input_ids": ids,
+        "labels": ids,
+        "position_ids": jnp.broadcast_to(jnp.arange(12)[None, None], (3, 2, 12)),
+    }
+    l0 = None
+    for i in range(6):
+        lora, opt_state, loss = step(lora, opt_state, batch)
+        if i == 0:
+            l0 = float(loss)
+    assert float(loss) < l0
+    # base stays int8 throughout; adapter leaves stay rank-r sized
+    assert qp["text"]["layers"][0]["q_proj"]["kernel_q"].dtype == jnp.int8
+    assert all(
+        x.ndim == 2 and min(x.shape) == 4 for x in jax.tree.leaves(lora)
+    )
+
+
+def test_qlora_merge_dequantizes():
+    """merge_lora on a quantized base exports full-precision kernels =
+    dequant(base) + scaled delta."""
+    from infinitevl_tpu.models.quant import dequantize_kernel
+    from infinitevl_tpu.train.lora import init_lora, merge_lora
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    qp = quantize_params(params, min_size=1024)
+    lora = init_lora(qp, jax.random.PRNGKey(1), rank=4)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    merged = merge_lora(qp, lora, alpha=8, rank=4)
+    node = merged["text"]["layers"][0]["q_proj"]
+    assert "kernel" in node and "kernel_q" not in node and "scale" not in node
+    l0 = lora["text"]["layers"][0]["q_proj"]
+    want = dequantize_kernel(
+        qp["text"]["layers"][0]["q_proj"], jnp.bfloat16
+    ) + (l0["a"] @ l0["b"]) * (8 / 4)
+    np.testing.assert_allclose(
+        np.asarray(node["kernel"], dtype=np.float32),
+        np.asarray(want, dtype=np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def test_int8_batching_engine_matches_int8_generator():
+    """BatchingEngine(quant='int8') batched greedy decode == the int8
+    Generator row-for-row (same quantized weights, deterministic argmax)."""
+    import threading
+
+    from infinitevl_tpu.generation import Generator
+    from infinitevl_tpu.serve.batching import BatchingEngine
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(10, cfg.text.vocab_size - 8, (10,)) for _ in range(2)]
+    gen = Generator(params, cfg, dtype=jnp.float32, chunk_size=4, quant="int8")
+    singles = []
+    for p in prompts:
+        out = gen.generate(p[None], max_new_tokens=8, temperature=0.0)[0]
+        toks = []
+        for t in out:
+            if t == cfg.eos_token_id:
+                break
+            toks.append(int(t))
+        singles.append(toks)
+    eng = BatchingEngine(
+        params, cfg, dtype=jnp.float32, batch_sizes=(2, 1),
+        max_wait_ms=3000, chunk_size=4, quant="int8",
+    )
+    try:
+        results = [None, None]
+
+        def worker(i):
+            results[i] = eng.generate(prompts[i], max_new_tokens=8)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert results[0] == singles[0] and results[1] == singles[1]
+    finally:
+        eng.shutdown()
+
+
+def test_qlora_rejects_dora_and_pissa():
+    import pytest
+
+    from infinitevl_tpu.train.lora import init_lora
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    qp = quantize_params(params, min_size=1024)
+    with pytest.raises(ValueError, match="full-precision"):
+        init_lora(qp, jax.random.PRNGKey(1), rank=4, use_dora=True)
+    with pytest.raises(ValueError, match="full-precision"):
+        init_lora(qp, jax.random.PRNGKey(1), rank=4, method="pissa")
+
+
+def test_qlora_run_sft_smoke(tmp_path):
+    """run_sft with quantization_bit: 8 end-to-end on the tiny preset."""
+    import os
+
+    from infinitevl_tpu.hparams import load_yaml_args
+    from infinitevl_tpu.train.trainer import run_sft
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = load_yaml_args(os.path.join(repo, "examples", "sft_tiny.yaml"))
+    args.train.output_dir = str(tmp_path)
+    args.data.dataset_dir = os.path.join(repo, "data")
+    args.train.max_steps = 2
+    args.finetune.finetuning_type = "lora"
+    args.model.quantization_bit = 8
+    merged = run_sft(args)
+    node = merged["text"]["layers"][0]["q_proj"]
+    assert "kernel" in node and "kernel_q" not in node
