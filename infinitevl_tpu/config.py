@@ -156,6 +156,12 @@ class TextConfig:
     # long-context training memory lever. 8192 keeps 8K training on the
     # full-T vectorized path (measured fastest) while 16K+ chunks.
     delta_seq_chunk_t: int = 8192
+    # Chunk size the seq-chunked delta layers actually EVALUATE with (the
+    # threshold above only gates activation). 4096 measured 13.5 GB total
+    # at 3B/32K vs 14.9 GB with 8192 chunks (compiler HBM accounting);
+    # raise it when memory allows (e.g. int8 QLoRA base) — fewer scan
+    # iterations amortize better.
+    delta_seq_chunk_eval: int = 4096
 
     def __post_init__(self):
         if self.layer_types is None:

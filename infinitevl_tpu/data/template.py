@@ -169,12 +169,20 @@ class Template:
     ) -> str:
         """messages: [{role: system|user|assistant|tool, content: str}, ...]."""
         out = [self.prefix] if self.prefix else []
+        user_idx = 0
         for m in self._prepare(messages, tools):
             role, content = m["role"], m["content"]
             if role == "system":
-                out.append(self.system_prefix.format(content=content))
+                out.append(self.system_prefix.format(content=content, idx=0))
             elif role == "user":
-                out.append(self.user_prefix.format(content=content))
+                # {idx} = 0-based user-turn ordinal (the reference's chatglm2
+                # "[Round {{idx}}]" slot; template.py:138 passes idx=i//2
+                # over the user/assistant alternation, so the first user
+                # turn renders Round 0)
+                out.append(
+                    self.user_prefix.format(content=content, idx=user_idx)
+                )
+                user_idx += 1
             elif role == "assistant":
                 out.append(self.assistant_prefix + content)
             else:
@@ -200,6 +208,7 @@ class Template:
             t = tokenizer.encode(self.prefix, add_special_tokens=False)
             ids += t
             labels += [IGNORE_INDEX] * len(t)
+        user_idx = 0
         for m in self._prepare(messages, tools):
             role, content = m["role"], m["content"]
             if role == "assistant":
@@ -209,7 +218,9 @@ class Template:
                 labels += [IGNORE_INDEX] * len(prefix) + body
             else:
                 fmt = self.system_prefix if role == "system" else self.user_prefix
-                seg = fmt.format(content=content) + self._suffix(role)
+                seg = fmt.format(content=content, idx=user_idx) + self._suffix(role)
+                if role == "user":
+                    user_idx += 1
                 t = tokenizer.encode(seg, add_special_tokens=False)
                 ids += t
                 labels += [IGNORE_INDEX] * len(t)
@@ -226,11 +237,11 @@ def get_ollama_modelfile(
     t = template
     go = (
         "{{ if .System }}"
-        + t.system_prefix.format(content="{{ .System }}")
+        + t.system_prefix.format(content="{{ .System }}", idx=0)
         + t.turn_suffix
         + "{{ end }}"
         + "{{ range .Messages }}{{ if eq .Role \"user\" }}"
-        + t.user_prefix.format(content="{{ .Content }}")
+        + t.user_prefix.format(content="{{ .Content }}", idx=0)
         + t.turn_suffix
         + "{{ else if eq .Role \"assistant\" }}"
         + t.assistant_prefix
@@ -1181,5 +1192,197 @@ register_template(
         user_suffix="",
         assistant_prefix="<bot>:",
         turn_suffix="\n",
+    )
+)
+
+# --- closing-the-registry batch: every remaining reference registration ---
+
+# reference template.py:660 (chatml_de: chatml + German default system)
+_chatml_clone(
+    "chatml_de",
+    default_system="Du bist ein freundlicher und hilfsbereiter KI-Assistent.",
+)
+
+# reference template.py:669 (codegeex2: prefix-only completion format)
+register_template(
+    Template(
+        name="codegeex2",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="{content}",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="",
+        prefix="[gMASK]sop",
+    )
+)
+
+# reference template.py:618 (chatglm2: numbered rounds via the {idx} slot)
+register_template(
+    Template(
+        name="chatglm2",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="[Round {idx}]\n\n问：{content}\n\n答：",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="",
+        prefix="[gMASK]sop",
+    )
+)
+
+
+def _llama3_clone(name: str, default_system: str = "") -> None:
+    """llama3 header-token families (reference marks these 'copied from
+    llama3 template'): mllama, llava_next_llama3, openchat-3.6 role
+    variants."""
+    register_template(
+        Template(
+            name=name,
+            system_prefix=(
+                "<|start_header_id|>system<|end_header_id|>\n\n{content}"
+            ),
+            user_prefix="<|start_header_id|>user<|end_header_id|>\n\n{content}",
+            assistant_prefix=(
+                "<|start_header_id|>assistant<|end_header_id|>\n\n"
+            ),
+            turn_suffix="<|eot_id|>",
+            prefix="<|begin_of_text|>",
+            default_system=default_system,
+            stop_words=("<|eot_id|>", "<|eom_id|>"),
+        )
+    )
+
+
+# reference template.py:973 (mllama) / :1037 (llava_next_llama3)
+_llama3_clone("mllama")
+_llama3_clone("llava_next_llama3")
+
+# reference template.py:1240 (openchat-3.6: llama3 headers, GPT4 role names)
+register_template(
+    Template(
+        name="openchat-3.6",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix=(
+            "<|start_header_id|>GPT4 Correct User<|end_header_id|>\n\n"
+            "{content}<|eot_id|>"
+        ),
+        user_suffix="",
+        assistant_prefix=(
+            "<|start_header_id|>GPT4 Correct Assistant<|end_header_id|>\n\n"
+        ),
+        turn_suffix="<|eot_id|>",
+        prefix="<|begin_of_text|>",
+        stop_words=("<|eot_id|>",),
+    )
+)
+
+
+def _mistral_clone(name: str, spaced: bool) -> None:
+    """[INST] families: spaced=True is the mistral-v3 spacing, False the
+    tekken (ministral/pixtral) spacing; system inlines into the first user
+    turn (Llama2Template semantics)."""
+    register_template(
+        Template(
+            name=name,
+            system_prefix="{content}\n\n",
+            system_inline=True,
+            user_prefix="[INST] {content}[/INST]" if spaced
+            else "[INST]{content}[/INST]",
+            user_suffix="",
+            assistant_prefix=" " if spaced else "",
+            turn_suffix="</s>",
+            prefix="<s>",
+        )
+    )
+
+
+# reference template.py:1189 (ministral) / :1330 (pixtral) /
+# :1327 (llava_next_mistral) / :1120 (llava_next_video_mistral)
+_mistral_clone("ministral", spaced=False)
+_mistral_clone("pixtral", spaced=False)
+_mistral_clone("llava_next_mistral", spaced=True)
+_mistral_clone("llava_next_video_mistral", spaced=True)
+
+# reference template.py:1343 (llava_next_qwen) / :1361 (llava_next_yi) /
+# :1127 (llava_next_video_yi) / :1160 (qwen2_audio) — chatml families
+_chatml_clone("llava_next_qwen", default_system="You are a helpful assistant.")
+_chatml_clone("llava_next_yi")
+_chatml_clone("llava_next_video_yi")
+_chatml_clone("qwen2_audio", default_system="You are a helpful assistant.")
+
+# reference template.py:1097 (llava_next_video) / :1478 (video_llava) —
+# vicuna chat format
+for _name in ("llava_next_video", "video_llava"):
+    register_template(
+        Template(
+            name=_name,
+            system_prefix="{content} ",
+            system_suffix="",
+            user_prefix="USER: {content} ",
+            user_suffix="",
+            assistant_prefix="ASSISTANT:",
+            turn_suffix="</s>",
+            default_system=_VICUNA_SYSTEM,
+        )
+    )
+
+# reference template.py:1275 (paligemma: bare completion + bos) /
+# :1283 (paligemma_chat: gemma turn format)
+register_template(
+    Template(
+        name="paligemma",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="{content}\n",
+        user_suffix="",
+        assistant_prefix="",
+        turn_suffix="",
+        prefix="<bos>",
+    )
+)
+register_template(
+    Template(
+        name="paligemma_chat",
+        system_prefix="{content}",
+        system_suffix="\n\n",
+        user_prefix="<start_of_turn>user\n{content}",
+        user_suffix="<end_of_turn>\n",
+        assistant_prefix="<start_of_turn>model\n",
+        turn_suffix="<end_of_turn>\n",
+        prefix="<bos>",
+        stop_words=("<end_of_turn>",),
+    )
+)
+
+# reference template.py:1307 (phi_small: phi-3 turns + endoftext prefix)
+register_template(
+    Template(
+        name="phi_small",
+        system_prefix="<|system|>\n{content}",
+        user_prefix="<|user|>\n{content}",
+        assistant_prefix="<|assistant|>\n",
+        turn_suffix="<|end|>\n",
+        prefix="<|endoftext|>",
+        stop_words=("<|end|>",),
+    )
+)
+
+# reference template.py:1489 (xuanyuan)
+register_template(
+    Template(
+        name="xuanyuan",
+        system_prefix="{content}",
+        system_suffix="",
+        user_prefix="Human: {content} ",
+        user_suffix="",
+        assistant_prefix="Assistant:",
+        turn_suffix="</s>",
+        default_system=(
+            "以下是用户和人工智能助手之间的对话。用户以Human开头，人工智能助手以Assistant开头，"
+            "会对人类提出的问题给出有帮助、高质量、详细和礼貌的回答，并且总是拒绝参与与不道德、"
+            "不安全、有争议、政治敏感等相关的话题、问题和指示。\n"
+        ),
     )
 )

@@ -205,12 +205,13 @@ def delta_forward(
         # long stateless (training) forward: evaluate the WHOLE layer in
         # sequence chunks so full-T intermediates never exist (see
         # delta_forward_seq_chunked). delta_seq_chunk_t gates ACTIVATION
-        # (8K stays on the fastest full-T path); evaluation chunks cap at
-        # 4096 — measured 13.5 GB total at 3B/32K vs 14.9 GB with 8192
-        # chunks (compiler HBM accounting, ROUND3_NOTES)
+        # (8K stays on the fastest full-T path); delta_seq_chunk_eval sets
+        # the evaluation chunk — 4096 measured 13.5 GB total at 3B/32K vs
+        # 14.9 GB with 8192 chunks (compiler HBM accounting, ROUND3_NOTES)
         return (
             delta_forward_seq_chunked(
-                p, cfg, x, segment_ids, min(cfg.delta_seq_chunk_t, 4096)
+                p, cfg, x, segment_ids,
+                min(cfg.delta_seq_chunk_t, cfg.delta_seq_chunk_eval),
             ),
             None,
         )

@@ -218,7 +218,14 @@ def test_new_templates_supervision_mask():
                  "llava_next", "marco", "minicpm_o", "minicpm_v",
                  "moonlight", "olmo", "openchat", "opencoder", "orion",
                  "sailor", "skywork_o1", "solar", "starchat", "telechat",
-                 "telechat2", "xverse", "yayi", "yi_vl", "yuan", "ziya"):
+                 "telechat2", "xverse", "yayi", "yi_vl", "yuan", "ziya",
+                 # registry-closing batch
+                 "chatml_de", "chatglm2", "codegeex2", "mllama",
+                 "llava_next_llama3", "openchat-3.6", "ministral", "pixtral",
+                 "llava_next_mistral", "llava_next_video_mistral",
+                 "llava_next_qwen", "llava_next_yi", "llava_next_video_yi",
+                 "qwen2_audio", "llava_next_video", "video_llava",
+                 "paligemma", "paligemma_chat", "phi_small", "xuanyuan"):
         tok = SimpleTokenizer()
         ids, labels = get_template(name).encode_turns(tok, msgs)
         assert len(ids) == len(labels) > 0, name
@@ -284,3 +291,45 @@ def test_mix_strategies(tmp_path):
     texts = [m["messages"][0]["content"] for m in over]
     assert all(f"a{i}" in texts for i in range(4))
     assert all(f"b{i}" in texts for i in range(12))
+
+
+def test_template_registry_covers_reference():
+    """Every template name registered by the reference
+    (src/llamafactory/data/template.py register_template calls) exists in
+    our registry. 'base'/'custom' regex hits in the reference are an
+    mm_plugin name and a docstring example, not registrations."""
+    import os
+    import re
+
+    from infinitevl_tpu.data.template import _TEMPLATES
+
+    ref = "/root/reference/src/llamafactory/data/template.py"
+    if not os.path.exists(ref):
+        import pytest
+
+        pytest.skip("reference tree not present")
+    names = set(re.findall(r'^\s*name="([^"]+)"', open(ref).read(), re.M))
+    names -= {"custom"}  # docstring example, not a registration
+    missing = names - set(_TEMPLATES)
+    assert not missing, f"missing templates: {sorted(missing)}"
+
+
+def test_chatglm2_round_numbering():
+    """chatglm2 {idx} slot: reference template.py:138 passes idx=i//2 over
+    the user/assistant alternation -> first user turn is Round 0."""
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.data.template import get_template
+
+    t = get_template("chatglm2")
+    msgs = [
+        {"role": "user", "content": "U1"},
+        {"role": "assistant", "content": "A1"},
+        {"role": "user", "content": "U2"},
+    ]
+    s = t.render_prompt(msgs, add_generation_prompt=False)
+    assert s == "[gMASK]sop[Round 0]\n\n问：U1\n\n答：A1[Round 1]\n\n问：U2\n\n答："
+    # encode path numbers identically and supervises only assistant bodies
+    tok = SimpleTokenizer()
+    ids, labels = t.encode_turns(tok, msgs)
+    text = tok.decode(ids)
+    assert "[Round 0]" in text and "[Round 1]" in text
