@@ -400,8 +400,12 @@ def main():
     base_tr = params["text"]
     tx = optax.adamw(1e-4)
     opt_state = tx.init(lora)
+    # remat_group=1: nested group remat (rg>1) costs an EXTRA recompute
+    # pass (group recompute + per-layer recompute ~= 4.85x fwd vs rg=1's
+    # 4.0x, probed 3060 vs 3706 ms at 8K) — use rg>1 only when per-layer
+    # remat doesn't fit, which 8K does.
     step_fn = jax.jit(
-        make_lora_sft_step(cfg.text, tx, remat=True, remat_group=6),
+        make_lora_sft_step(cfg.text, tx, remat=True, remat_group=1),
         donate_argnums=(0, 1),
     )
     rtr = np.random.RandomState(0)

@@ -74,8 +74,10 @@ class TrainArgs:
     param_mode: str = "fsdp"  # tp | fsdp | replicated
     # gradient checkpointing (reference model_utils/checkpointing.py role):
     # remat recomputes layer internals in the backward; remat_group > 1
-    # checkpoints groups of layers (fewer live boundary activations — the
-    # 3B 32K LoRA recipe needs remat: true, remat_group: 6 on one v5e)
+    # checkpoints groups of layers (fewer live boundary activations) but
+    # nested group remat costs an EXTRA recompute pass (~4.85x fwd vs
+    # rg=1's 4.0x, probed at 3B/8K) — keep rg=1 unless memory demands it;
+    # 16K+ recipes use scan_layers instead (models/stacked.py)
     remat: bool = False
     remat_group: int = 1
     # scan-over-layers for LoRA training when the layer pattern repeats:

@@ -33,6 +33,7 @@ recurrence in tests/test_delta_rule.py.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -42,7 +43,9 @@ import jax.numpy as jnp
 from .norms import l2norm
 
 
-def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
+def _solve_unit_lower(
+    a: jax.Array, rhs: jax.Array, compute_dtype=jnp.float32
+) -> jax.Array:
     """Solve (I + A) X = rhs for strictly-lower-triangular A.
 
     a: [..., C, C] strictly lower; rhs: [..., C, M].
@@ -50,15 +53,33 @@ def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
     Newton-Schulz iteration X <- X (2I - L X): since the residual squares
     each step and E_0 = -A is nilpotent of index <= C, ceil(log2(C))
     iterations give the EXACT inverse — all batched MXU matmuls, far faster
-    on TPU than lax.linalg.triangular_solve's sequential substitution."""
+    on TPU than lax.linalg.triangular_solve's sequential substitution.
+
+    With a half-precision ``compute_dtype`` the iteration runs with
+    half-precision OPERANDS and fp32 accumulation (the reference Triton
+    kernels' precision model: tl.dot on bf16 tiles, fp32 acc —
+    wy_fast.py stores its A/w/u tiles in input dtype). A is
+    well-conditioned here (l2-normed k, decay ratios and beta all <= 1),
+    so the fixed point sits at ~bf16 rounding of the exact inverse."""
     C = a.shape[-1]
     eye = jnp.eye(C, dtype=jnp.float32)
-    l = a.astype(jnp.float32) + eye
-    x = eye - a.astype(jnp.float32)  # first-order seed: E_0 = A^2 terms
     n_iter = max(int(math.ceil(math.log2(max(C, 2)))) - 1, 0)
+    if compute_dtype in (jnp.float32, jnp.float64):
+        l = a.astype(jnp.float32) + eye
+        x = eye - a.astype(jnp.float32)  # first-order seed: E_0 = A^2 terms
+        for _ in range(n_iter):
+            x = x @ (2.0 * eye - l @ x)
+        return (x @ rhs.astype(jnp.float32)).astype(rhs.dtype)
+    mm = functools.partial(
+        jnp.einsum, "...ij,...jk->...ik",
+        preferred_element_type=jnp.float32,
+    )
+    lb = (a.astype(jnp.float32) + eye).astype(compute_dtype)
+    x = (eye - a.astype(jnp.float32)).astype(compute_dtype)
     for _ in range(n_iter):
-        x = x @ (2.0 * eye - l @ x)
-    return (x @ rhs.astype(jnp.float32)).astype(rhs.dtype)
+        t = mm(lb, x)  # fp32
+        x = mm(x, (2.0 * eye - t).astype(compute_dtype)).astype(compute_dtype)
+    return mm(x, rhs.astype(compute_dtype)).astype(rhs.dtype)
 
 
 def delta_rule_recurrent(
@@ -152,12 +173,13 @@ def delta_rule_step(
 
 
 def _wyut_precompute(
-    qf: jax.Array,  # [..., C, K] fp32, already scaled
-    kf: jax.Array,  # [..., C, K] fp32
-    vf: jax.Array,  # [..., C, V] fp32
+    qf: jax.Array,  # [..., C, K] compute dtype, already scaled
+    kf: jax.Array,  # [..., C, K] compute dtype
+    vf: jax.Array,  # [..., C, V] compute dtype
     gf: jax.Array,  # [..., C] fp32 log-decay (segment starts already zeroed)
     bf: jax.Array,  # [..., C] fp32 beta
     seg: Optional[jax.Array],  # [..., C] segment ids (head axis broadcast) or None
+    compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, ...]:
     """Per-chunk WY/UT precompute, batch-dim agnostic.
 
@@ -165,6 +187,15 @@ def _wyut_precompute(
     chunks at once ([B, H, N, C, ·], the vectorized path) — the chunkwise
     math of the reference pipeline (chunk.py:74-177 / wy_fast.py) is local
     to each chunk, so the two calls share this code exactly.
+
+    ``compute_dtype`` is the storage dtype of the returned per-chunk
+    tensors and the matmul operand dtype (accumulation stays fp32 via
+    preferred_element_type). Callers pass the layer's input dtype: with
+    bf16 models the vectorized path's [B, H, N, C, ·] tensors were the
+    delta layer's HBM bottleneck at fp32 (measured ~10.5 ms/layer fwd at
+    3B/8K, bandwidth-bound); bf16 storage halves that traffic and matches
+    the reference Triton pipeline, which stores w/u/A tiles in input dtype
+    (wy_fast.py). Decay/beta/carry math stays fp32.
 
     Returns (w, u, q_b, attn, k_out, carry)."""
     K = qf.shape[-1]
@@ -186,33 +217,45 @@ def _wyut_precompute(
         same_seg = seg[..., :, None] == seg[..., None, :]
         ratio = jnp.where(same_seg, ratio, 0.0)
 
-    kk = jnp.einsum("...ik,...jk->...ij", kf, kf)  # [..., C, C]
+    kk = jnp.einsum(
+        "...ik,...jk->...ij", kf, kf, preferred_element_type=jnp.float32
+    )  # [..., C, C] fp32
     a_mat = jnp.where(stril, kk * ratio, 0.0) * bf[..., :, None]
     # X = (I + A)^{-1} rhs, rhs stacked [diag(b) K | V] to solve once
-    kb = kf * jnp.exp(gcs)[..., None]
+    kb = kf.astype(jnp.float32) * jnp.exp(gcs)[..., None]
     if seg is not None:
         # decay-from-chunk-start only valid within first segment of chunk;
         # cross-segment state terms are masked below anyway, but keep kb finite
         kb = jnp.where(same_as_chunk_start[..., None], kb, 0.0)
-    rhs = jnp.concatenate([kb, vf], axis=-1) * bf[..., None]
-    x = _solve_unit_lower(a_mat, rhs)
+    rhs = (
+        jnp.concatenate([kb, vf.astype(jnp.float32)], axis=-1)
+        * bf[..., None]
+    ).astype(compute_dtype)
+    x = _solve_unit_lower(a_mat, rhs, compute_dtype)
     w = x[..., :K]  # [..., C, K]
     u = x[..., K:]  # [..., C, V]
 
     # Output-side precomputables
-    qk = jnp.einsum("...ik,...jk->...ij", qf, kf)
-    attn = jnp.where(tril, qk * ratio, 0.0)  # includes diagonal
-    q_b = qf * jnp.exp(gcs)[..., None]  # decay-weighted queries for inter term
+    qk = jnp.einsum(
+        "...ik,...jk->...ij", qf, kf, preferred_element_type=jnp.float32
+    )
+    attn = jnp.where(tril, qk * ratio, 0.0).astype(compute_dtype)  # incl. diag
+    q_b = (
+        qf.astype(jnp.float32) * jnp.exp(gcs)[..., None]
+    )  # decay-weighted queries for inter term
     if seg is not None:
         q_b = jnp.where(same_as_chunk_start[..., None], q_b, 0.0)
-    k_out = kf * jnp.exp(b_end[..., None] - gcs)[..., None]  # decay-to-chunk-end
+    q_b = q_b.astype(compute_dtype)
+    k_out = (
+        kf.astype(jnp.float32) * jnp.exp(b_end[..., None] - gcs)[..., None]
+    )  # decay-to-chunk-end
     carry = jnp.exp(b_end)  # [...] state decay across the chunk
     if seg is not None:
         # only the chunk's final segment carries state into the next chunk
         k_out = jnp.where((seg == last_of_chunk)[..., None], k_out, 0.0)
         # a segment boundary inside the chunk kills the incoming state carry
         carry = jnp.where((first_of_chunk == last_of_chunk)[..., 0], carry, 0.0)
-    return w, u, q_b, attn, k_out, carry
+    return w, u, q_b, attn, k_out.astype(compute_dtype), carry
 
 
 def delta_rule_chunk(
@@ -251,8 +294,16 @@ def delta_rule_chunk(
       streaming structure (chunk.py:74-177 never materializes all chunks).
 
     Gradients are exact either way (verified in tests/test_delta_rule.py).
-    Default (None) streams at N >= 32 chunks (T >= 4K at C=128): long-context
-    training streams, short prefill chunks keep the vectorized fast path.
+    Default (None) streams only at N >= 128 chunks (T >= 16K at C=128).
+    Measured on v5e at 3B dims, T=8192 (N=64): the streamed scan costs
+    ~11 ms/layer forward vs ~4 ms vectorized — 64 sequential iterations of
+    small per-chunk ops serialize what the vectorized path batches over
+    (H, N) in one einsum — so every path the model actually runs stays
+    vectorized: full-T training tops out at T=8192 (delta_seq_chunk_t gates
+    longer T into delta_forward_seq_chunked, which passes stream=False),
+    and inference prefill chunks are 2048-4096 tokens (N <= 32). Streaming
+    remains for direct callers that need the O(chunk) backward memory
+    without the seq-chunked layer wrapper.
     """
     B, T, H, K = q.shape
     V = v.shape[-1]
@@ -295,7 +346,7 @@ def delta_rule_chunk(
         return jnp.moveaxis(x, 3, 1)  # [B, H, N, C, (d)]
 
     if stream is None:
-        stream = N >= 32
+        stream = N >= 128
 
     gf_all = chunked(g, 0).astype(jnp.float32)  # [B, H, N, C]
     bf_all = chunked(beta, 0).astype(jnp.float32)
@@ -317,12 +368,17 @@ def delta_rule_chunk(
     else:
         s0 = initial_state.astype(jnp.float32)
 
+    # matmul-operand / per-chunk-tensor storage dtype: the input dtype
+    # (fp32 paths stay bit-identical; bf16 models halve the dominant HBM
+    # traffic and ride the MXU at full rate — accumulation is fp32 via
+    # preferred_element_type everywhere, the reference Triton precision)
+    cd = v.dtype if v.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
     if not stream:
-        qf = chunked(q, K).astype(jnp.float32) * scale
-        kf = chunked(k, K).astype(jnp.float32)
-        vf = chunked(v, V).astype(jnp.float32)
+        qf = (chunked(q, K).astype(jnp.float32) * scale).astype(cd)
+        kf = chunked(k, K).astype(cd)
+        vf = chunked(v, V).astype(cd)
         w, u, q_b, attn, k_out, carry = _wyut_precompute(
-            qf, kf, vf, gf_all, bf_all, seg
+            qf, kf, vf, gf_all, bf_all, seg, cd
         )
 
         has_edge = edge_start is not None
@@ -333,11 +389,26 @@ def delta_rule_chunk(
                 s = s * (1.0 - edge_c)[:, None, None, None]
             else:
                 w_c, u_c, qb_c, attn_c, kout_c, carry_c = inp
-            y = u_c - jnp.einsum("bhck,bhkv->bhcv", w_c, s)
-            o_inter = jnp.einsum("bhck,bhkv->bhcv", qb_c, s)
-            o = o_inter + jnp.einsum("bhij,bhjv->bhiv", attn_c, y)
+            sc = s.astype(cd)  # half-precision state READ for output math;
+            # the state ACCUMULATOR itself stays fp32 across chunks
+            y = (
+                u_c.astype(jnp.float32)
+                - jnp.einsum(
+                    "bhck,bhkv->bhcv", w_c, sc,
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(cd)
+            o_inter = jnp.einsum(
+                "bhck,bhkv->bhcv", qb_c, sc,
+                preferred_element_type=jnp.float32,
+            )
+            o = o_inter + jnp.einsum(
+                "bhij,bhjv->bhiv", attn_c, y,
+                preferred_element_type=jnp.float32,
+            )
             s_new = s * carry_c[..., None, None] + jnp.einsum(
-                "bhck,bhcv->bhkv", kout_c, y
+                "bhck,bhcv->bhkv", kout_c, y,
+                preferred_element_type=jnp.float32,
             )
             return s_new, o.astype(v.dtype)
 
@@ -367,18 +438,30 @@ def delta_rule_chunk(
             else:
                 q_c, k_c, v_c, g_c, b_c = inp
                 seg_c = None
-            qf_c = q_c.astype(jnp.float32) * scale
-            kf_c = k_c.astype(jnp.float32)
-            vf_c = v_c.astype(jnp.float32)
+            qf_c = (q_c.astype(jnp.float32) * scale).astype(cd)
+            kf_c = k_c.astype(cd)
+            vf_c = v_c.astype(cd)
             w_c, u_c, qb_c, attn_c, kout_c, carry_c = _wyut_precompute(
-                qf_c, kf_c, vf_c, g_c, b_c, seg_c
+                qf_c, kf_c, vf_c, g_c, b_c, seg_c, cd
             )
-            y = u_c - jnp.einsum("bhck,bhkv->bhcv", w_c, s)
-            o = jnp.einsum("bhck,bhkv->bhcv", qb_c, s) + jnp.einsum(
-                "bhij,bhjv->bhiv", attn_c, y
+            sc = s.astype(cd)
+            y = (
+                u_c.astype(jnp.float32)
+                - jnp.einsum(
+                    "bhck,bhkv->bhcv", w_c, sc,
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(cd)
+            o = jnp.einsum(
+                "bhck,bhkv->bhcv", qb_c, sc,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bhij,bhjv->bhiv", attn_c, y,
+                preferred_element_type=jnp.float32,
             )
             s_new = s * carry_c[..., None, None] + jnp.einsum(
-                "bhck,bhcv->bhkv", kout_c, y
+                "bhck,bhcv->bhkv", kout_c, y,
+                preferred_element_type=jnp.float32,
             )
             return s_new, o.astype(v.dtype)
 

@@ -199,8 +199,20 @@ def _swa_prefill_splash(
     kh = jnp.repeat(k.transpose(0, 2, 1, 3), groups, axis=1)
     vh = jnp.repeat(v.transpose(0, 2, 1, 3), groups, axis=1)
     mask = sam.LocalMask((T, T), window_size=(window - 1, 0), offset=0)
+    # splash's BlockSizes.get_default() is 128x128 tiles — measured 24.1 ms
+    # fwd / 66.3 ms grad at 3B dims T=8192 on v5e, vs 2.4 / 9.0 ms with
+    # 1024x1024 tiles (the kernel is launch-overhead-bound at 128): a 10x
+    # fwd, 7x bwd speedup for free. Tiles must divide T; the dispatch gate
+    # guarantees T % 512 == 0.
+    blk = 1024 if T % 1024 == 0 else 512
+    bs = sak.BlockSizes(
+        block_q=blk, block_kv=blk, block_kv_compute=blk,
+        block_q_dkv=blk, block_kv_dkv=blk, block_kv_dkv_compute=blk,
+        block_q_dq=blk, block_kv_dq=blk,
+    )
     kernel = sak.make_splash_mha(
-        sam.MultiHeadMask([mask] * Hq), head_shards=1, q_seq_shards=1
+        sam.MultiHeadMask([mask] * Hq), head_shards=1, q_seq_shards=1,
+        block_sizes=bs,
     )
     if segment_ids is not None:
         seg = segment_ids.astype(jnp.int32)

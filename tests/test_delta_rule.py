@@ -267,3 +267,28 @@ def test_segment_boundary_at_chunk_edge(stream):
     )
     assert err_ratio(o, gt) < 2e-4
     assert err_ratio(s, s2) < 2e-4
+
+
+def test_bfloat16_compute_vs_fp32_compute():
+    """The half-precision-operand chunk path (bf16 storage of w/u/attn and
+    bf16-operand Newton-Schulz with fp32 accumulation — the reference
+    Triton kernels' precision model) must track the fp32-compute result on
+    the SAME bf16 values: casting the inputs to fp32 routes the identical
+    numbers through the fp32 branch, so the difference isolates the new
+    half-precision compute. Model-scale chunk (C=64 -> 5 NS iterations)."""
+    q, k, v, g, beta, s0 = make_inputs(jax.random.PRNGKey(11), T=256)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    seg = jnp.concatenate(
+        [jnp.zeros((2, 100), jnp.int32), jnp.ones((2, 156), jnp.int32)],
+        axis=1,
+    )
+    o_bf, s_bf = delta_rule_chunk(
+        qb, kb, vb, g, beta, chunk_size=64, segment_ids=seg
+    )
+    o_fp, s_fp = delta_rule_chunk(
+        qb.astype(jnp.float32), kb.astype(jnp.float32),
+        vb.astype(jnp.float32), g, beta, chunk_size=64, segment_ids=seg,
+    )
+    assert o_bf.dtype == jnp.bfloat16 and o_fp.dtype == jnp.float32
+    assert err_ratio(o_bf.astype(jnp.float32), o_fp) < 2e-2
+    assert err_ratio(s_bf, s_fp) < 2e-2

@@ -235,3 +235,45 @@ def test_qlora_run_sft_smoke(tmp_path):
     merged = run_sft(args)
     node = merged["text"]["layers"][0]["q_proj"]
     assert "kernel" in node and "kernel_q" not in node
+
+
+def test_int8_mcq_prediction_agreement():
+    """Quality delta of int8 weight-only serving, measured on the MCQ
+    fixture (VERDICT r2 item 7): choice predictions from the quantized
+    model must agree with the bf16-precision model on every fixture
+    question — the per-channel quantization error (<1%/channel) must not
+    flip any choice-logit argmax at fixture scale."""
+    import json
+    import os
+
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.eval.mcq import MCQEvaluator, format_example
+    from infinitevl_tpu.generation import Generator
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    tok = SimpleTokenizer()
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "mcq_demo.json")
+    with open(path) as f:
+        task = json.load(f)
+    prompts = [
+        format_example(ex, support_set=block["dev"][:1],
+                       subject_name=block.get("name", subj))
+        for subj, block in task.items()
+        for ex in block["test"][:3]
+    ]
+    assert len(prompts) >= 4
+
+    ev_fp = MCQEvaluator(Generator(params, cfg, dtype=jnp.float32), tok,
+                         batch_size=4)
+    preds_fp = ev_fp._score_prompts(prompts)
+    ev_q = MCQEvaluator(
+        Generator(params, cfg, dtype=jnp.float32, quant="int8"), tok,
+        batch_size=4,
+    )
+    preds_q = ev_q._score_prompts(prompts)
+    agree = sum(a == b for a, b in zip(preds_fp, preds_q))
+    assert agree == len(prompts), (
+        f"int8 flipped {len(prompts) - agree}/{len(prompts)} MCQ "
+        f"predictions: {list(zip(preds_fp, preds_q))}"
+    )
