@@ -118,10 +118,14 @@ class TextConfig:
     # --- TPU-build knobs (no reference counterpart) ---
     # Chunk length of the chunkwise delta-rule kernel. The reference Triton
     # kernel uses BT=64 (ops/gated_delta_rule/chunk.py:199); the math is
-    # chunk-size invariant (tests prove chunk(C) == recurrence for any C) and
-    # 128 measures ~2x faster on v5e at the deployed shapes (fewer scan
-    # steps, 128-lane-aligned UT matrices).
-    delta_chunk_size: int = 128
+    # chunk-size invariant (tests prove chunk(C) == recurrence for any C).
+    # Swept on v5e at 3B/8K after the bf16-intermediates change: C=64
+    # streamed is the training winner (full LoRA step 4294 tok/s vs 3762 at
+    # C=128 vectorized — the [.., C, C] decay/attn tensors and their
+    # backward traffic shrink with C); short prefill (T<=512) already
+    # clamps to 64, and inference chunked prefill (N<=64 chunks) stays on
+    # the vectorized path where C=64 vs 128 measured ±0.4 ms at T=257.
+    delta_chunk_size: int = 64
     # Sequence length at or below which the single-step recurrent path is
     # used instead of the chunk path (reference modeling_infinitevl.py:1230).
     recurrent_threshold: int = 64
@@ -144,10 +148,13 @@ class TextConfig:
     # default's 172 MB chunks were among the top 32K-LoRA allocations).
     mlp_chunk_t: int = 4096
     # Streamed delta-chunk evaluation (ops/delta_rule.py stream=True) when
-    # the chunk count N reaches this (0 = never). Streaming trades ~8%
-    # step time at 8K for bounded backward memory; 16K is the first length
-    # that OOMs vectorized on one v5e, so the default threshold is
-    # 16384/delta_chunk_size = 128 chunks.
+    # the chunk count N reaches this (0 = never). At C=64 the 8K training
+    # forward hits exactly this threshold and streams — measured FASTER
+    # than vectorized there (8.87 vs 10.64 ms/layer fwd; step 4294 vs 3872
+    # tok/s: the checkpointed per-chunk scan never materializes the
+    # [.., N, C, ·] tensors) while also bounding backward memory.
+    # Inference prefill chunks (2048-4096 tokens -> N <= 64) stay on the
+    # vectorized path, where small-N batching wins.
     delta_stream_min_chunks: int = 128
     # Sequence-chunked whole-layer evaluation for STATELESS delta forwards
     # longer than this (0 = off): projections/conv/delta/gate run per

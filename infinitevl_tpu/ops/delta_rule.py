@@ -294,16 +294,13 @@ def delta_rule_chunk(
       streaming structure (chunk.py:74-177 never materializes all chunks).
 
     Gradients are exact either way (verified in tests/test_delta_rule.py).
-    Default (None) streams only at N >= 128 chunks (T >= 16K at C=128).
-    Measured on v5e at 3B dims, T=8192 (N=64): the streamed scan costs
-    ~11 ms/layer forward vs ~4 ms vectorized — 64 sequential iterations of
-    small per-chunk ops serialize what the vectorized path batches over
-    (H, N) in one einsum — so every path the model actually runs stays
-    vectorized: full-T training tops out at T=8192 (delta_seq_chunk_t gates
-    longer T into delta_forward_seq_chunked, which passes stream=False),
-    and inference prefill chunks are 2048-4096 tokens (N <= 32). Streaming
-    remains for direct callers that need the O(chunk) backward memory
-    without the seq-chunked layer wrapper.
+    Default (None) streams at N >= 128 chunks, matching the model's
+    delta_stream_min_chunks. Measured on v5e at 3B/8K after the
+    bf16-intermediates change: which order wins depends on N — at C=64
+    (N=128) streaming is FASTER (8.87 vs 10.64 ms/layer fwd; the
+    checkpointed scan never materializes the [.., N, C, ·] tensors), while
+    small-N prefill chunks (N <= 64) favor the vectorized batching. Both
+    paths are HBM-bound, not compute-bound, at these shapes.
     """
     B, T, H, K = q.shape
     V = v.shape[-1]

@@ -85,7 +85,12 @@ def run(T, eval_chunk):
 
 def main():
     log(f"backend: {jax.default_backend()}")
-    for T, ec in ((32768, 4096), (32768, 8192), (16384, 8192)):
+    import os
+
+    cfgs = ((32768, 4096), (32768, 8192), (16384, 8192))
+    if os.environ.get("PROBE_32K_ONLY"):
+        cfgs = ((32768, 4096), (16384, 4096))
+    for T, ec in cfgs:
         try:
             run(T, ec)
         except Exception as e:  # noqa: BLE001
