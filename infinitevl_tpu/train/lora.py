@@ -173,6 +173,80 @@ def pissa_decompose(
     return walk(params, lora), lora
 
 
+def loftq_init(
+    params: Params,
+    rank: int = 8,
+    alpha: Optional[float] = None,
+    target: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj"),
+    iters: int = 4,
+    dtype=jnp.float32,
+) -> Tuple[Params, Params]:
+    """LoftQ initialization for the int8 QLoRA path (reference
+    scripts/loftq_init.py -> peft LoftQConfig semantics, loftq_iter=4).
+
+    Alternates residual quantization and rank-r SVD per target kernel:
+
+        A, B = 0
+        repeat iters times:
+            Q    = int8_quantize(W - scale * A B)   (models/quant.py scheme)
+            A, B = SVD_r(W - dequant(Q)) / sqrt(scale)
+
+    Returns (qbase, adapter): qbase holds 'kernel_q'+'scale' on every
+    target node (non-target nodes untouched — compose with
+    models/quant.quantize_params for full serving quantization), and
+    attach/apply_lora(qbase, adapter, alpha, rank) approximates the
+    FULL-precision W at init — unlike plain QLoRA init (b=0), where the
+    init forward equals the quantized base. scale = alpha/rank is folded
+    into the factors like pissa_decompose so the invariant holds for any
+    alpha."""
+    from ..models.quant import dequantize_kernel, quantize_kernel
+
+    scale = (alpha if alpha is not None else rank) / rank
+    inv = 1.0 / jnp.sqrt(scale)
+
+    def walk(node):
+        if isinstance(node, dict):
+            qb, ad = {}, {}
+            for k, v in node.items():
+                if (
+                    k in target
+                    and isinstance(v, dict)
+                    and "kernel" in v
+                    and getattr(v["kernel"], "ndim", 0) == 2
+                ):
+                    w = v["kernel"].astype(jnp.float32)
+                    a = jnp.zeros((w.shape[0], rank), jnp.float32)
+                    b = jnp.zeros((rank, w.shape[1]), jnp.float32)
+                    for _ in range(max(iters, 1)):
+                        qnode = quantize_kernel(w - scale * (a @ b))
+                        resid = w - dequantize_kernel(qnode, jnp.float32)
+                        u, s, vt = jnp.linalg.svd(resid, full_matrices=False)
+                        sr = jnp.sqrt(s[:rank])
+                        a = u[:, :rank] * sr[None, :] * inv
+                        b = sr[:, None] * vt[:rank] * inv
+                    new = {kk: vv for kk, vv in v.items() if kk != "kernel"}
+                    new.update(qnode)
+                    qb[k] = new
+                    ad[k] = {"a": a.astype(dtype), "b": b.astype(dtype)}
+                else:
+                    q_sub, a_sub = walk(v)
+                    qb[k] = q_sub
+                    if a_sub is not None:
+                        ad[k] = a_sub
+            return qb, (ad or None)
+        if isinstance(node, (list, tuple)):
+            pairs = [walk(v) for v in node]
+            qs = type(node)(p[0] for p in pairs)
+            ads = type(node)(
+                p[1] if p[1] is not None else {} for p in pairs
+            )
+            return qs, ads
+        return node, None
+
+    qbase, adapter = walk(params)
+    return qbase, adapter or {}
+
+
 def apply_lora(
     params: Params, lora: Params, alpha: float = 16.0, rank: int = 8,
     use_rslora: bool = False,

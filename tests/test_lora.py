@@ -186,3 +186,52 @@ def test_dora_gradients_reach_magnitude():
     )
     fd = (loss(lp) - loss(lm)) / (2 * eps)
     assert abs(float(m_g[3]) - float(fd)) < 5e-2 * (abs(float(fd)) + 1)
+
+
+def test_loftq_init_beats_plain_quant_at_init():
+    """LoftQ (reference scripts/loftq_init.py -> peft LoftQConfig): the
+    rank-r adapters absorb the quantization residual, so the adapted int8
+    model approximates the FULL-precision kernel better than the plainly
+    quantized one — and far better than plain-QLoRA init (b = 0, which IS
+    the quantized base). Checks the alpha-folding invariant too."""
+    import jax
+
+    from infinitevl_tpu.models.quant import dequantize_kernel
+    from infinitevl_tpu.train.lora import loftq_init
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 96), jnp.float32)
+    # outlier column makes the per-channel quantization error visible
+    w = w.at[:, 3].mul(20.0)
+    params = {"q_proj": {"kernel": w}}
+    for alpha, rank in ((8, 8), (32, 8)):
+        qbase, lora = loftq_init(params, rank=rank, alpha=alpha, iters=4)
+        assert qbase["q_proj"]["kernel_q"].dtype == jnp.int8
+        scale = alpha / rank
+        deq = dequantize_kernel(qbase["q_proj"], jnp.float32)
+        approx = deq + scale * (lora["q_proj"]["a"] @ lora["q_proj"]["b"])
+        err_plain = float(jnp.abs(deq - w).max())
+        err_loftq = float(jnp.abs(approx - w).max())
+        assert err_loftq < 0.7 * err_plain, (alpha, err_loftq, err_plain)
+
+
+def test_loftq_tree_walk_and_forward():
+    """loftq_init over a full text tree: targets become int8 + adapters,
+    non-targets untouched; attach_lora forward runs end-to-end."""
+    import jax
+
+    from infinitevl_tpu.models.params import init_text_params
+    from infinitevl_tpu.models.text import embed_tokens, text_forward
+    from infinitevl_tpu.train.lora import attach_lora, loftq_init
+
+    cfg = tiny_config().text
+    params = {"text": init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    qbase, lora = loftq_init(params, rank=4, alpha=8, iters=2)
+    l0 = qbase["text"]["layers"][0]
+    assert l0["q_proj"]["kernel_q"].dtype == jnp.int8
+    assert "kernel" in l0["mlp"]["gate"]  # non-target untouched
+    assert lora["text"]["layers"][0]["q_proj"]["a"].shape[1] == 4
+    at = attach_lora(qbase, lora, alpha=8, rank=4)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 12), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(12)[None, None], (3, 1, 12))
+    h, _, _ = text_forward(at["text"], cfg, embed_tokens(at["text"], ids), pos)
+    assert jnp.isfinite(h.astype(jnp.float32)).all()
