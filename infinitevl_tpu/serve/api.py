@@ -20,6 +20,49 @@ import numpy as np
 from ..data.template import get_template
 
 
+def _parse_content_parts(messages):
+    """OpenAI content-parts -> plain-text contents with `<image>` markers
+    plus decoded images (the request shape of the reference's
+    scripts/api_example/test_image.py). Images arrive as `data:` base64
+    URIs or raw base64 strings; remote http(s) URLs error with a clear
+    message — this serving environment has no egress, and fetching
+    arbitrary URLs from a server is an SSRF hole anyway."""
+    import base64
+    import io
+
+    out: List[Dict[str, Any]] = []
+    images: List[np.ndarray] = []
+    for m in messages:
+        c = m.get("content")
+        if not isinstance(c, list):
+            out.append(m)
+            continue
+        buf = []
+        for part in c:
+            t = part.get("type")
+            if t == "text":
+                buf.append(part.get("text", ""))
+            elif t == "image_url":
+                url = part.get("image_url", {})
+                if isinstance(url, dict):
+                    url = url.get("url", "")
+                if url.startswith(("http://", "https://")):
+                    raise ValueError(
+                        "remote image URLs are not fetched (no egress); "
+                        "send the image as a data:image/...;base64,... URI"
+                    )
+                b64 = url.split(",", 1)[1] if url.startswith("data:") else url
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(base64.b64decode(b64)))
+                images.append(np.asarray(img.convert("RGB")))
+                buf.append("<image>")
+            else:
+                raise ValueError(f"unsupported content part type {t!r}")
+        out.append({**m, "content": "".join(buf)})
+    return out, images
+
+
 class ChatBackend:
     """Adapter between the HTTP layer and a Generator + tokenizer."""
 
@@ -30,6 +73,24 @@ class ChatBackend:
         self.template = get_template(template)
         self.model_name = model_name
         self.lock = threading.Lock()
+
+    def _mm_model(self):
+        """Lazy ChatModel sharing this backend's generator/tokenizer/
+        template — the processor-backed preparation path for multimodal
+        requests (built on first image request only; text-only serving
+        never touches the vision processor)."""
+        if not hasattr(self, "_chat_model"):
+            from ..data.processing import InfiniteVLProcessor
+            from .chat import ChatModel
+
+            cm = ChatModel.__new__(ChatModel)
+            cm.generator = self.generator
+            cm.tokenizer = self.tokenizer
+            cm.template = self.template
+            cm.processor = InfiniteVLProcessor(self.tokenizer, self.generator.cfg)
+            cm._lock = threading.Lock()
+            self._chat_model = cm
+        return self._chat_model
 
     def complete(
         self,
@@ -46,6 +107,34 @@ class ChatBackend:
 
         # OpenAI wraps as {"type": "function", "function": {...}}
         fns = [t.get("function", t) for t in tools] if tools else None
+        messages, images = _parse_content_parts(messages)
+        if images:
+            # multimodal request: prompt + pixels through the chat engine's
+            # processor path (serve/chat.ChatModel; reference api test
+            # scripts/api_example/test_image.py)
+            prep = self._mm_model()._prepare(messages, images=images, tools=fns)
+            ids = prep.input_ids
+            with self.lock:
+                out = self.generator.generate(
+                    ids,
+                    pixel_values=prep.pixel_values,
+                    image_grid_thw=prep.image_grid_thw,
+                    max_new_tokens=max_tokens,
+                    temperature=temperature,
+                    top_p=top_p,
+                )
+            text = self.tokenizer.decode(out[0], skip_special_tokens=True)
+            res = {
+                "text": text,
+                "prompt_tokens": int(np.asarray(ids).shape[1]),
+                "completion_tokens": int(out.shape[1]),
+                "tool_calls": None,
+            }
+            if tools:
+                parsed = extract_tool_calls(text)
+                if isinstance(parsed, list):
+                    res["tool_calls"] = parsed
+            return res
         prompt = self.template.render_prompt(
             messages, add_generation_prompt=True, tools=fns
         )
@@ -83,10 +172,23 @@ class ChatBackend:
         jitted chunk) — the reference streams via TextIteratorStreamer
         (chat/hf_engine.py:45-415). Incremental decode is cumulative-text
         diffing so tokenizers that merge tokens stay correct."""
-        prompt = self.template.render_prompt(messages, add_generation_prompt=True)
-        ids = np.asarray(
-            [self.tokenizer.encode(prompt, add_special_tokens=False)], np.int64
-        )
+        messages, images = _parse_content_parts(messages)
+        mm_kwargs: Dict[str, Any] = {}
+        if images:
+            prep = self._mm_model()._prepare(messages, images=images)
+            ids = prep.input_ids
+            mm_kwargs = {
+                "pixel_values": prep.pixel_values,
+                "image_grid_thw": prep.image_grid_thw,
+            }
+        else:
+            prompt = self.template.render_prompt(
+                messages, add_generation_prompt=True
+            )
+            ids = np.asarray(
+                [self.tokenizer.encode(prompt, add_special_tokens=False)],
+                np.int64,
+            )
         eos = self.generator.cfg.eos_token_id
         with self.lock:
             toks: List[int] = []
@@ -97,6 +199,7 @@ class ChatBackend:
                 max_new_tokens=max_tokens,
                 temperature=temperature,
                 top_p=top_p,
+                **mm_kwargs,
             ):
                 for t in chunk[0]:
                     if int(t) == eos:
@@ -277,6 +380,9 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
                 return self._stream(req)
             try:
                 return self._send(200, _chat_response(backend, req))
+            except ValueError as e:  # bad content parts (remote image
+                # URLs, unknown part types) are caller errors
+                return self._send(400, {"error": str(e)})
             except Exception as e:  # surface model errors as 500s
                 return self._send(500, {"error": str(e)})
 
@@ -305,7 +411,15 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
 
         def _stream(self, req):
             # SSE with TRUE streaming: each jitted decode chunk is flushed to
-            # the client as soon as its tokens land on the host
+            # the client as soon as its tokens land on the host.
+            # Validate content parts BEFORE committing the 200/SSE headers —
+            # complete_stream is a generator, so a bad image part would
+            # otherwise surface only after headers are sent and drop the
+            # connection mid-stream instead of returning a 400.
+            try:
+                _parse_content_parts(req.get("messages", []))
+            except ValueError as e:
+                return self._send(400, {"error": str(e)})
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")

@@ -38,17 +38,22 @@ class ChatModel:
         images: Optional[Sequence[np.ndarray]] = None,
         videos: Optional[Sequence[np.ndarray]] = None,
         fps: float = 2.0,
+        tools: Optional[Sequence[Dict]] = None,
     ):
         """Render the prompt; vision placeholders in message contents are
         `<image>` / `<video>` markers (mm_plugin.py convention) expanded to
-        vision_start + pads + vision_end."""
+        vision_start + pads + vision_end. `tools` render into the system
+        turn like the text path (serve/api.py uses this for multimodal
+        tool-call requests)."""
         rendered = []
         for m in messages:
             c = m["content"]
             c = c.replace("<image>", VISION_START + IMAGE_PAD + VISION_END)
             c = c.replace("<video>", VISION_START + "<|video_pad|>" + VISION_END)
             rendered.append({"role": m["role"], "content": c})
-        prompt = self.template.render_prompt(rendered, add_generation_prompt=True)
+        prompt = self.template.render_prompt(
+            rendered, add_generation_prompt=True, tools=tools
+        )
         return self.processor(prompt, images=images, videos=videos, fps=fps)
 
     def chat(

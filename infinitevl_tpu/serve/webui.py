@@ -409,6 +409,25 @@ def make_board_handler(
                         if os.path.exists(os.path.join(d, "trainer_log.jsonl")):
                             runs.append(d)
                 return self._json(200, {"runs": runs})
+            if self.path.startswith("/api/checkpoints"):
+                # LlamaBoard's checkpoint dropdown role: list the orbax
+                # step directories of a run so the UI can offer resume
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                run = q.get("run", [""])[0]
+                full = os.path.realpath(os.path.join(run, "checkpoints"))
+                roots = (os.path.realpath(runs_root), os.path.realpath("."))
+                if not any(
+                    full.startswith(r + os.sep) or full == r for r in roots
+                ):
+                    return self._json(400, {"error": "run outside runs root"})
+                steps = []
+                if os.path.isdir(full):
+                    steps = sorted(
+                        int(n) for n in os.listdir(full) if n.isdigit()
+                    )
+                return self._json(200, {"dir": full, "steps": steps})
             self._json(404, {"error": "not found"})
 
         def do_POST(self):
@@ -526,6 +545,9 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label><input type=checkbox id=bf16 checked> bf16</label>
 <label><input type=checkbox id=remat> remat</label>
 <label><input type=checkbox id=scan_layers> scan_layers</label>
+<label>resume <input id=resume_from_checkpoint size=18
+ placeholder="(checkpoints dir)"></label>
+<button onclick=useLastRun()>Use last run</button>
 </fieldset>
 <fieldset><legend>saved configs</legend>
 <label>name <input id=cfg_name value=my_run size=12></label>
@@ -575,6 +597,8 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <button onclick="CHAT.length=0;renderChat()">Clear</button>
 <label>max_new <input id=ch_max value=128 size=4></label>
 <label>temp <input id=ch_temp value=0 size=4></label>
+<label>top_p <input id=ch_top_p value=1.0 size=4></label>
+<label>top_k <input id=ch_top_k value=0 size=4></label>
 </div>
 </div>
 <div id=tab_export class=tab style="display:none">
@@ -605,7 +629,13 @@ function cfg(){const c={};for(const k of FORM){let v=document.getElementById(k).
  const mp=document.getElementById("model_name_or_path").value;if(mp)c.model_name_or_path=mp;
  const rs=document.getElementById("rope_scaling").value;if(rs)c.rope_scaling=rs;
  const qb=document.getElementById("quantization_bit").value;if(qb)c.quantization_bit=Number(qb);
+ const rc=document.getElementById("resume_from_checkpoint").value;
+ if(rc)c.resume_from_checkpoint=rc;
  c.logging_steps=1;return c;}
+async function useLastRun(){const j=await (await fetch("/api/runs")).json();
+ if(j.runs&&j.runs.length)
+  document.getElementById("resume_from_checkpoint").value=
+   j.runs[j.runs.length-1]+"/checkpoints";}
 function preview(){const c=cfg();const y=Object.entries(c).map(([k,v])=>k+": "+v).join("\\n");
  const el=document.getElementById("yaml");el.textContent=y;el.style.display="block";}
 async function previewData(){
@@ -692,7 +722,9 @@ async function sendChat(){
   headers:{"Content-Type":"application/json"},
   body:JSON.stringify({messages:CHAT,
    max_new_tokens:Number(document.getElementById("ch_max").value),
-   temperature:Number(document.getElementById("ch_temp").value)})});
+   temperature:Number(document.getElementById("ch_temp").value),
+   top_p:Number(document.getElementById("ch_top_p").value),
+   top_k:Number(document.getElementById("ch_top_k").value)})});
  const j=await r.json();
  CHAT.push({role:"assistant",content:j.error?("[error: "+j.error+"]"):j.content});
  renderChat();}

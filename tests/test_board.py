@@ -194,3 +194,21 @@ def test_board_export_flow(board, tmp_path):
     assert os.path.exists(os.path.join(out, "model.safetensors"))
     assert os.path.exists(os.path.join(out, "config.json"))
     assert "TEMPLATE" in open(os.path.join(out, "Modelfile")).read()
+
+
+def test_board_checkpoints_endpoint(board):
+    """/api/checkpoints lists a run's orbax step dirs (the LlamaBoard
+    checkpoint dropdown role) and refuses paths outside the runs root."""
+    import os
+
+    port, root = board
+    run = f"{root}/ckrun"
+    os.makedirs(os.path.join(run, "checkpoints", "5"))
+    os.makedirs(os.path.join(run, "checkpoints", "10"))
+    res = _req(port, f"/api/checkpoints?run={run}")
+    assert res["steps"] == [5, 10]
+    try:
+        _req(port, "/api/checkpoints?run=/etc")
+        raise AssertionError("traversal not rejected")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -272,3 +272,83 @@ def test_sft_lora_scan_layers(tmp_path):
     assert len(merged["text"]["layers"]) == 8
     log = (tmp_path / "trainer_log.jsonl").read_text().strip().splitlines()
     assert len(log) >= 2 and "loss" in json.loads(log[0])
+
+
+def test_api_multimodal_image_content():
+    """OpenAI content-parts with a data-URI image route through the
+    processor path (scripts/api_example/test_image.py request shape);
+    remote URLs error cleanly (no egress / no SSRF)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.generation import Generator
+    from infinitevl_tpu.models.params import init_params
+    from infinitevl_tpu.serve.api import ChatBackend, create_server
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    gen = Generator(params, cfg, dtype=jnp.float32)
+    backend = ChatBackend(gen, SimpleTokenizer(config=cfg), model_name="tiny")
+    server = create_server(backend, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+        body = json.dumps(
+            {
+                "model": "tiny",
+                "messages": [
+                    {
+                        "role": "user",
+                        "content": [
+                            {"type": "text", "text": "What is this? "},
+                            {"type": "image_url", "image_url": {"url": uri}},
+                        ],
+                    }
+                ],
+                "max_tokens": 4,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        res = json.loads(urllib.request.urlopen(req).read())
+        assert res["choices"][0]["message"]["role"] == "assistant"
+        assert res["usage"]["prompt_tokens"] > 4  # expanded vision pads
+
+        # remote URL -> clean 400
+        bad = json.dumps(
+            {
+                "model": "tiny",
+                "messages": [
+                    {
+                        "role": "user",
+                        "content": [
+                            {"type": "image_url",
+                             "image_url": {"url": "https://example.com/x.png"}},
+                        ],
+                    }
+                ],
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=bad,
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
