@@ -1,3 +1,14 @@
+from .pipeline import (
+    PIPE,
+    create_pp_mesh,
+    make_pp_sft_train_step,
+    pipeline_decoder_forward,
+    pp_param_shardings,
+    pp_sft_loss_fn,
+    shard_pp_params,
+    stack_stage_params,
+    unstack_stage_params,
+)
 from .sharding import (
     DATA,
     MODEL,
