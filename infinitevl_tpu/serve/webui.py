@@ -155,6 +155,36 @@ class EvalRunner:
                     from ..eval.mcq import MCQEvaluator
                     from ..hparams import parse_args
 
+                    if config.pop("mode", "mcq") == "predict":
+                        # SFT predict path (LlamaBoard's "Evaluate & Predict"
+                        # second half): greedy-generate predict_samples
+                        # examples, BLEU-4/ROUGE vs gold
+                        # (train/trainer.predict_and_score). 0 epochs skips
+                        # training (max_steps=0 is falsy and would fall back
+                        # to the epoch-derived count); predict runs on the
+                        # loaded params.
+                        from ..train import trainer as trainer_mod
+
+                        args = parse_args(
+                            dict(
+                                config,
+                                stage="sft",
+                                do_predict=True,
+                                num_train_epochs=0,
+                            )
+                        )
+                        trainer_mod.run_exp(args)
+                        with open(
+                            os.path.join(
+                                args.train.output_dir,
+                                "predict_results.json",
+                            )
+                        ) as f:
+                            self.status = {
+                                "state": "done",
+                                "results": json.load(f),
+                            }
+                        return
                     args = parse_args(dict(config))
                     gen, cfg = _build_generator(args)
                     evaluator = MCQEvaluator(
@@ -235,8 +265,28 @@ class ChatRunner:
         if self.model is None:
             return {"error": "no model loaded (POST /api/chat/load first)"}
         try:
+            messages = list(req.get("messages", []))
+            system = (req.get("system") or "").strip()
+            if system and not any(m.get("role") == "system" for m in messages):
+                messages.insert(0, {"role": "system", "content": system})
+            images = None
+            if req.get("images"):
+                # data-URI uploads from the board's file input (the
+                # LlamaBoard chat tab's image box role)
+                import base64
+                import io
+
+                import numpy as np
+                from PIL import Image
+
+                images = []
+                for uri in req["images"]:
+                    b64 = uri.split(",", 1)[1] if uri.startswith("data:") else uri
+                    img = Image.open(io.BytesIO(base64.b64decode(b64)))
+                    images.append(np.asarray(img.convert("RGB")))
             text = self.model.chat(
-                req.get("messages", []),
+                messages,
+                images=images,
                 max_new_tokens=int(req.get("max_new_tokens", 256)),
                 temperature=float(req.get("temperature", 0.0)),
                 top_k=int(req.get("top_k", 0)),
@@ -524,10 +574,13 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>quant <select id=quantization_bit><option value="">bf16</option><option value=8>int8 (QLoRA)</option></select></label>
 </fieldset>
 <fieldset><legend>data</legend>
-<label>dataset <input id=dataset value=demo size=12></label>
+<label>dataset <input id=dataset value=demo size=12 title="comma-separated list mixes datasets"></label>
 <label>dataset_dir <input id=dataset_dir value=data size=8></label>
 <label>template <select id=template></select></label>
 <label>cutoff <input id=cutoff_len value=1024 size=6></label>
+<label>max_samples <input id=max_samples size=6 placeholder="all"></label>
+<label>mix <select id=mix_strategy><option>concat</option>
+ <option>interleave_under</option><option>interleave_over</option></select></label>
 <label><input type=checkbox id=packing> packing</label>
 <button onclick=previewData()>Preview dataset</button>
 </fieldset>
@@ -538,8 +591,13 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>finetuning <select id=finetuning_type><option>full</option><option>lora</option><option>freeze</option></select></label>
 <label>lora_rank <input id=lora_rank value=8 size=3></label>
 <label>lora_alpha <input id=lora_alpha value=16 size=3></label>
+<label>lora_dropout <input id=lora_dropout value=0 size=4></label>
+<label><input type=checkbox id=use_dora> DoRA</label>
+<label><input type=checkbox id=use_rslora> rsLoRA</label>
 <label>lr <input id=learning_rate value=1e-4 size=7></label>
 <label>batch <input id=per_device_train_batch_size value=1 size=3></label>
+<label>grad_accum <input id=gradient_accumulation_steps value=1 size=3></label>
+<label>epochs <input id=num_train_epochs value=1 size=3></label>
 <label>max_steps <input id=max_steps value=100 size=6></label>
 <label>output_dir <input id=output_dir value=output/board_run size=16></label>
 <label><input type=checkbox id=bf16 checked> bf16</label>
@@ -548,6 +606,33 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>resume <input id=resume_from_checkpoint size=18
  placeholder="(checkpoints dir)"></label>
 <button onclick=useLastRun()>Use last run</button>
+</fieldset>
+<fieldset><legend>advanced</legend>
+<label>scheduler <select id=lr_scheduler_type><option>cosine</option>
+ <option>linear</option><option>constant</option></select></label>
+<label>warmup <input id=warmup_steps value=0 size=4></label>
+<label>weight_decay <input id=weight_decay value=0.01 size=5></label>
+<label>max_grad_norm <input id=max_grad_norm value=1.0 size=4></label>
+<label>save_steps <input id=save_steps value=5000 size=6></label>
+<label>seed <input id=seed value=42 size=4></label>
+<label>optimizer <select id=use_optimizer><option value="">adamw</option>
+ <option>galore</option><option>apollo</option><option>loraplus</option>
+ <option>badam</option></select></label>
+<label>opt_rank <input id=optimizer_rank value=8 size=3></label>
+<label>dp <input id=data_parallel value=1 size=2></label>
+<label>mp <input id=model_parallel value=1 size=2></label>
+<label>param_mode <select id=param_mode><option>fsdp</option>
+ <option>tp</option><option>replicated</option></select></label>
+</fieldset>
+<fieldset><legend>stage-specific (dpo/kto &middot; dt &middot; freeze)</legend>
+<label>pref_beta <input id=pref_beta value=0.1 size=4></label>
+<label>pref_loss <select id=pref_loss><option>sigmoid</option><option>ipo</option>
+ <option>simpo</option><option>orpo</option></select></label>
+<label>distill_stage <select id=distill_stage><option>1</option><option>2</option></select></label>
+<label>mse_factor <input id=mse_factor value=1000 size=6></label>
+<label>distill_T <input id=distill_temperature value=2.0 size=4></label>
+<label>teacher <input id=teacher_model_path size=16 placeholder="(dt stage)"></label>
+<label>freeze_layers <input id=freeze_trainable_layers value=2 size=3></label>
 </fieldset>
 <fieldset><legend>saved configs</legend>
 <label>name <input id=cfg_name value=my_run size=12></label>
@@ -565,13 +650,16 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <div id=charts></div>
 </div>
 <div id=tab_eval class=tab style="display:none">
-<fieldset><legend>MCQ evaluation (eval/mcq.py; MMLU-style few-shot)</legend>
+<fieldset><legend>evaluate &amp; predict (MCQ accuracy or SFT BLEU/ROUGE)</legend>
+<label>mode <select id=ev_mode><option value=mcq>MCQ accuracy</option>
+ <option value=predict>SFT predict (BLEU/ROUGE)</option></select></label>
 <label>checkpoint <input id=ev_model_path placeholder="(blank = random init)" size=22></label>
 <label>preset <select id=ev_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
-<label>task json <input id=ev_dataset value=mcq_demo size=12></label>
+<label>dataset <input id=ev_dataset value=mcq_demo size=12></label>
 <label>dataset_dir <input id=ev_dir value=data size=8></label>
 <label>n_shot <input id=ev_nshot value=5 size=3></label>
 <label>batch <input id=ev_batch value=4 size=3></label>
+<label>samples <input id=ev_samples value=16 size=4></label>
 <label>lang <select id=ev_lang><option>en</option><option>zh</option></select></label>
 <button onclick=doEval()>Evaluate</button>
 <span id=ev_status></span>
@@ -589,12 +677,15 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <button onclick=loadChat()>Load</button>
 <span id=ch_status>empty</span>
 </fieldset>
+<div style="margin:6px 0"><label>system prompt
+ <input id=ch_system size=60 placeholder="(optional)"></label></div>
 <div id=ch_log style="border:1px solid #e4e3df;border-radius:6px;min-height:120px;
  padding:8px;font-size:14px;white-space:pre-wrap"></div>
 <div style="margin-top:8px">
 <input id=ch_input size=70 placeholder="message..." onkeydown="if(event.key==='Enter')sendChat()">
 <button onclick=sendChat()>Send</button>
-<button onclick="CHAT.length=0;renderChat()">Clear</button>
+<button onclick="CHAT.length=0;IMGS.length=0;renderChat()">Clear</button>
+<label>image <input type=file id=ch_image accept="image/*"></label>
 <label>max_new <input id=ch_max value=128 size=4></label>
 <label>temp <input id=ch_temp value=0 size=4></label>
 <label>top_p <input id=ch_top_p value=1.0 size=4></label>
@@ -619,18 +710,24 @@ function showTab(name,btn){for(const t of document.querySelectorAll(".tab"))t.st
  btn.classList.add("active");}
 const FORM=["stage","config_preset","dataset","dataset_dir","finetuning_type",
  "learning_rate","per_device_train_batch_size","cutoff_len","max_steps","output_dir",
- "template","lora_rank","lora_alpha"];
+ "template","lora_rank","lora_alpha","lora_dropout","gradient_accumulation_steps",
+ "num_train_epochs","mix_strategy","lr_scheduler_type","warmup_steps","weight_decay",
+ "max_grad_norm","save_steps","seed","optimizer_rank","data_parallel","model_parallel",
+ "param_mode","pref_beta","pref_loss","distill_stage","mse_factor",
+ "distill_temperature","freeze_trainable_layers"];
 const NUM=new Set(["learning_rate","per_device_train_batch_size","cutoff_len",
- "max_steps","lora_rank","lora_alpha"]);
+ "max_steps","lora_rank","lora_alpha","lora_dropout","gradient_accumulation_steps",
+ "num_train_epochs","warmup_steps","weight_decay","max_grad_norm","save_steps",
+ "seed","optimizer_rank","data_parallel","model_parallel","pref_beta",
+ "distill_stage","mse_factor","distill_temperature","freeze_trainable_layers"]);
+const CHECKS=["bf16","packing","remat","scan_layers","use_dora","use_rslora"];
+const OPT=["model_name_or_path","rope_scaling","quantization_bit","max_samples",
+ "use_optimizer","teacher_model_path","resume_from_checkpoint"];
 function cfg(){const c={};for(const k of FORM){let v=document.getElementById(k).value;
  if(NUM.has(k))v=Number(v);c[k]=v;}
- for(const k of ["bf16","packing","remat","scan_layers"])
-  c[k]=document.getElementById(k).checked;
- const mp=document.getElementById("model_name_or_path").value;if(mp)c.model_name_or_path=mp;
- const rs=document.getElementById("rope_scaling").value;if(rs)c.rope_scaling=rs;
- const qb=document.getElementById("quantization_bit").value;if(qb)c.quantization_bit=Number(qb);
- const rc=document.getElementById("resume_from_checkpoint").value;
- if(rc)c.resume_from_checkpoint=rc;
+ for(const k of CHECKS)c[k]=document.getElementById(k).checked;
+ for(const k of OPT){const v=document.getElementById(k).value;
+  if(v)c[k]=(k==="quantization_bit"||k==="max_samples")?Number(v):v;}
  c.logging_steps=1;return c;}
 async function useLastRun(){const j=await (await fetch("/api/runs")).json();
  if(j.runs&&j.runs.length)
@@ -663,11 +760,8 @@ async function loadCfg(){
  if(j.error){document.getElementById("cfg_status").textContent=j.error;return;}
  const c=j.config||{};
  for(const k of FORM)if(c[k]!==undefined)document.getElementById(k).value=c[k];
- for(const k of ["bf16","packing","remat","scan_layers"])
-  if(c[k]!==undefined)document.getElementById(k).checked=c[k];
- document.getElementById("model_name_or_path").value=c.model_name_or_path||"";
- document.getElementById("rope_scaling").value=c.rope_scaling||"";
- document.getElementById("quantization_bit").value=c.quantization_bit||"";
+ for(const k of CHECKS)if(c[k]!==undefined)document.getElementById(k).checked=c[k];
+ for(const k of OPT)document.getElementById(k).value=c[k]!==undefined?c[k]:"";
  document.getElementById("cfg_status").textContent="loaded "+name;}
 async function start(){const r=await fetch("/api/train",{method:"POST",
  headers:{"Content-Type":"application/json"},body:JSON.stringify(cfg())});
@@ -675,12 +769,15 @@ async function start(){const r=await fetch("/api/train",{method:"POST",
  document.getElementById("status").textContent=j.error?("error: "+j.error):("running -> "+j.output_dir);}
 async function abortRun(){await fetch("/api/abort",{method:"POST",body:"{}"});}
 async function doEval(){
- const c={config_preset:document.getElementById("ev_preset").value,
+ const c={mode:document.getElementById("ev_mode").value,
+  config_preset:document.getElementById("ev_preset").value,
   dataset:document.getElementById("ev_dataset").value,
   dataset_dir:document.getElementById("ev_dir").value,
   n_shot:Number(document.getElementById("ev_nshot").value),
   eval_batch_size:Number(document.getElementById("ev_batch").value),
+  predict_samples:Number(document.getElementById("ev_samples").value),
   lang:document.getElementById("ev_lang").value};
+ if(c.mode==="predict")c.output_dir="output/board_predict";
  const mp=document.getElementById("ev_model_path").value;if(mp)c.model_name_or_path=mp;
  const r=await fetch("/api/eval",{method:"POST",
   headers:{"Content-Type":"application/json"},body:JSON.stringify(c)});
@@ -697,7 +794,7 @@ async function pollEval(){
    `<tr><td style="padding:2px 12px 2px 0">${k}</td>
     <td style="text-align:right">${(100*v).toFixed(1)}%</td></tr>`).join("");
   document.getElementById("ev_table").style.display="table";}}
-const CHAT=[];
+const CHAT=[];const IMGS=[];
 function renderChat(){document.getElementById("ch_log").textContent=
  CHAT.map(m=>(m.role==="user"?"You: ":"Model: ")+m.content).join("\\n");}
 async function loadChat(){
@@ -714,17 +811,28 @@ async function pollChatLoad(){
  const s=await (await fetch("/api/chat/status")).json();
  document.getElementById("ch_status").textContent=s.state+(s.error?" | "+s.error:"");
  if(s.state==="loading")setTimeout(pollChatLoad,2000);}
+function readImage(){return new Promise(res=>{
+ const f=document.getElementById("ch_image").files[0];
+ if(!f){res(null);return;}
+ const rd=new FileReader();rd.onload=()=>res(rd.result);rd.readAsDataURL(f);});}
 async function sendChat(){
- const inp=document.getElementById("ch_input");const text=inp.value.trim();
+ const inp=document.getElementById("ch_input");let text=inp.value.trim();
  if(!text)return;inp.value="";
+ const img=await readImage();
+ if(img){text="<image>"+text;  // ChatModel expands the marker to vision pads
+  IMGS.push(img);document.getElementById("ch_image").value="";}
  CHAT.push({role:"user",content:text});renderChat();
+ const body={messages:CHAT,
+  system:document.getElementById("ch_system").value,
+  max_new_tokens:Number(document.getElementById("ch_max").value),
+  temperature:Number(document.getElementById("ch_temp").value),
+  top_p:Number(document.getElementById("ch_top_p").value),
+  top_k:Number(document.getElementById("ch_top_k").value)};
+ // chat is stateless server-side: every <image> marker in the history
+ // needs its pixels re-sent, in order
+ if(IMGS.length)body.images=IMGS;
  const r=await fetch("/api/chat",{method:"POST",
-  headers:{"Content-Type":"application/json"},
-  body:JSON.stringify({messages:CHAT,
-   max_new_tokens:Number(document.getElementById("ch_max").value),
-   temperature:Number(document.getElementById("ch_temp").value),
-   top_p:Number(document.getElementById("ch_top_p").value),
-   top_k:Number(document.getElementById("ch_top_k").value)})});
+  headers:{"Content-Type":"application/json"},body:JSON.stringify(body)});
  const j=await r.json();
  CHAT.push({role:"assistant",content:j.error?("[error: "+j.error+"]"):j.content});
  renderChat();}

@@ -212,3 +212,69 @@ def test_board_checkpoints_endpoint(board):
         raise AssertionError("traversal not rejected")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_board_eval_predict_mode(board):
+    """Evaluate tab 'predict' mode: SFT greedy predictions scored
+    BLEU-4/ROUGE (predict_and_score through the board; LlamaBoard's
+    Evaluate & Predict second half)."""
+    port, root = board
+    res = _req(
+        port,
+        "/api/eval",
+        {
+            "mode": "predict",
+            "config_preset": "tiny",
+            "dataset": "demo",
+            "dataset_dir": "data",
+            "cutoff_len": 32,
+            "predict_samples": 2,
+            "bf16": False,
+            "output_dir": f"{root}/predict1",
+        },
+    )
+    assert res.get("ok"), res
+    for _ in range(240):
+        st = _req(port, "/api/eval/status")
+        if st["state"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert st["state"] == "done", st
+    assert "rouge-l" in st["results"] and st["results"]["samples"] > 0
+
+
+def test_board_chat_image_and_system(board):
+    """Chat tab multimodal turn: data-URI image + <image> marker + system
+    prompt through /api/chat (LlamaBoard chat tab's image box role)."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    port, root = board
+    res = _req(port, "/api/chat/load", {"config_preset": "tiny"})
+    assert res.get("ok"), res
+    for _ in range(240):
+        st = _req(port, "/api/chat/status")
+        if st["state"] in ("ready", "error"):
+            break
+        time.sleep(1)
+    assert st["state"] == "ready", st
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    out = _req(
+        port,
+        "/api/chat",
+        {
+            "messages": [{"role": "user", "content": "<image>what is it"}],
+            "images": [uri],
+            "system": "You are a terse assistant.",
+            "max_new_tokens": 4,
+        },
+    )
+    assert "content" in out, out
