@@ -32,6 +32,11 @@ class DatasetAttr:
     columns: Optional[Dict[str, str]] = None
     split: str = "train"
     ranking: bool = False  # preference pairs (chosen/rejected)
+    # sharegpt tag overrides (reference data/parser.py:68-80): custom key
+    # names for the role/content fields and custom role spellings
+    tags: Optional[Dict[str, str]] = None
+    folder: Optional[str] = None  # subdirectory under dataset_dir
+    num_samples: Optional[int] = None  # cap rows at load time
 
 
 def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
@@ -46,6 +51,9 @@ def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
             columns=meta.get("columns"),
             split=meta.get("split", "train"),
             ranking=meta.get("ranking", False),
+            tags=meta.get("tags"),
+            folder=meta.get("folder"),
+            num_samples=meta.get("num_samples"),
         )
     return out
 
@@ -86,17 +94,37 @@ def convert_alpaca(ex: Dict[str, Any], columns: Optional[Dict[str, str]] = None)
     return out
 
 
-def convert_sharegpt(ex: Dict[str, Any], columns: Optional[Dict[str, str]] = None):
-    """{'conversations': [{'from': human|gpt|system, 'value': ...}]}."""
+def convert_sharegpt(
+    ex: Dict[str, Any],
+    columns: Optional[Dict[str, str]] = None,
+    tags: Optional[Dict[str, str]] = None,
+):
+    """{'conversations': [{'from': human|gpt|system, 'value': ...}]}.
+    `tags` renames the role/content keys and the role spellings
+    (reference data/parser.py:68-80: role_tag/content_tag/user_tag/
+    assistant_tag/observation_tag/function_tag/system_tag)."""
     c = columns or {}
+    t = tags or {}
     role_map = {"human": "user", "gpt": "assistant", "system": "system",
                 "user": "user", "assistant": "assistant",
                 "observation": "user", "function_call": "assistant"}
+    for tag, role in (
+        ("user_tag", "user"), ("assistant_tag", "assistant"),
+        ("observation_tag", "user"), ("function_tag", "assistant"),
+        ("system_tag", "system"),
+    ):
+        if t.get(tag):
+            role_map[t[tag]] = role
+    role_key = t.get("role_tag", "from")
+    content_key = t.get("content_tag", "value")
     msgs = []
     conv_key = c.get("messages", "conversations")
     for turn in ex[conv_key]:
-        role = role_map[turn.get("from", turn.get("role"))]
-        msgs.append({"role": role, "content": turn.get("value", turn.get("content", ""))})
+        role = role_map[turn.get(role_key, turn.get("role"))]
+        msgs.append(
+            {"role": role,
+             "content": turn.get(content_key, turn.get("content", ""))}
+        )
     if ex.get(c.get("system", "system")):
         msgs.insert(0, {"role": "system", "content": ex[c.get("system", "system")]})
     out = {
@@ -120,7 +148,8 @@ def load_examples(
     sorted order."""
     import glob as _glob
 
-    pattern = os.path.join(data_dir, attr.file_name)
+    base = os.path.join(data_dir, attr.folder) if attr.folder else data_dir
+    pattern = os.path.join(base, attr.file_name)
     paths = sorted(_glob.glob(pattern)) if _glob.has_magic(pattern) else [pattern]
     if not paths:
         raise FileNotFoundError(f"no files match {pattern}")
@@ -131,8 +160,11 @@ def load_examples(
                 raw.extend(json.loads(line) for line in f if line.strip())
             else:
                 raw.extend(json.load(f))
-    conv = convert_alpaca if attr.formatting == "alpaca" else convert_sharegpt
-    return [conv(ex, attr.columns) for ex in raw]
+    if attr.num_samples is not None:
+        raw = raw[: attr.num_samples]
+    if attr.formatting == "alpaca":
+        return [convert_alpaca(ex, attr.columns) for ex in raw]
+    return [convert_sharegpt(ex, attr.columns, attr.tags) for ex in raw]
 
 
 def load_mixed_examples(

@@ -333,3 +333,45 @@ def test_chatglm2_round_numbering():
     ids, labels = t.encode_turns(tok, msgs)
     text = tok.decode(ids)
     assert "[Round 0]" in text and "[Round 1]" in text
+
+
+def test_registry_tags_folder_num_samples(tmp_path):
+    """Reference dataset_info attributes beyond file/formatting/columns:
+    sharegpt `tags` rename role/content keys and role spellings
+    (data/parser.py:68-80), `folder` nests under dataset_dir, and
+    `num_samples` caps rows at load time."""
+    import json as _json
+    import os
+
+    from infinitevl_tpu.data.loader import load_dataset_info, load_examples
+
+    sub = tmp_path / "corpus"
+    sub.mkdir()
+    rows = [
+        {"dialog": [
+            {"who": "Q", "text": f"question {i}"},
+            {"who": "A", "text": f"answer {i}"},
+        ]}
+        for i in range(5)
+    ]
+    (sub / "tagged.json").write_text(_json.dumps(rows))
+    (tmp_path / "dataset_info.json").write_text(_json.dumps({
+        "tagged": {
+            "file_name": "tagged.json",
+            "folder": "corpus",
+            "formatting": "sharegpt",
+            "num_samples": 3,
+            "columns": {"messages": "dialog"},
+            "tags": {
+                "role_tag": "who", "content_tag": "text",
+                "user_tag": "Q", "assistant_tag": "A",
+            },
+        }
+    }))
+    reg = load_dataset_info(os.path.join(str(tmp_path), "dataset_info.json"))
+    ex = load_examples(reg["tagged"], str(tmp_path))
+    assert len(ex) == 3  # num_samples cap
+    assert ex[0]["messages"] == [
+        {"role": "user", "content": "question 0"},
+        {"role": "assistant", "content": "answer 0"},
+    ]
