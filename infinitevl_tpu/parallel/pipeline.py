@@ -102,7 +102,7 @@ def stack_stage_params(
     return out
 
 
-def unstack_stage_params(pp_params: Params, cfg: TextConfig) -> Params:
+def unstack_stage_params(pp_params: Params) -> Params:
     """Inverse of stack_stage_params (export / parity checks)."""
     from ..models.stacked import unstack_layer_params
 
@@ -324,7 +324,11 @@ def pp_sft_loss_fn(
     hidden = hidden.reshape((B, T, hidden.shape[-1]))
     hidden = rms_norm(hidden, pp_text_params["final_norm"], cfg.rms_norm_eps)
     w = pp_text_params.get("lm_head", pp_text_params["embed"].T)
-    return fused_linear_cross_entropy(hidden, w, labels, chunk=1024)
+    # same chunk rule as the plain SFT path (train/step.py:182): each fp32
+    # logits chunk is chunk x V x 4 B — the 512-at-16K+ shrink is the
+    # margin that decides whether long-context recipes fit one chip
+    ce_chunk = 512 if T >= 16384 else 1024
+    return fused_linear_cross_entropy(hidden, w, labels, chunk=ce_chunk)
 
 
 def make_pp_sft_train_step(

@@ -26,9 +26,12 @@ def _parse_content_parts(messages):
     scripts/api_example/test_image.py). Images arrive as `data:` base64
     URIs or raw base64 strings; remote http(s) URLs error with a clear
     message — this serving environment has no egress, and fetching
-    arbitrary URLs from a server is an SSRF hole anyway."""
-    import base64
-    import io
+    arbitrary URLs from a server is an SSRF hole anyway.
+
+    All malformed-input failures (bad base64, non-image bytes, missing
+    data-URI payload) surface as ValueError so the HTTP layer can map
+    every caller error to a 400."""
+    from .chat import decode_image_uri
 
     out: List[Dict[str, Any]] = []
     images: List[np.ndarray] = []
@@ -51,11 +54,7 @@ def _parse_content_parts(messages):
                         "remote image URLs are not fetched (no egress); "
                         "send the image as a data:image/...;base64,... URI"
                     )
-                b64 = url.split(",", 1)[1] if url.startswith("data:") else url
-                from PIL import Image
-
-                img = Image.open(io.BytesIO(base64.b64decode(b64)))
-                images.append(np.asarray(img.convert("RGB")))
+                images.append(decode_image_uri(url))
                 buf.append("<image>")
             else:
                 raise ValueError(f"unsupported content part type {t!r}")
@@ -73,12 +72,18 @@ class ChatBackend:
         self.template = get_template(template)
         self.model_name = model_name
         self.lock = threading.Lock()
+        self._mm_lock = threading.Lock()
 
     def _mm_model(self):
         """Lazy ChatModel sharing this backend's generator/tokenizer/
         template — the processor-backed preparation path for multimodal
         requests (built on first image request only; text-only serving
-        never touches the vision processor)."""
+        never touches the vision processor). Init is guarded: the
+        threading server can race two first image requests here."""
+        with self._mm_lock:
+            return self._mm_model_locked()
+
+    def _mm_model_locked(self):
         if not hasattr(self, "_chat_model"):
             from ..data.processing import InfiniteVLProcessor
             from .chat import ChatModel
@@ -167,12 +172,17 @@ class ChatBackend:
         max_tokens: int = 512,
         temperature: float = 0.0,
         top_p: float = 1.0,
+        parsed=None,
     ):
         """TRUE streaming: yields text deltas as decode chunks land (one per
         jitted chunk) — the reference streams via TextIteratorStreamer
         (chat/hf_engine.py:45-415). Incremental decode is cumulative-text
-        diffing so tokenizers that merge tokens stay correct."""
-        messages, images = _parse_content_parts(messages)
+        diffing so tokenizers that merge tokens stay correct.
+
+        `parsed` is an optional pre-computed _parse_content_parts result —
+        the SSE handler validates content parts before sending headers and
+        passes its result through so images are not decoded twice."""
+        messages, images = parsed or _parse_content_parts(messages)
         mm_kwargs: Dict[str, Any] = {}
         if images:
             prep = self._mm_model()._prepare(messages, images=images)
@@ -417,7 +427,7 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
             # otherwise surface only after headers are sent and drop the
             # connection mid-stream instead of returning a 400.
             try:
-                _parse_content_parts(req.get("messages", []))
+                parsed = _parse_content_parts(req.get("messages", []))
             except ValueError as e:
                 return self._send(400, {"error": str(e)})
             self.send_response(200)
@@ -430,6 +440,7 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
                 max_tokens=req.get("max_tokens", 512),
                 temperature=req.get("temperature", 0.0),
                 top_p=req.get("top_p", 1.0),
+                parsed=parsed,
             ):
                 chunk = {
                     "id": rid,

@@ -15,6 +15,25 @@ from ..data.template import get_template
 from ..generation import Generator
 
 
+def decode_image_uri(uri: str) -> np.ndarray:
+    """`data:image/...;base64,...` URI (or a bare base64 string) -> RGB
+    uint8 array. Shared by the OpenAI API and the board chat tab; every
+    malformed input (missing payload, bad base64, non-image bytes) raises
+    ValueError so HTTP layers can return 400s uniformly."""
+    import base64
+    import binascii
+    import io
+
+    from PIL import Image
+
+    try:
+        b64 = uri.split(",", 1)[1] if uri.startswith("data:") else uri
+        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+        return np.asarray(img.convert("RGB"))
+    except (IndexError, binascii.Error, OSError) as e:
+        raise ValueError(f"undecodable image data URI: {e}") from e
+
+
 class ChatModel:
     """chat(messages, images=...) -> response text; stream_chat yields
     tokens. Single in-flight generation (the reference serializes with an

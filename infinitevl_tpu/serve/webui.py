@@ -273,17 +273,9 @@ class ChatRunner:
             if req.get("images"):
                 # data-URI uploads from the board's file input (the
                 # LlamaBoard chat tab's image box role)
-                import base64
-                import io
+                from .chat import decode_image_uri
 
-                import numpy as np
-                from PIL import Image
-
-                images = []
-                for uri in req["images"]:
-                    b64 = uri.split(",", 1)[1] if uri.startswith("data:") else uri
-                    img = Image.open(io.BytesIO(base64.b64decode(b64)))
-                    images.append(np.asarray(img.convert("RGB")))
+                images = [decode_image_uri(uri) for uri in req["images"]]
             text = self.model.chat(
                 messages,
                 images=images,
@@ -789,10 +781,15 @@ async function pollEval(){
  document.getElementById("ev_status").textContent=s.state+(s.error?" | "+s.error:"");
  if(s.state==="running"){setTimeout(pollEval,2000);return;}
  if(s.state==="done"&&s.results){
+  // MCQ metrics are fractions in [0,1]; predict metrics (BLEU/ROUGE)
+  // are already [0,100]-scaled and 'samples' is a count
+  const predict=document.getElementById("ev_mode").value==="predict";
+  const fmt=(k,v)=>predict?(k==="samples"?v:v.toFixed(2)):
+   (100*v).toFixed(1)+"%";
   const tb=document.querySelector("#ev_table tbody");
   tb.innerHTML=Object.entries(s.results).sort().map(([k,v])=>
    `<tr><td style="padding:2px 12px 2px 0">${k}</td>
-    <td style="text-align:right">${(100*v).toFixed(1)}%</td></tr>`).join("");
+    <td style="text-align:right">${fmt(k,v)}</td></tr>`).join("");
   document.getElementById("ev_table").style.display="table";}}
 const CHAT=[];const IMGS=[];
 function renderChat(){document.getElementById("ch_log").textContent=

@@ -89,7 +89,7 @@ def test_pp_grads_match_plain():
     )(pp)
 
     # map the stage-stacked grads back to the per-layer layout
-    g_pp_layers = unstack_stage_params(g_pp["text"], cfg.text)
+    g_pp_layers = unstack_stage_params(g_pp["text"])
     for i in (0, 1, 5, 7):
         for key in ("input_norm", "post_norm"):
             a = np.asarray(g_pp_layers["layers"][i][key])
@@ -167,6 +167,6 @@ def test_pp_roundtrip_unstack():
     cfg = tiny_config()
     params = init_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
     pp_text = stack_stage_params(params["text"], cfg.text, 2)
-    back = unstack_stage_params(pp_text, cfg.text)
+    back = unstack_stage_params(pp_text)
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params["text"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
