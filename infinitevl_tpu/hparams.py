@@ -80,6 +80,10 @@ class TrainArgs:
     # 16K+ recipes use scan_layers instead (models/stacked.py)
     remat: bool = False
     remat_group: int = 1
+    # sequence backward recomputes with lax.optimization_barrier so the
+    # scheduler cannot hoist every layer's recompute at once
+    # (utils/remat.barrier_remat); python-layer-loop training only
+    remat_barrier: bool = False
     # scan-over-layers for LoRA training when the layer pattern repeats:
     # an HLO loop serializes the per-layer remat recomputes the scheduler
     # otherwise hoists (models/stacked.py). Requires remat. None = auto:

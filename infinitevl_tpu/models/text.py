@@ -673,6 +673,7 @@ def text_forward(
     output_hidden_states: bool = False,
     remat: bool = False,
     remat_group: int = 1,
+    remat_barrier: bool = False,
 ):
     """Run the decoder stack.
 
@@ -683,6 +684,13 @@ def text_forward(
     stage-3 32K recipe), at the cost of recomputing the group's inner
     layers once more in the backward. Ignored when output_hidden_states
     (distillation needs every layer boundary anyway).
+
+    remat_barrier=True sequences the backward recomputes with
+    lax.optimization_barrier (utils/remat.barrier_remat): the python
+    layer loop keeps its fully-unrolled forward but the scheduler can no
+    longer hoist every layer's recompute at once — the remat-memory
+    behavior of scan-over-layers without the HLO loop's throughput cost.
+    No-op on the layer_stacks path (a scan serializes by construction).
 
     Returns (hidden [B,T,D], new_state or None, hidden_states list or None).
     """
@@ -762,9 +770,12 @@ def text_forward(
                 x, _ = layer_fn(x, cos, sin, None, segment_ids)
             return x
 
+        from ..utils.remat import barrier_remat
+
+        wrap = barrier_remat if remat_barrier else jax.checkpoint
         for start in range(0, len(params["layers"]), remat_group):
             end = start + remat_group
-            group_fn = jax.checkpoint(
+            group_fn = wrap(
                 functools.partial(run_group, roles_all[start:end])
             )
             x = group_fn(
@@ -810,7 +821,18 @@ def text_forward(
                 )
             layer_state = None
         layer_fn = decoder_layer_forward
-        if remat and state is None:
+        if remat and state is None and remat_barrier:
+            # params go through as ARGS (custom_vjp cannot differentiate
+            # closed-over tracers); layer_state is None on training paths
+            from ..utils.remat import barrier_remat
+
+            def _layer(lp, h, c, s, seg, _role=role):
+                out, _ = decoder_layer_forward(lp, cfg, _role, h, c, s, None, seg)
+                return out
+
+            x = barrier_remat(_layer)(layer_p, x, cos, sin, segment_ids)
+            out_state = None
+        elif remat and state is None:
             # gradient checkpointing: recompute each layer's internals in the
             # backward pass (reference model_utils/checkpointing.py role)
             layer_fn = jax.checkpoint(

@@ -354,7 +354,8 @@ def merge_lora(params: Params, lora: Params, alpha: float = 16.0,
 
 def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                        rank: int = 8, remat: bool = False,
-                       remat_group: int = 1, use_rslora: bool = False):
+                       remat_group: int = 1, remat_barrier: bool = False,
+                       use_rslora: bool = False):
     """Only the adapter tree is optimized; base weights stay frozen.
     remat=True enables per-layer gradient checkpointing (the stage-3
     32K-context recipe).
@@ -397,6 +398,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                     segment_ids=batch.get("segment_ids"),
                     remat=remat,
                     remat_group=remat_group,
+                    remat_barrier=remat_barrier,
                 )
             text = merged["text"] if "text" in merged else merged
             return sft_loss_fn(
@@ -408,6 +410,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                 batch.get("segment_ids"),
                 remat=remat,
                 remat_group=remat_group,
+                remat_barrier=remat_barrier,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(lora)

@@ -167,11 +167,12 @@ def sft_loss_fn(
     inputs_embeds: Optional[jax.Array] = None,
     remat: bool = False,
     remat_group: int = 1,
+    remat_barrier: bool = False,
 ) -> jax.Array:
     embeds = inputs_embeds if inputs_embeds is not None else embed_tokens(params, input_ids)
     hidden, _, _ = text_forward(
         params, cfg, embeds, position_ids, state=None, segment_ids=segment_ids,
-        remat=remat, remat_group=remat_group,
+        remat=remat, remat_group=remat_group, remat_barrier=remat_barrier,
     )
     if remat:
         # long-context path: chunked CE avoids the [T, V] logits tensor;
@@ -198,6 +199,7 @@ def mm_sft_loss_fn(
     segment_ids: Optional[jax.Array] = None,
     remat: bool = False,
     remat_group: int = 1,
+    remat_barrier: bool = False,
 ) -> jax.Array:
     """Multimodal SFT loss: ViT features scattered into the token embeds
     (the reference trains the full VLM on image batches — collator emits
@@ -218,7 +220,7 @@ def mm_sft_loss_fn(
         )
     hidden, _, _ = text_forward(
         tp, cfg.text, embeds, position_ids, state=None, segment_ids=segment_ids,
-        remat=remat, remat_group=remat_group,
+        remat=remat, remat_group=remat_group, remat_barrier=remat_barrier,
     )
     if remat:
         w = tp.get("lm_head", tp["embed"].T)
@@ -230,7 +232,7 @@ def mm_sft_loss_fn(
 
 def make_mm_sft_train_step(
     cfg: InfiniteVLConfig, tx: optax.GradientTransformation, remat: bool = False,
-    remat_group: int = 1,
+    remat_group: int = 1, remat_barrier: bool = False,
 ):
     """Multimodal train step. Returns (params, opt_state, batch, grid_thw,
     video_grid_thw) -> (params, opt_state, loss); jit with static_argnums for
@@ -252,6 +254,7 @@ def make_mm_sft_train_step(
                 segment_ids=batch.get("segment_ids"),
                 remat=remat,
                 remat_group=remat_group,
+                remat_barrier=remat_barrier,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -264,7 +267,7 @@ def make_mm_sft_train_step(
 
 def make_sft_train_step(
     cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False,
-    remat_group: int = 1,
+    remat_group: int = 1, remat_barrier: bool = False,
 ):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, loss).
     params: full pytree with a "text" subtree (so sharding-rule paths match);
@@ -282,6 +285,7 @@ def make_sft_train_step(
                 batch.get("segment_ids"),
                 remat=remat,
                 remat_group=remat_group,
+                remat_barrier=remat_barrier,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -712,6 +712,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                 rank=args.finetune.lora_rank,
                 remat=args.train.remat,
                 remat_group=args.train.remat_group,
+                remat_barrier=args.train.remat_barrier,
                 use_rslora=args.finetune.use_rslora,
             ),
             static_argnums=(4, 5),
@@ -762,6 +763,7 @@ def run_sft(args: AllArgs, tokenizer=None):
             make_mm_sft_train_step(
                 cfg, tx, remat=args.train.remat,
                 remat_group=args.train.remat_group,
+                remat_barrier=args.train.remat_barrier,
             ),
             static_argnums=(3, 4),
             donate_argnums=(0, 1),
@@ -771,6 +773,7 @@ def run_sft(args: AllArgs, tokenizer=None):
             make_sft_train_step(
                 tcfg, tx, remat=args.train.remat,
                 remat_group=args.train.remat_group,
+                remat_barrier=args.train.remat_barrier,
             ),
             donate_argnums=(0, 1),
         )

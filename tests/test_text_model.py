@@ -131,6 +131,41 @@ def test_remat_matches_dense_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_barrier_remat_matches_plain_gradients():
+    """remat_barrier sequences backward recomputes with
+    lax.optimization_barrier (utils/remat.barrier_remat) — a pure
+    scheduling constraint: loss and gradients must be bit-compatible with
+    the unbarriered remat path, per-layer AND grouped, with and without
+    packing segment ids."""
+    import jax
+
+    from infinitevl_tpu.train.step import sft_loss_fn
+
+    cfg, params, ids, pos = setup(T=16)
+    labels = ids
+    seg = jnp.concatenate(
+        [jnp.ones((1, 8), jnp.int32), jnp.full((1, 8), 2, jnp.int32)], axis=1
+    )
+
+    for segment_ids in (None, seg):
+        def loss(p, barrier, group=1):
+            return sft_loss_fn(
+                p, cfg, ids, labels, pos, segment_ids,
+                remat=True, remat_group=group, remat_barrier=barrier,
+            )
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+        assert abs(float(l0) - float(l1)) < 1e-6
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # grouped variant: barrier applies at the group boundary
+        l2, g2 = jax.value_and_grad(lambda p: loss(p, True, group=3))(params)
+        assert abs(float(l0) - float(l2)) < 1e-6
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_param_count_3b_scale():
     """Deployed-config param count lands at ~3B (sanity of dims wiring)."""
     from infinitevl_tpu import infinitevl_3b
