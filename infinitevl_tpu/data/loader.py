@@ -37,6 +37,12 @@ class DatasetAttr:
     tags: Optional[Dict[str, str]] = None
     folder: Optional[str] = None  # subdirectory under dataset_dir
     num_samples: Optional[int] = None  # cap rows at load time
+    # hub-style loading through the `datasets` library (reference
+    # data/loader.py:123-137: load_dataset(path, name, split, streaming)).
+    # `hf_hub_url` is passed as load_dataset's `path` — a hub repo id, a
+    # local dataset directory, or a builder name; `subset` is its `name`.
+    hf_hub_url: Optional[str] = None
+    subset: Optional[str] = None
 
 
 def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
@@ -54,6 +60,8 @@ def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
             tags=meta.get("tags"),
             folder=meta.get("folder"),
             num_samples=meta.get("num_samples"),
+            hf_hub_url=meta.get("hf_hub_url") or meta.get("ms_hub_url"),
+            subset=meta.get("subset"),
         )
     return out
 
@@ -140,12 +148,34 @@ def convert_sharegpt(
     return out
 
 
-def load_examples(
-    attr: DatasetAttr, data_dir: str = "data"
-) -> List[Dict[str, Any]]:
-    """Load one registry entry. `file_name` may be a glob pattern
-    (hub-style local shards, e.g. "corpus/part-*.jsonl"); shards load in
-    sorted order."""
+def _convert_row(attr: DatasetAttr, row: Dict[str, Any]) -> Dict[str, Any]:
+    if attr.formatting == "alpaca":
+        return convert_alpaca(row, attr.columns)
+    return convert_sharegpt(row, attr.columns, attr.tags)
+
+
+def _iter_raw_rows(
+    attr: DatasetAttr, data_dir: str, streaming: bool = False
+) -> Iterable[Dict[str, Any]]:
+    """Raw (unconverted) rows for one registry entry.
+
+    - `hf_hub_url` set: routed through `datasets.load_dataset` (reference
+      data/loader.py:123-137) — hub repo ids, local dataset dirs, and
+      builder names all resolve there; `streaming=True` yields an
+      IterableDataset so nothing materializes.
+    - otherwise: local file(s); `file_name` may be a glob pattern (shards
+      load in sorted order) and .jsonl files stream line-by-line.
+    """
+    if attr.hf_hub_url:
+        from datasets import load_dataset as _hf_load
+
+        yield from _hf_load(
+            path=attr.hf_hub_url,
+            name=attr.subset,
+            split=attr.split,
+            streaming=streaming,
+        )
+        return
     import glob as _glob
 
     base = os.path.join(data_dir, attr.folder) if attr.folder else data_dir
@@ -153,18 +183,34 @@ def load_examples(
     paths = sorted(_glob.glob(pattern)) if _glob.has_magic(pattern) else [pattern]
     if not paths:
         raise FileNotFoundError(f"no files match {pattern}")
-    raw: List[Dict[str, Any]] = []
     for path in paths:
         with open(path) as f:
             if path.endswith(".jsonl"):
-                raw.extend(json.loads(line) for line in f if line.strip())
+                for line in f:
+                    if line.strip():
+                        yield json.loads(line)
             else:
-                raw.extend(json.load(f))
+                yield from json.load(f)
+
+
+def iter_examples(
+    attr: DatasetAttr, data_dir: str = "data"
+) -> Iterable[Dict[str, Any]]:
+    """Lazily yield converted examples for one registry entry (streaming
+    mode: nothing is materialized; per-attr num_samples is ignored, matching
+    the reference's streaming semantics, data/loader.py:139)."""
+    for row in _iter_raw_rows(attr, data_dir, streaming=True):
+        yield _convert_row(attr, row)
+
+
+def load_examples(
+    attr: DatasetAttr, data_dir: str = "data"
+) -> List[Dict[str, Any]]:
+    """Load one registry entry fully into memory."""
+    raw = list(_iter_raw_rows(attr, data_dir))
     if attr.num_samples is not None:
         raw = raw[: attr.num_samples]
-    if attr.formatting == "alpaca":
-        return [convert_alpaca(ex, attr.columns) for ex in raw]
-    return [convert_sharegpt(ex, attr.columns, attr.tags) for ex in raw]
+    return [_convert_row(attr, ex) for ex in raw]
 
 
 def load_mixed_examples(
@@ -213,6 +259,82 @@ def load_mixed_examples(
         out.append(sets[i][cursors[i]])
         cursors[i] += 1
     return out
+
+
+def stream_mixed_examples(
+    names: List[str],
+    registry: Dict[str, DatasetAttr],
+    data_dir: str = "data",
+    mix_strategy: str = "concat",
+    interleave_probs: Optional[List[float]] = None,
+    seed: int = 42,
+) -> Iterable[Dict[str, Any]]:
+    """Lazy multi-dataset mixing: same strategies as load_mixed_examples,
+    but every source is an iterator and nothing is materialized (reference
+    streaming merge via datasets.interleave_datasets,
+    data/data_utils.py:49-74).
+
+    - concat: sources chained back to back
+    - interleave_under: sample by probs until ANY source is exhausted
+    - interleave_over: sample until ALL sources have completed at least
+      once; exhausted sources restart from the beginning
+    """
+    import numpy as _np
+
+    if len(names) == 1 or mix_strategy == "concat":
+        for n in names:
+            yield from iter_examples(registry[n], data_dir)
+        return
+    if not mix_strategy.startswith("interleave"):
+        raise ValueError(f"unknown mixing strategy {mix_strategy!r}")
+    probs = interleave_probs or [1.0 / len(names)] * len(names)
+    if len(probs) != len(names):
+        raise ValueError(
+            f"interleave_probs has {len(probs)} entries for {len(names)} datasets"
+        )
+    total = float(sum(probs))
+    probs = [p / total for p in probs]
+    rng = _np.random.RandomState(seed)
+    iters = [iter_examples(registry[n], data_dir) for n in names]
+    completed = [False] * len(names)
+    under = mix_strategy.endswith("under")
+    while True:
+        i = int(rng.choice(len(names), p=probs))
+        try:
+            yield next(iters[i])
+        except StopIteration:
+            completed[i] = True
+            if under or all(completed):
+                return
+            iters[i] = iter_examples(registry[names[i]], data_dir)
+            try:
+                yield next(iters[i])
+            except StopIteration:  # empty dataset: nothing to wrap around
+                return
+
+
+def encode_supervised_stream(
+    examples: Iterable[Dict[str, Any]],
+    tokenizer,
+    template: Template | str = "qwen2_vl",
+    cutoff_len: int = 2048,
+) -> Iterable[Dict[str, np.ndarray]]:
+    """Lazy twin of encode_supervised for streaming mode. Multimodal
+    examples raise: vision grids are static jit arguments, incompatible
+    with an unbounded stream (use non-streaming + bucketed resolutions)."""
+    if isinstance(template, str):
+        template = get_template(template)
+    for ex in examples:
+        if ex.get("images") or ex.get("videos"):
+            raise ValueError(
+                "streaming mode supports text-only datasets; multimodal "
+                "training needs the materialized path (streaming: false)"
+            )
+        ids, labels = template.encode_turns(tokenizer, ex["messages"])
+        yield {
+            "input_ids": np.asarray(ids[:cutoff_len], np.int64),
+            "labels": np.asarray(labels[:cutoff_len], np.int64),
+        }
 
 
 def encode_supervised(

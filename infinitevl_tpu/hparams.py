@@ -45,6 +45,12 @@ class DataArgs:
     cutoff_len: int = 2048
     max_samples: Optional[int] = None
     packing: bool = False
+    # dataset streaming (reference data_args.py:58-65): examples are read,
+    # mixed, encoded, shuffled (buffer_size reservoir) and packed lazily —
+    # nothing materializes. Requires max_steps; incompatible with
+    # max_samples (parser.py:232-233, data_args.py:157-158). Text-only.
+    streaming: bool = False
+    buffer_size: int = 16384
     image_max_pixels: int = 14 * 14 * 4 * 1280
     image_min_pixels: int = 56 * 56
     video_fps: float = 2.0

@@ -24,11 +24,13 @@ from ..data.loader import (
     encode_pairwise,
     encode_supervised,
     encode_supervised_mm,
+    encode_supervised_stream,
     load_dataset_info,
     load_mixed_examples,
     load_examples,
     pack_examples,
     shift_labels,
+    stream_mixed_examples,
 )
 from ..hparams import AllArgs
 from ..models.convert import convert_attention, trainable_mask
@@ -91,9 +93,42 @@ def build_config(args: AllArgs) -> InfiniteVLConfig:
     return dataclasses.replace(cfg, text=text)
 
 
+def build_dataset_stream(args: AllArgs, tokenizer=None):
+    """Lazy dataset pipeline for streaming mode: registry entries are read
+    (hub IterableDataset or line-by-line local files), mixed, and encoded
+    on the fly; collate_stream adds the shuffle reservoir + windowed
+    packing. Mirrors the reference's streaming get_dataset path
+    (data/loader.py:286-323) including its constraint set
+    (parser.py:232-233, data_args.py:157-158)."""
+    if args.finetune.stage not in ("sft", "pt"):
+        raise ValueError("streaming is only supported for the sft/pt stages")
+    if args.train.max_steps is None:
+        raise ValueError("Please specify `max_steps` in streaming mode.")
+    if args.data.max_samples:
+        raise ValueError("`max_samples` is incompatible with `streaming`.")
+    info_path = os.path.join(args.data.dataset_dir, "dataset_info.json")
+    registry = load_dataset_info(info_path)
+    names = [n.strip() for n in args.data.dataset.split(",") if n.strip()]
+    examples = stream_mixed_examples(
+        names, registry, args.data.dataset_dir,
+        mix_strategy=args.data.mix_strategy,
+        interleave_probs=(
+            list(args.data.interleave_probs)
+            if args.data.interleave_probs else None
+        ),
+        seed=args.train.seed,
+    )
+    tokenizer = resolve_tokenizer(args, None, tokenizer)
+    return encode_supervised_stream(
+        examples, tokenizer, args.data.template, args.data.cutoff_len
+    )
+
+
 def build_dataset(
     args: AllArgs, tokenizer=None, cfg: Optional[InfiniteVLConfig] = None
 ) -> List[Dict[str, np.ndarray]]:
+    if args.data.streaming:
+        return build_dataset_stream(args, tokenizer)
     info_path = os.path.join(args.data.dataset_dir, "dataset_info.json")
     registry = load_dataset_info(info_path)
     names = [n.strip() for n in args.data.dataset.split(",") if n.strip()]
@@ -144,6 +179,50 @@ def is_multimodal(data: List[Dict[str, Any]]) -> bool:
     )
 
 
+def _rows_to_batch(
+    rows: List[Dict[str, np.ndarray]],
+    batch_size: int,
+    cutoff_len: int,
+    pad_id: int = 0,
+) -> Dict[str, jnp.ndarray]:
+    """Build one fixed-shape [B, cutoff_len] text batch from <= B rows."""
+    ids = np.full((batch_size, cutoff_len), pad_id, np.int64)
+    labels = np.full((batch_size, cutoff_len), -100, np.int64)
+    seg = np.zeros((batch_size, cutoff_len), np.int32)
+    for r, e in enumerate(rows):
+        L = min(len(e["input_ids"]), cutoff_len)
+        ids[r, :L] = e["input_ids"][:L]
+        labels[r, :L] = e["labels"][:L]
+        seg[r, :L] = e.get(
+            "segment_ids", np.ones(len(e["input_ids"]), np.int32)
+        )[:L]
+    # rope positions restart at every packed-segment boundary (the
+    # reference collator computes per-segment mrope positions,
+    # data/collator.py:186-196)
+    pos = np.zeros((batch_size, cutoff_len), np.int64)
+    ar = np.arange(cutoff_len)
+    for r in range(batch_size):
+        boundary = np.zeros(cutoff_len, bool)
+        boundary[0] = True
+        boundary[1:] = seg[r, 1:] != seg[r, :-1]
+        starts = np.where(boundary, ar, 0)
+        last_start = np.maximum.accumulate(starts)
+        pos[r] = ar - last_start
+    pos3 = np.broadcast_to(pos[None], (3, batch_size, cutoff_len))
+    shifted = shift_labels(labels)
+    # never supervise across a packed-segment boundary
+    cross = np.zeros_like(seg, dtype=bool)
+    cross[:, :-1] = seg[:, 1:] != seg[:, :-1]
+    shifted[cross] = -100
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(shifted),
+        "position_ids": jnp.asarray(pos3),
+        "segment_ids": jnp.asarray(seg),
+        "_n_tokens": np.int64((seg > 0).sum()),
+    }
+
+
 def collate(
     examples: List[Dict[str, np.ndarray]],
     batch_size: int,
@@ -156,42 +235,57 @@ def collate(
     total, order = _epoch_order(len(examples), batch_size, seed, epochs)
     for b in range(total):
         idxs = order[b * batch_size : (b + 1) * batch_size]
-        ids = np.full((batch_size, cutoff_len), pad_id, np.int64)
-        labels = np.full((batch_size, cutoff_len), -100, np.int64)
-        seg = np.zeros((batch_size, cutoff_len), np.int32)
-        for r, i in enumerate(idxs):
-            e = examples[i]
-            L = min(len(e["input_ids"]), cutoff_len)
-            ids[r, :L] = e["input_ids"][:L]
-            labels[r, :L] = e["labels"][:L]
-            seg[r, :L] = e.get(
-                "segment_ids", np.ones(len(e["input_ids"]), np.int32)
-            )[:L]
-        # rope positions restart at every packed-segment boundary (the
-        # reference collator computes per-segment mrope positions,
-        # data/collator.py:186-196)
-        pos = np.zeros((batch_size, cutoff_len), np.int64)
-        ar = np.arange(cutoff_len)
-        for r in range(batch_size):
-            boundary = np.zeros(cutoff_len, bool)
-            boundary[0] = True
-            boundary[1:] = seg[r, 1:] != seg[r, :-1]
-            starts = np.where(boundary, ar, 0)
-            last_start = np.maximum.accumulate(starts)
-            pos[r] = ar - last_start
-        pos3 = np.broadcast_to(pos[None], (3, batch_size, cutoff_len))
-        shifted = shift_labels(labels)
-        # never supervise across a packed-segment boundary
-        cross = np.zeros_like(seg, dtype=bool)
-        cross[:, :-1] = seg[:, 1:] != seg[:, :-1]
-        shifted[cross] = -100
-        yield {
-            "input_ids": jnp.asarray(ids),
-            "labels": jnp.asarray(shifted),
-            "position_ids": jnp.asarray(pos3),
-            "segment_ids": jnp.asarray(seg),
-            "_n_tokens": np.int64((seg > 0).sum()),
-        }
+        yield _rows_to_batch(
+            [examples[i] for i in idxs], batch_size, cutoff_len, pad_id
+        )
+
+
+def collate_stream(
+    encoded: Iterator[Dict[str, np.ndarray]],
+    batch_size: int,
+    cutoff_len: int,
+    pad_id: int = 0,
+    seed: int = 0,
+    buffer_size: int = 16384,
+    packing: bool = False,
+) -> Iterator[Dict[str, jnp.ndarray]]:
+    """Streaming collator: consume a lazy encoded-example iterator, shuffle
+    through a `buffer_size` reservoir (the reference's streaming
+    dataset.shuffle(buffer_size), data/loader.py:286 + data_args.py:62-65),
+    optionally greedy-knapsack-pack each refill window (neat_packing over a
+    bounded window instead of the whole map-style dataset), and yield
+    fixed-shape batches until the stream is exhausted. The stream restarts
+    are the caller's concern (max_steps bounds training in streaming mode).
+    """
+    from ..data.loader import pack_examples
+
+    rng = np.random.RandomState(seed)
+    it = iter(encoded)
+    exhausted = False
+    carry: List[Dict[str, np.ndarray]] = []  # post-pack tail rows
+    while not exhausted:
+        window: List[Dict[str, np.ndarray]] = []
+        for _ in range(max(buffer_size, batch_size)):
+            try:
+                window.append(next(it))
+            except StopIteration:
+                exhausted = True
+                break
+        if packing and window:
+            window = pack_examples(window, cutoff_len, pad_token_id=pad_id)
+        rows = carry + window
+        if not rows:
+            return
+        order = rng.permutation(len(rows))
+        n_full = len(rows) // batch_size
+        for b in range(n_full):
+            picked = [rows[i] for i in order[b * batch_size : (b + 1) * batch_size]]
+            yield _rows_to_batch(picked, batch_size, cutoff_len, pad_id)
+        # tail rows (< batch_size) carry into the next window; the final
+        # window's tail rides out as one padded short batch
+        carry = [rows[i] for i in order[n_full * batch_size :]]
+    if carry:
+        yield _rows_to_batch(carry, batch_size, cutoff_len, pad_id)
 
 
 def _grids_key(grids) -> Optional[tuple]:
@@ -560,6 +654,15 @@ def _load_or_init_params(args: AllArgs, cfg, mm: bool, dtype):
 def _batches(args: AllArgs, data, cfg, mm: bool):
     # HF semantics: global batch = per_device * data_parallel replicas
     B = args.train.per_device_train_batch_size * max(args.train.data_parallel, 1)
+    if args.data.streaming:
+        return collate_stream(
+            data,
+            B,
+            args.data.cutoff_len,
+            seed=args.train.seed,
+            buffer_size=args.data.buffer_size,
+            packing=args.data.packing,
+        )
     if mm:
         return collate_mm(
             data,
@@ -641,7 +744,9 @@ def run_sft(args: AllArgs, tokenizer=None):
     # <unk> and the similarity scores become fiction)
     tokenizer = resolve_tokenizer(args, cfg, tokenizer)
     data = build_dataset(args, tokenizer, cfg=cfg)
-    mm = is_multimodal(data)
+    # streaming data is a lazy iterator (text-only by construction) — it
+    # must not be consumed before the training loop
+    mm = False if args.data.streaming else is_multimodal(data)
     mesh = _maybe_mesh(args)
     params = _load_or_init_params(args, cfg, mm, dtype)
     if args.model.quantization_bit is not None:
@@ -741,7 +846,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                     merged["text"], scan_period, tcfg.num_hidden_layers
                 ),
             }
-        if args.train.do_predict and not mm:
+        if args.train.do_predict and not mm and not args.data.streaming:
             predict_and_score(merged, cfg, data, tokenizer, args)
         return merged
     if ft == "freeze":
@@ -786,7 +891,7 @@ def run_sft(args: AllArgs, tokenizer=None):
     final = trainer.train(
         _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
     )
-    if args.train.do_predict and not mm:
+    if args.train.do_predict and not mm and not args.data.streaming:
         # text-only scoring (the reference's predict path is text decode too)
         predict_and_score(final, cfg, data, tokenizer, args)
     return final

@@ -352,3 +352,34 @@ def test_api_multimodal_image_content():
         assert exc.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_sft_streaming_end_to_end(tmp_path):
+    """streaming: true trains from a lazy pipeline (reference
+    data_args.py:58-65): no materialized dataset, max_steps mandatory,
+    max_samples rejected."""
+    args = load_yaml_args(os.path.join(REPO, "examples", "sft_tiny.yaml"))
+    args.train.output_dir = str(tmp_path)
+    args.data.dataset_dir = os.path.join(REPO, "data")
+    args.data.streaming = True
+    args.data.buffer_size = 8
+    args.data.packing = True
+    args.train.max_steps = 4
+    from infinitevl_tpu.train.trainer import run_exp
+
+    params = run_exp(args)
+    assert params is not None
+    log = os.path.join(str(tmp_path), "trainer_log.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    assert any("loss" in r for r in recs)
+
+    import dataclasses as _dc
+
+    import pytest as _pytest
+
+    bad = _dc.replace(args, train=_dc.replace(args.train, max_steps=None))
+    with _pytest.raises(ValueError, match="max_steps"):
+        run_exp(bad)
+    bad2 = _dc.replace(args, data=_dc.replace(args.data, max_samples=10))
+    with _pytest.raises(ValueError, match="max_samples"):
+        run_exp(bad2)
