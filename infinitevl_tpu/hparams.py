@@ -51,6 +51,11 @@ class DataArgs:
     # max_samples (parser.py:232-233, data_args.py:157-158). Text-only.
     streaming: bool = False
     buffer_size: int = 16384
+    # held-out split for eval loss during training (reference
+    # data_args.py:144-156): fraction of the dataset in (0, 1) or an
+    # absolute example count >= 1; fractional val_size is incompatible
+    # with streaming (same constraint as the reference)
+    val_size: float = 0.0
     image_max_pixels: int = 14 * 14 * 4 * 1280
     image_min_pixels: int = 56 * 56
     video_fps: float = 2.0
@@ -101,6 +106,11 @@ class TrainArgs:
     # gold completions (reference train/sft/workflow.py predict path)
     do_predict: bool = False
     predict_samples: int = 16
+    # eval-loss cadence over the val_size split (reference
+    # eval_strategy="steps" + eval_steps); None = evaluate once at the end
+    # of training (only when val_size > 0)
+    eval_steps: Optional[int] = None
+    per_device_eval_batch_size: Optional[int] = None  # None = train batch
 
 
 @dataclasses.dataclass

@@ -595,6 +595,9 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label><input type=checkbox id=bf16 checked> bf16</label>
 <label><input type=checkbox id=remat> remat</label>
 <label><input type=checkbox id=scan_layers> scan_layers</label>
+<label><input type=checkbox id=streaming> streaming</label>
+<label>val_size <input id=val_size value=0 size=4></label>
+<label>eval_steps <input id=eval_steps size=4 placeholder="(end)"></label>
 <label>resume <input id=resume_from_checkpoint size=18
  placeholder="(checkpoints dir)"></label>
 <button onclick=useLastRun()>Use last run</button>
@@ -706,20 +709,22 @@ const FORM=["stage","config_preset","dataset","dataset_dir","finetuning_type",
  "num_train_epochs","mix_strategy","lr_scheduler_type","warmup_steps","weight_decay",
  "max_grad_norm","save_steps","seed","optimizer_rank","data_parallel","model_parallel",
  "param_mode","pref_beta","pref_loss","distill_stage","mse_factor",
- "distill_temperature","freeze_trainable_layers"];
+ "distill_temperature","freeze_trainable_layers","val_size"];
 const NUM=new Set(["learning_rate","per_device_train_batch_size","cutoff_len",
  "max_steps","lora_rank","lora_alpha","lora_dropout","gradient_accumulation_steps",
  "num_train_epochs","warmup_steps","weight_decay","max_grad_norm","save_steps",
  "seed","optimizer_rank","data_parallel","model_parallel","pref_beta",
- "distill_stage","mse_factor","distill_temperature","freeze_trainable_layers"]);
-const CHECKS=["bf16","packing","remat","scan_layers","use_dora","use_rslora"];
+ "distill_stage","mse_factor","distill_temperature","freeze_trainable_layers",
+ "val_size"]);
+const CHECKS=["bf16","packing","remat","scan_layers","use_dora","use_rslora",
+ "streaming"];
 const OPT=["model_name_or_path","rope_scaling","quantization_bit","max_samples",
- "use_optimizer","teacher_model_path","resume_from_checkpoint"];
+ "use_optimizer","teacher_model_path","resume_from_checkpoint","eval_steps"];
 function cfg(){const c={};for(const k of FORM){let v=document.getElementById(k).value;
  if(NUM.has(k))v=Number(v);c[k]=v;}
  for(const k of CHECKS)c[k]=document.getElementById(k).checked;
  for(const k of OPT){const v=document.getElementById(k).value;
-  if(v)c[k]=(k==="quantization_bit"||k==="max_samples")?Number(v):v;}
+  if(v)c[k]=(k==="quantization_bit"||k==="max_samples"||k==="eval_steps")?Number(v):v;}
  c.logging_steps=1;return c;}
 async function useLastRun(){const j=await (await fetch("/api/runs")).json();
  if(j.runs&&j.runs.length)

@@ -426,3 +426,27 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
         return step(lora, opt_state, batch, grid_thw, video_grid_thw, _base=base)
 
     return step_with_base
+
+
+def make_lora_eval_fn(cfg, alpha: float = 16.0, rank: int = 8,
+                      use_rslora: bool = False):
+    """Loss-only twin of make_lora_sft_step for the val_size split:
+    jittable (lora, base, batch) -> scalar mean CE with the adapters
+    attached (text-only; the eval split collates through the text path)."""
+    from .step import sft_loss_fn
+
+    tcfg = cfg.text if hasattr(cfg, "text") else cfg
+
+    def eval_loss(lora, base, batch):
+        merged = attach_lora(base, lora, alpha, rank, use_rslora)
+        text = merged["text"] if "text" in merged else merged
+        return sft_loss_fn(
+            text,
+            tcfg,
+            batch["input_ids"],
+            batch["labels"],
+            batch["position_ids"],
+            batch.get("segment_ids"),
+        )
+
+    return eval_loss

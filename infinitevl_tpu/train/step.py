@@ -265,6 +265,25 @@ def make_mm_sft_train_step(
     return step
 
 
+def make_sft_eval_fn(cfg: TextConfig):
+    """Loss-only twin of make_sft_train_step for the val_size split
+    (reference Seq2SeqTrainer.evaluate role): jittable
+    (params, batch) -> scalar mean CE over supervised tokens. No remat —
+    eval holds no backward residuals."""
+
+    def eval_loss(params, batch):
+        return sft_loss_fn(
+            params["text"] if "text" in params else params,
+            cfg,
+            batch["input_ids"],
+            batch["labels"],
+            batch["position_ids"],
+            batch.get("segment_ids"),
+        )
+
+    return eval_loss
+
+
 def make_sft_train_step(
     cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False,
     remat_group: int = 1, remat_barrier: bool = False,

@@ -106,6 +106,11 @@ def build_dataset_stream(args: AllArgs, tokenizer=None):
         raise ValueError("Please specify `max_steps` in streaming mode.")
     if args.data.max_samples:
         raise ValueError("`max_samples` is incompatible with `streaming`.")
+    if 0 < args.data.val_size < 1:
+        raise ValueError(
+            "fractional `val_size` is incompatible with `streaming` "
+            "(reference data_args.py:154-156)"
+        )
     info_path = os.path.join(args.data.dataset_dir, "dataset_info.json")
     registry = load_dataset_info(info_path)
     names = [n.strip() for n in args.data.dataset.split(",") if n.strip()]
@@ -472,6 +477,8 @@ class Trainer:
         logging_steps: int = 10,
         save_steps: int = 5000,
         extra_step_args: tuple = (),
+        eval_hook: Optional[Callable] = None,  # (params) -> eval loss
+        eval_steps: Optional[int] = None,  # None = once at end of training
     ):
         self.step_fn = step_fn
         self.params = params
@@ -480,8 +487,21 @@ class Trainer:
         self.logging_steps = logging_steps
         self.save_steps = save_steps
         self.extra = extra_step_args
+        self.eval_hook = eval_hook
+        self.eval_steps = eval_steps
         self.log = TrainerLog(output_dir)
         self.step = 0
+
+    def evaluate(self):
+        """Eval-loss pass over the held-out split (reference
+        Seq2SeqTrainer.evaluate + eval_strategy='steps' role)."""
+        if self.eval_hook is None or self.step == getattr(self, "_eval_at", -1):
+            return None
+        self._eval_at = self.step
+        el = float(self.eval_hook(self.params))
+        self.log.log(self.step, eval_loss=round(el, 6))
+        logger.info(f"step {self.step}: eval_loss={el:.4f}")
+        return el
 
     def resume(self, path: Optional[str] = None):
         ckpt_dir = path or os.path.join(self.output_dir, "checkpoints")
@@ -533,8 +553,15 @@ class Trainer:
                 tps = tokens / (time.time() - t0)
                 self.log.log(self.step, loss=lv, tokens_per_sec=round(tps, 1))
                 logger.info(f"step {self.step}: loss={lv:.4f} tps={tps:.0f}")
+            if (
+                self.eval_hook is not None
+                and self.eval_steps
+                and self.step % self.eval_steps == 0
+            ):
+                self.evaluate()
             if self.step % self.save_steps == 0:
                 self.save()
+        self.evaluate()
         self.save()
         self.log.plot_loss()
         return self.params
@@ -681,6 +708,53 @@ def _batches(args: AllArgs, data, cfg, mm: bool):
     )
 
 
+def _split_val(args: AllArgs, data, mm: bool):
+    """Carve the val_size held-out split off the training data (reference
+    data_args.py:144-156 + get_dataset's train_test_split). Fractional
+    val_size samples a seeded permutation; integer val_size >= 1 takes an
+    absolute count (for streaming: peeled off the head of the stream, the
+    datasets.take/skip pattern). Text-only — multimodal eval batches carry
+    static grid args and are skipped with a warning."""
+    vs = args.data.val_size
+    if not vs:
+        return data, None
+    if mm:
+        logger.warning("val_size eval is text-only; skipped for multimodal data")
+        return data, None
+    if args.data.streaming:
+        import itertools
+
+        it = iter(data)
+        eval_data = list(itertools.islice(it, int(vs)))
+        return it, eval_data
+    n = len(data)
+    n_val = int(vs) if vs >= 1 else max(1, int(n * vs))
+    n_val = min(n_val, n - 1)
+    order = np.random.RandomState(args.train.seed).permutation(n)
+    eval_data = [data[i] for i in order[:n_val]]
+    train_data = [data[i] for i in order[n_val:]]
+    return train_data, eval_data
+
+
+def _eval_hook_factory(args: AllArgs, eval_data, eval_fn, extra: tuple = ()):
+    """Token-weighted mean loss over the held-out split; `eval_fn` is a
+    jitted (params, *extra, batch) -> scalar loss."""
+    B = (
+        args.train.per_device_eval_batch_size
+        or args.train.per_device_train_batch_size
+    )
+
+    def hook(params):
+        tot, n = 0.0, 0
+        for batch in collate(eval_data, B, args.data.cutoff_len, seed=0):
+            ntok = int(batch.pop("_n_tokens"))
+            tot += float(eval_fn(params, *extra, batch)) * ntok
+            n += ntok
+        return tot / max(n, 1)
+
+    return hook
+
+
 def predict_and_score(params, cfg, data, tokenizer, args: AllArgs):
     """predict_with_generate analogue (reference train/sft/workflow.py
     predict path + train/sft/metric.py ComputeSimilarity): greedy-generate
@@ -747,6 +821,7 @@ def run_sft(args: AllArgs, tokenizer=None):
     # streaming data is a lazy iterator (text-only by construction) — it
     # must not be consumed before the training loop
     mm = False if args.data.streaming else is_multimodal(data)
+    data, eval_data = _split_val(args, data, mm)
     mesh = _maybe_mesh(args)
     params = _load_or_init_params(args, cfg, mm, dtype)
     if args.model.quantization_bit is not None:
@@ -823,10 +898,23 @@ def run_sft(args: AllArgs, tokenizer=None):
             static_argnums=(4, 5),
             donate_argnums=(0, 1),
         )
+        eval_hook = None
+        if eval_data:
+            from .lora import make_lora_eval_fn
+
+            eval_fn = jax.jit(make_lora_eval_fn(
+                cfg, alpha=args.finetune.lora_alpha,
+                rank=args.finetune.lora_rank,
+                use_rslora=args.finetune.use_rslora,
+            ))
+            eval_hook = _eval_hook_factory(
+                args, eval_data, lambda l, b, _f=eval_fn: _f(l, params, b)
+            )
         trainer = Trainer(
             step_fn, lora, opt_state, args.train.output_dir,
             args.train.logging_steps, args.train.save_steps,
             extra_step_args=(params,),
+            eval_hook=eval_hook, eval_steps=args.train.eval_steps,
         )
         if args.train.resume_from_checkpoint:
             trainer.resume(args.train.resume_from_checkpoint)
@@ -882,9 +970,17 @@ def run_sft(args: AllArgs, tokenizer=None):
             ),
             donate_argnums=(0, 1),
         )
+    eval_hook = None
+    if eval_data:
+        from .step import make_sft_eval_fn
+
+        eval_hook = _eval_hook_factory(
+            args, eval_data, jax.jit(make_sft_eval_fn(tcfg))
+        )
     trainer = Trainer(
         step_fn, params, opt_state, args.train.output_dir,
         args.train.logging_steps, args.train.save_steps,
+        eval_hook=eval_hook, eval_steps=args.train.eval_steps,
     )
     if args.train.resume_from_checkpoint:
         trainer.resume(args.train.resume_from_checkpoint)

@@ -383,3 +383,66 @@ def test_sft_streaming_end_to_end(tmp_path):
     bad2 = _dc.replace(args, data=_dc.replace(args.data, max_samples=10))
     with _pytest.raises(ValueError, match="max_samples"):
         run_exp(bad2)
+
+
+def test_sft_val_size_eval_loss(tmp_path):
+    """val_size carves a held-out split and eval_loss is logged every
+    eval_steps and at the end (reference data_args.py:144-156 +
+    eval_strategy='steps')."""
+    args = load_yaml_args(os.path.join(REPO, "examples", "sft_tiny.yaml"))
+    args.train.output_dir = str(tmp_path)
+    args.data.dataset_dir = os.path.join(REPO, "data")
+    args.data.val_size = 0.25
+    args.train.eval_steps = 2
+    args.train.max_steps = 4
+    from infinitevl_tpu.train.trainer import run_exp
+
+    params = run_exp(args)
+    assert params is not None
+    recs = [json.loads(l) for l in open(os.path.join(str(tmp_path), "trainer_log.jsonl"))]
+    evals = [r for r in recs if "eval_loss" in r]
+    # periodic eval at step 2, final eval at the last step (the 25% split
+    # shrinks one epoch below max_steps, so training ends when data runs out)
+    steps_seen = [r["current_steps"] for r in evals]
+    assert steps_seen[0] == 2 and len(steps_seen) >= 2
+    assert steps_seen[-1] == max(r["current_steps"] for r in recs)
+    assert all(np.isfinite(r["eval_loss"]) and r["eval_loss"] > 0 for r in evals)
+
+
+def test_split_val_streaming_and_fractional_guard():
+    """Integer val_size peels the head off a stream; fractional raises."""
+    import dataclasses as _dc
+
+    import pytest as _pytest
+
+    from infinitevl_tpu.hparams import parse_args
+    from infinitevl_tpu.train.trainer import _split_val, build_dataset_stream
+
+    args = parse_args({
+        "stage": "sft", "config_preset": "tiny", "dataset": "demo",
+        "dataset_dir": os.path.join(REPO, "data"), "streaming": True,
+        "max_steps": 2, "val_size": 3,
+    })
+    rows = ({"input_ids": np.array([i]), "labels": np.array([i])} for i in range(10))
+    train_it, eval_data = _split_val(args, rows, mm=False)
+    assert [int(e["input_ids"][0]) for e in eval_data] == [0, 1, 2]
+    assert [int(e["input_ids"][0]) for e in train_it] == list(range(3, 10))
+
+    bad = _dc.replace(args, data=_dc.replace(args.data, val_size=0.1))
+    with _pytest.raises(ValueError, match="val_size"):
+        build_dataset_stream(bad)
+
+
+def test_sft_lora_val_eval_loss(tmp_path):
+    """LoRA-branch eval hook: loss with adapters attached over the split."""
+    args = load_yaml_args(os.path.join(REPO, "examples", "sft_tiny.yaml"))
+    args.train.output_dir = str(tmp_path)
+    args.data.dataset_dir = os.path.join(REPO, "data")
+    args.finetune.finetuning_type = "lora"
+    args.data.val_size = 2
+    args.train.max_steps = 2
+    from infinitevl_tpu.train.trainer import run_exp
+
+    assert run_exp(args) is not None
+    recs = [json.loads(l) for l in open(os.path.join(str(tmp_path), "trainer_log.jsonl"))]
+    assert any("eval_loss" in r and r["eval_loss"] > 0 for r in recs)
