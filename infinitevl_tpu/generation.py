@@ -229,11 +229,17 @@ class Generator:
         self,
         params: Params,
         cfg: InfiniteVLConfig,
-        dtype=jnp.bfloat16,
+        dtype=None,
         chunk_size: int = 8,
         fuse: bool = False,
         quant: Optional[str] = None,
     ):
+        if dtype is None:
+            # ring/conv state must match the activations' dtype (the conv
+            # carry is written with a dynamic_update_slice, which requires
+            # equal dtypes) — infer it from the weights before quantization
+            emb = params["text"]["embed"] if "text" in params else params["embed"]
+            dtype = emb.dtype
         if fuse:
             # opt-in: one matmul per projection group — measured SLOWER on
             # v5e at these shapes (see models/fuse.py); re-measure before use

@@ -111,6 +111,10 @@ class TrainArgs:
     # of training (only when val_size > 0)
     eval_steps: Optional[int] = None
     per_device_eval_batch_size: Optional[int] = None  # None = train batch
+    # external metric trackers (reference ReporterCallback,
+    # train/callbacks.py:356-385): tensorboard | wandb | swanlab | none;
+    # a str or list. The JSONL trainer_log stays the durable record.
+    report_to: Optional[str] = None
 
 
 @dataclasses.dataclass

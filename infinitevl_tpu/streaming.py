@@ -272,10 +272,14 @@ class StreamingEngine:
         params: Params,
         cfg: InfiniteVLConfig,
         frame_hw: Tuple[int, int] = (448, 448),
-        dtype=jnp.bfloat16,
+        dtype=None,
         batch_size: int = 1,
         fuse: bool = False,
     ):
+        if dtype is None:
+            # state dtype must match the activations' (see Generator)
+            emb = params["text"]["embed"] if "text" in params else params["embed"]
+            dtype = emb.dtype
         if fuse:
             # opt-in: one matmul per projection group — measured SLOWER on
             # v5e at these shapes (see models/fuse.py); re-measure before use
@@ -530,7 +534,8 @@ class StreamingEngine:
             )
         eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         q_ids = np.concatenate(
-            [[[cfg.vision_end_token_id]], np.asarray(question_ids)], axis=1
+            [[[cfg.vision_end_token_id]], np.atleast_2d(np.asarray(question_ids))],
+            axis=1,
         ).astype(np.int32)
         Tq = q_ids.shape[1]
         start = self.pos_max + 1

@@ -1,4 +1,4 @@
-"""Custom optimizers: GaLore, APOLLO, LoRA+, BAdam.
+"""Custom optimizers: GaLore, APOLLO, LoRA+, BAdam, Adam-mini.
 
 The reference wires these through HF Trainer plugins
 (src/llamafactory/train/trainer_utils.py:250-560: _create_galore_optimizer,
@@ -17,6 +17,8 @@ under lax.cond, no Python-side scheduling.
 - LoRA+ (arXiv:2402.12354): the adapter's `b` matrices get lr * ratio.
 - BAdam (arXiv:2404.02827): block-coordinate Adam — cycle through layer
   blocks, updating one block per `switch_interval` steps.
+- Adam-mini (arXiv:2406.16793): one second-moment scalar per Hessian block
+  (per attention head for q/k, per output neuron elsewhere).
 """
 
 from __future__ import annotations
@@ -297,9 +299,115 @@ def badam(
     return optax.GradientTransformation(init, update)
 
 
+# --------------------------------------------------------------- Adam-mini
+
+
+def adam_mini(
+    learning_rate,
+    head_dim: int = 128,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam-mini (arXiv:2406.16793; reference wires it through HF Trainer at
+    src/llamafactory/train/trainer_utils.py:485 _create_adam_mini_optimizer):
+    one second-moment scalar per Hessian block instead of per coordinate.
+
+    Block rule (the paper's partition):
+      - embedding / lm_head leaves keep per-coordinate Adam (their Hessian
+        is near-diagonal);
+      - q_proj / k_proj kernels: one block per attention head (columns are
+        grouped in chunks of `head_dim`);
+      - every other >=2-D kernel: one block per output neuron (column);
+      - 1-D leaves (norm scales, biases): per-coordinate.
+    Momentum `m` stays per-coordinate — the memory saving is the v buffer
+    (~[n_heads] or ~[d_out] scalars instead of a weight-shaped tensor).
+    """
+
+    PER_COORD, PER_HEAD, PER_COL = 0, 1, 2
+
+    def rule_of(path: str, x) -> int:
+        parts = path.split("/")
+        if "embed" in parts or "lm_head" in parts or x.ndim < 2:
+            return PER_COORD
+        if len(parts) >= 2 and parts[-1] == "kernel" and parts[-2] in ("q_proj", "k_proj"):
+            if x.shape[-1] % head_dim == 0:
+                return PER_HEAD
+        return PER_COL
+
+    def block_mean(g2, rule):
+        # mean of g^2 within each block; returns the small v-shaped tensor
+        if rule == PER_COORD:
+            return g2
+        if rule == PER_HEAD:
+            h = g2.shape[-1] // head_dim
+            return g2.reshape(-1, h, head_dim).mean(axis=(0, 2))  # [h]
+        return g2.reshape(-1, g2.shape[-1]).mean(axis=0)  # [d_out]
+
+    def block_bcast(v, rule, shape):
+        if rule == PER_COORD:
+            return v
+        if rule == PER_HEAD:
+            h = v.shape[0]
+            return jnp.broadcast_to(
+                v[None, :, None], (int(np_prod(shape[:-1])), h, head_dim)
+            ).reshape(shape)
+        return jnp.broadcast_to(v[None, :], (int(np_prod(shape[:-1])), shape[-1])).reshape(
+            shape
+        )
+
+    def np_prod(t):
+        out = 1
+        for s in t:
+            out *= int(s)
+        return out
+
+    def init(params):
+        def v0(path, x):
+            r = rule_of(_path_str(path), x)
+            return block_mean(jnp.zeros(x.shape, jnp.float32), r)
+
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "m": jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), params),
+            "v": jax.tree_util.tree_map_with_path(v0, params),
+        }
+
+    def update(grads, state, params=None):
+        step = state["step"] + 1
+        lr = learning_rate(step) if callable(learning_rate) else learning_rate
+
+        def leaf(path, g, m, v, p):
+            r = rule_of(_path_str(path), g)
+            gf = g.astype(jnp.float32)
+            m2 = b1 * m + (1 - b1) * gf
+            v2 = b2 * v + (1 - b2) * block_mean(gf * gf, r)
+            mh = m2 / (1 - b1**step)
+            vh = block_bcast(v2 / (1 - b2**step), r, g.shape)
+            u = -lr * (mh / (jnp.sqrt(vh) + eps) + weight_decay * p.astype(jnp.float32))
+            return u.astype(g.dtype), m2, v2
+
+        flat = jax.tree_util.tree_map_with_path(
+            leaf, grads, state["m"], state["v"], params if params is not None else grads
+        )
+        pick = lambda i: jax.tree.map(  # noqa: E731
+            lambda t: t[i], flat, is_leaf=lambda t: isinstance(t, tuple)
+        )
+        return pick(0), {"step": step, "m": pick(1), "v": pick(2)}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_custom_optimizer(name: str, learning_rate, **kw) -> optax.GradientTransformation:
     """Registry for FinetuneArgs.use_optimizer."""
-    table = {"galore": galore, "apollo": apollo, "loraplus": loraplus, "badam": badam}
+    table = {
+        "galore": galore,
+        "apollo": apollo,
+        "loraplus": loraplus,
+        "badam": badam,
+        "adam_mini": adam_mini,
+    }
     if name not in table:
         raise ValueError(f"unknown optimizer {name!r} (one of {sorted(table)})")
     return table[name](learning_rate, **kw)

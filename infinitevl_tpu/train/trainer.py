@@ -479,6 +479,7 @@ class Trainer:
         extra_step_args: tuple = (),
         eval_hook: Optional[Callable] = None,  # (params) -> eval loss
         eval_steps: Optional[int] = None,  # None = once at end of training
+        report_to=None,  # tensorboard / wandb / swanlab (ReporterCallback role)
     ):
         self.step_fn = step_fn
         self.params = params
@@ -490,6 +491,9 @@ class Trainer:
         self.eval_hook = eval_hook
         self.eval_steps = eval_steps
         self.log = TrainerLog(output_dir)
+        from ..utils.logging import make_reporter
+
+        self.reporter = make_reporter(report_to, output_dir)
         self.step = 0
 
     def evaluate(self):
@@ -500,6 +504,7 @@ class Trainer:
         self._eval_at = self.step
         el = float(self.eval_hook(self.params))
         self.log.log(self.step, eval_loss=round(el, 6))
+        self.reporter.log(self.step, eval_loss=el)
         logger.info(f"step {self.step}: eval_loss={el:.4f}")
         return el
 
@@ -552,6 +557,7 @@ class Trainer:
                 lv = float(loss)
                 tps = tokens / (time.time() - t0)
                 self.log.log(self.step, loss=lv, tokens_per_sec=round(tps, 1))
+                self.reporter.log(self.step, loss=lv, tokens_per_sec=tps)
                 logger.info(f"step {self.step}: loss={lv:.4f} tps={tps:.0f}")
             if (
                 self.eval_hook is not None
@@ -564,6 +570,7 @@ class Trainer:
         self.evaluate()
         self.save()
         self.log.plot_loss()
+        self.reporter.close()
         return self.params
 
 
@@ -915,6 +922,7 @@ def run_sft(args: AllArgs, tokenizer=None):
             args.train.logging_steps, args.train.save_steps,
             extra_step_args=(params,),
             eval_hook=eval_hook, eval_steps=args.train.eval_steps,
+        report_to=args.train.report_to,
         )
         if args.train.resume_from_checkpoint:
             trainer.resume(args.train.resume_from_checkpoint)
@@ -981,6 +989,7 @@ def run_sft(args: AllArgs, tokenizer=None):
         step_fn, params, opt_state, args.train.output_dir,
         args.train.logging_steps, args.train.save_steps,
         eval_hook=eval_hook, eval_steps=args.train.eval_steps,
+        report_to=args.train.report_to,
     )
     if args.train.resume_from_checkpoint:
         trainer.resume(args.train.resume_from_checkpoint)
@@ -1128,6 +1137,7 @@ def run_rm(args: AllArgs, tokenizer=None):
     trainer = Trainer(
         step_fn, params, opt_state, args.train.output_dir,
         args.train.logging_steps, args.train.save_steps,
+        report_to=args.train.report_to,
     )
     if args.train.resume_from_checkpoint:
         trainer.resume(args.train.resume_from_checkpoint)
@@ -1165,6 +1175,7 @@ def run_dpo(args: AllArgs, tokenizer=None):
         step_fn, policy, opt_state, args.train.output_dir,
         args.train.logging_steps, args.train.save_steps,
         extra_step_args=(ref_params,),
+        report_to=args.train.report_to,
     )
     if args.train.resume_from_checkpoint:
         trainer.resume(args.train.resume_from_checkpoint)
@@ -1196,6 +1207,7 @@ def run_kto(args: AllArgs, tokenizer=None):
         step_fn, policy, opt_state, args.train.output_dir,
         args.train.logging_steps, args.train.save_steps,
         extra_step_args=(ref_params,),
+        report_to=args.train.report_to,
     )
     if args.train.resume_from_checkpoint:
         trainer.resume(args.train.resume_from_checkpoint)

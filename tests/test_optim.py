@@ -10,7 +10,7 @@ import numpy as np
 import optax
 import pytest
 
-from infinitevl_tpu.train.optim import apollo, badam, galore, loraplus
+from infinitevl_tpu.train.optim import adam_mini, apollo, badam, galore, loraplus
 
 
 def _toy_params(key, d_in=64, d_out=48):
@@ -91,6 +91,49 @@ def test_loraplus_b_faster_than_a():
     ra = float(jnp.abs(upd["q_proj"]["a"]).mean())
     rb = float(jnp.abs(upd["q_proj"]["b"]).mean())
     assert rb > ra * 4
+
+
+def test_adam_mini_reduces_loss_and_saves_memory():
+    first, last, st = _train(adam_mini(1e-2))
+    assert last < first * 0.6, (first, last)
+    # v for the [64,48] kernel is one scalar per output column
+    assert st["v"]["layers"][0]["w"].shape == (48,)
+    # m stays per-coordinate
+    assert st["m"]["layers"][0]["w"].shape == (64, 48)
+
+
+def test_adam_mini_per_head_blocks_match_adam_on_blockwise_constant_grad():
+    # q_proj kernel with head_dim=4: when g^2 is constant within each head
+    # block, block-mean v == per-coordinate v, so the update must equal
+    # Adam's exactly.
+    hd = 4
+    params = {"q_proj": {"kernel": jnp.zeros((8, 3 * hd))}}
+    g = jnp.concatenate(
+        [jnp.full((8, hd), c) for c in (0.5, -1.0, 2.0)], axis=-1
+    )
+    grads = {"q_proj": {"kernel": g}}
+
+    mini = adam_mini(1e-2, head_dim=hd)
+    st = mini.init(params)
+    assert st["v"]["q_proj"]["kernel"].shape == (3,)  # one per head
+    upd, _ = mini.update(grads, st, params)
+
+    adam = optax.adam(1e-2)
+    ast = adam.init(params)
+    aupd, _ = adam.update(grads, ast, params)
+    np.testing.assert_allclose(
+        np.asarray(upd["q_proj"]["kernel"]),
+        np.asarray(aupd["q_proj"]["kernel"]),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+def test_adam_mini_embed_stays_per_coordinate():
+    params = {"embed": jnp.zeros((16, 8)), "final_norm": jnp.ones((8,))}
+    st = adam_mini(1e-3).init(params)
+    assert st["v"]["embed"].shape == (16, 8)
+    assert st["v"]["final_norm"].shape == (8,)
 
 
 def test_workflow_use_optimizer(tmp_path):

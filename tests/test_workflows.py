@@ -446,3 +446,22 @@ def test_sft_lora_val_eval_loss(tmp_path):
     assert run_exp(args) is not None
     recs = [json.loads(l) for l in open(os.path.join(str(tmp_path), "trainer_log.jsonl"))]
     assert any("eval_loss" in r and r["eval_loss"] > 0 for r in recs)
+
+
+def test_reporter_tensorboard(tmp_path):
+    """ReporterCallback equivalent: report_to=tensorboard writes event files
+    (reference train/callbacks.py:356-385 reports run meta to trackers)."""
+    from infinitevl_tpu.utils.logging import make_reporter
+
+    rep = make_reporter("tensorboard", str(tmp_path), {"stage": "sft"})
+    rep.log(1, loss=1.25, tokens_per_sec=100.0)
+    rep.log(2, loss=1.0)
+    rep.close()
+    runs = os.path.join(str(tmp_path), "runs")
+    files = os.listdir(runs)
+    assert any(f.startswith("events.out.tfevents") for f in files), files
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_reporter("bogus-tracker", str(tmp_path))
