@@ -559,5 +559,34 @@ def main():
     )
 
 
+def _require_device(timeout_s: float = 900.0) -> bool:
+    """Backend init watchdog: jax.devices() blocks FOREVER when the axon
+    relay is down (observed: >600 s hangs), which would wedge the driver's
+    bench step. Probe it on a daemon thread; on timeout exit non-zero with
+    a diagnostic instead of hanging."""
+    import threading
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            box["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in box:
+        return True
+    log(
+        f"FATAL: jax backend init did not answer within {timeout_s:.0f}s "
+        f"({box.get('error', 'relay unreachable')}); no measurement possible"
+    )
+    return False
+
+
 if __name__ == "__main__":
+    if not _require_device():
+        sys.exit(1)
     main()
