@@ -434,6 +434,41 @@ def load_media(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v")
+
+
+def load_video(
+    path: str, max_decode_frames: int = 512
+) -> Tuple[np.ndarray, Optional[float]]:
+    """Decode a video clip -> ([T, H, W, C] uint8 RGB, source fps or None).
+
+    Real containers decode through OpenCV (the reference samples frames with
+    PyAV, mm_plugin.py:1129-1152; av is not in this image, cv2 is) with the
+    container's fps read from the header so downstream fps-sampling
+    (`sample_frames`) uses the true source rate. .npy / frame-directory
+    fixtures return fps=None (caller falls back to its video_src_fps)."""
+    if path.lower().endswith(VIDEO_EXTS):
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise ValueError(f"cannot open video {path!r}")
+        try:
+            fps = float(cap.get(cv2.CAP_PROP_FPS)) or None
+            frames = []
+            while len(frames) < max_decode_frames:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(frame[:, :, ::-1])  # BGR -> RGB
+        finally:
+            cap.release()
+        if not frames:
+            raise ValueError(f"no frames decoded from {path!r}")
+        return np.ascontiguousarray(np.stack(frames)), fps
+    return load_media(path), None
+
+
 def encode_supervised_mm(
     examples: Iterable[Dict[str, Any]],
     tokenizer,
@@ -487,9 +522,10 @@ def encode_supervised_mm(
             img_grids.append(grid)
         vid_feats, vid_grids, spgs = [], [], []
         for p in video_paths:
+            raw, container_fps = load_video(os.path.join(dataset_dir, p))
             clip = sample_frames(
-                load_media(os.path.join(dataset_dir, p)),
-                src_fps=video_src_fps,
+                raw,
+                src_fps=container_fps or video_src_fps,
                 target_fps=video_fps,
                 max_frames=video_max_frames,
                 temporal_patch_size=v.temporal_patch_size,

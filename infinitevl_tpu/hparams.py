@@ -77,6 +77,9 @@ class TrainArgs:
     logging_steps: int = 10
     save_steps: int = 5000
     seed: int = 42
+    # a checkpoint dir, or "auto": resume from the latest checkpoint under
+    # output_dir/checkpoints if one exists (elastic restart — relaunch the
+    # same yaml after a preemption and training continues)
     resume_from_checkpoint: Optional[str] = None
     max_grad_norm: float = 1.0
     bf16: bool = True

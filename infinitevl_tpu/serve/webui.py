@@ -549,23 +549,26 @@ svg{background:#fcfcfb;border:1px solid #eeede9;border-radius:4px}
  display:none}
 pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 </style></head><body>
-<h2>InfiniteVL-TPU board</h2>
-<div class=sub>train / evaluate / chat / export; metrics stream from trainer_log.jsonl</div>
+<h2>InfiniteVL-TPU board
+<select id=lang_sel onchange=setLang(this.value)
+ style="float:right;font-size:13px"><option value=en>en</option>
+ <option value=zh>zh</option></select></h2>
+<div class=sub data-i18n=subtitle>train / evaluate / chat / export; metrics stream from trainer_log.jsonl</div>
 <div class=tabs>
-<button class="tabbtn active" onclick="showTab('train',this)">Train</button>
-<button class=tabbtn onclick="showTab('eval',this)">Evaluate</button>
-<button class=tabbtn onclick="showTab('chat',this)">Chat</button>
-<button class=tabbtn onclick="showTab('export',this)">Export</button>
+<button class="tabbtn active" onclick="showTab('train',this)" data-i18n=tab_train>Train</button>
+<button class=tabbtn onclick="showTab('eval',this)" data-i18n=tab_eval>Evaluate</button>
+<button class=tabbtn onclick="showTab('chat',this)" data-i18n=tab_chat>Chat</button>
+<button class=tabbtn onclick="showTab('export',this)" data-i18n=tab_export>Export</button>
 </div>
 <div id=tab_train class=tab>
-<fieldset><legend>model</legend>
+<fieldset><legend data-i18n=leg_model>model</legend>
 <label>preset <select id=config_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
 <label>checkpoint <input id=model_name_or_path placeholder="(blank = random init)" size=22></label>
 <label>rope_scaling <select id=rope_scaling><option value="">none</option>
  <option>linear</option><option>dynamic</option><option>yarn</option><option>llama3</option></select></label>
 <label>quant <select id=quantization_bit><option value="">bf16</option><option value=8>int8 (QLoRA)</option></select></label>
 </fieldset>
-<fieldset><legend>data</legend>
+<fieldset><legend data-i18n=leg_data>data</legend>
 <label>dataset <input id=dataset value=demo size=12 title="comma-separated list mixes datasets"></label>
 <label>dataset_dir <input id=dataset_dir value=data size=8></label>
 <label>template <select id=template></select></label>
@@ -574,9 +577,9 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>mix <select id=mix_strategy><option>concat</option>
  <option>interleave_under</option><option>interleave_over</option></select></label>
 <label><input type=checkbox id=packing> packing</label>
-<button onclick=previewData()>Preview dataset</button>
+<button onclick=previewData() data-i18n=btn_preview_data>Preview dataset</button>
 </fieldset>
-<fieldset><legend>train</legend>
+<fieldset><legend data-i18n=leg_train>train</legend>
 <label>stage <select id=stage>
  <option>sft</option><option>pt</option><option>dt</option><option>rm</option>
  <option>dpo</option><option>kto</option><option>ppo</option></select></label>
@@ -599,10 +602,10 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>val_size <input id=val_size value=0 size=4></label>
 <label>eval_steps <input id=eval_steps size=4 placeholder="(end)"></label>
 <label>resume <input id=resume_from_checkpoint size=18
- placeholder="(checkpoints dir)"></label>
-<button onclick=useLastRun()>Use last run</button>
+ placeholder="(dir or auto)"></label>
+<button onclick=useLastRun() data-i18n=btn_last_run>Use last run</button>
 </fieldset>
-<fieldset><legend>advanced</legend>
+<fieldset><legend data-i18n=leg_advanced>advanced</legend>
 <label>scheduler <select id=lr_scheduler_type><option>cosine</option>
  <option>linear</option><option>constant</option></select></label>
 <label>warmup <input id=warmup_steps value=0 size=4></label>
@@ -612,14 +615,16 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>seed <input id=seed value=42 size=4></label>
 <label>optimizer <select id=use_optimizer><option value="">adamw</option>
  <option>galore</option><option>apollo</option><option>loraplus</option>
- <option>badam</option></select></label>
+ <option>badam</option><option>adam_mini</option></select></label>
 <label>opt_rank <input id=optimizer_rank value=8 size=3></label>
 <label>dp <input id=data_parallel value=1 size=2></label>
 <label>mp <input id=model_parallel value=1 size=2></label>
 <label>param_mode <select id=param_mode><option>fsdp</option>
  <option>tp</option><option>replicated</option></select></label>
+<label>report_to <select id=report_to><option value="">none</option>
+ <option>tensorboard</option></select></label>
 </fieldset>
-<fieldset><legend>stage-specific (dpo/kto &middot; dt &middot; freeze)</legend>
+<fieldset><legend data-i18n=leg_stage>stage-specific (dpo/kto &middot; dt &middot; freeze)</legend>
 <label>pref_beta <input id=pref_beta value=0.1 size=4></label>
 <label>pref_loss <select id=pref_loss><option>sigmoid</option><option>ipo</option>
  <option>simpo</option><option>orpo</option></select></label>
@@ -629,23 +634,23 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>teacher <input id=teacher_model_path size=16 placeholder="(dt stage)"></label>
 <label>freeze_layers <input id=freeze_trainable_layers value=2 size=3></label>
 </fieldset>
-<fieldset><legend>saved configs</legend>
+<fieldset><legend data-i18n=leg_saved>saved configs</legend>
 <label>name <input id=cfg_name value=my_run size=12></label>
-<button onclick=saveCfg()>Save</button>
+<button onclick=saveCfg() data-i18n=btn_save>Save</button>
 <select id=cfg_list></select>
-<button onclick=loadCfg()>Load</button>
+<button onclick=loadCfg() data-i18n=btn_load>Load</button>
 <span id=cfg_status></span>
 </fieldset>
-<button onclick=preview()>Preview YAML</button>
-<button onclick=start()>Start</button>
-<button onclick=abortRun()>Abort</button>
+<button onclick=preview() data-i18n=btn_preview>Preview YAML</button>
+<button onclick=start() data-i18n=btn_start>Start</button>
+<button onclick=abortRun() data-i18n=btn_abort>Abort</button>
 <div id=status>idle</div>
 <pre id=yaml style="display:none"></pre>
 <pre id=data_preview style="display:none"></pre>
 <div id=charts></div>
 </div>
 <div id=tab_eval class=tab style="display:none">
-<fieldset><legend>evaluate &amp; predict (MCQ accuracy or SFT BLEU/ROUGE)</legend>
+<fieldset><legend data-i18n=leg_eval>evaluate &amp; predict (MCQ accuracy or SFT BLEU/ROUGE)</legend>
 <label>mode <select id=ev_mode><option value=mcq>MCQ accuracy</option>
  <option value=predict>SFT predict (BLEU/ROUGE)</option></select></label>
 <label>checkpoint <input id=ev_model_path placeholder="(blank = random init)" size=22></label>
@@ -656,7 +661,7 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>batch <input id=ev_batch value=4 size=3></label>
 <label>samples <input id=ev_samples value=16 size=4></label>
 <label>lang <select id=ev_lang><option>en</option><option>zh</option></select></label>
-<button onclick=doEval()>Evaluate</button>
+<button onclick=doEval() data-i18n=btn_eval>Evaluate</button>
 <span id=ev_status></span>
 </fieldset>
 <table id=ev_table style="display:none;font-size:13px;border-collapse:collapse">
@@ -664,12 +669,12 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <th style="text-align:right">accuracy</th></tr></thead><tbody></tbody></table>
 </div>
 <div id=tab_chat class=tab style="display:none">
-<fieldset><legend>load model</legend>
+<fieldset><legend data-i18n=leg_load>load model</legend>
 <label>checkpoint <input id=ch_model_path placeholder="(blank = random init)" size=22></label>
 <label>preset <select id=ch_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
 <label>template <select id=ch_template></select></label>
 <label>quant <select id=ch_quant><option value="">bf16</option><option value=8>int8</option></select></label>
-<button onclick=loadChat()>Load</button>
+<button onclick=loadChat() data-i18n=btn_load_chat>Load</button>
 <span id=ch_status>empty</span>
 </fieldset>
 <div style="margin:6px 0"><label>system prompt
@@ -678,8 +683,8 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
  padding:8px;font-size:14px;white-space:pre-wrap"></div>
 <div style="margin-top:8px">
 <input id=ch_input size=70 placeholder="message..." onkeydown="if(event.key==='Enter')sendChat()">
-<button onclick=sendChat()>Send</button>
-<button onclick="CHAT.length=0;IMGS.length=0;renderChat()">Clear</button>
+<button onclick=sendChat() data-i18n=btn_send>Send</button>
+<button onclick="CHAT.length=0;IMGS.length=0;renderChat()" data-i18n=btn_clear>Clear</button>
 <label>image <input type=file id=ch_image accept="image/*"></label>
 <label>max_new <input id=ch_max value=128 size=4></label>
 <label>temp <input id=ch_temp value=0 size=4></label>
@@ -688,17 +693,52 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 </div>
 </div>
 <div id=tab_export class=tab style="display:none">
-<fieldset><legend>export (HF safetensors + ollama Modelfile)</legend>
+<fieldset><legend data-i18n=leg_export>export (HF safetensors + ollama Modelfile)</legend>
 <label>checkpoint <input id=exp_model_path placeholder="(blank = random init)" size=22></label>
 <label>preset <select id=exp_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
 <label>template <select id=exp_template></select></label>
 <label>output_dir <input id=exp_out value=output/export size=16></label>
-<button onclick=doExport()>Export</button>
+<button onclick=doExport() data-i18n=btn_export>Export</button>
 <span id=exp_status></span>
 </fieldset>
 </div>
 <div id=tip class=tip></div>
 <script>
+// i18n: en/zh label dictionary (reference webui/locales.py role; knob ids
+// stay english — they ARE the yaml keys, same as LlamaBoard's elem_ids)
+const I18N={
+ en:{subtitle:"train / evaluate / chat / export; metrics stream from trainer_log.jsonl",
+  tab_train:"Train",tab_eval:"Evaluate",tab_chat:"Chat",tab_export:"Export",
+  leg_model:"model",leg_data:"data",leg_train:"train",leg_advanced:"advanced",
+  leg_stage:"stage-specific (dpo/kto \u00b7 dt \u00b7 freeze)",
+  leg_saved:"saved configs",
+  leg_eval:"evaluate & predict (MCQ accuracy or SFT BLEU/ROUGE)",
+  leg_load:"load model",leg_export:"export (HF safetensors + ollama Modelfile)",
+  btn_preview_data:"Preview dataset",btn_last_run:"Use last run",
+  btn_preview:"Preview YAML",btn_start:"Start",btn_abort:"Abort",
+  btn_save:"Save",btn_load:"Load",btn_eval:"Evaluate",btn_load_chat:"Load",
+  btn_send:"Send",btn_clear:"Clear",btn_export:"Export"},
+ zh:{subtitle:"\u8bad\u7ec3 / \u8bc4\u4f30 / \u5bf9\u8bdd / \u5bfc\u51fa\uff1b\u6307\u6807\u6765\u81ea trainer_log.jsonl",
+  tab_train:"\u8bad\u7ec3",tab_eval:"\u8bc4\u4f30",tab_chat:"\u5bf9\u8bdd",tab_export:"\u5bfc\u51fa",
+  leg_model:"\u6a21\u578b",leg_data:"\u6570\u636e",leg_train:"\u8bad\u7ec3\u53c2\u6570",
+  leg_advanced:"\u9ad8\u7ea7\u8bbe\u7f6e",
+  leg_stage:"\u9636\u6bb5\u4e13\u5c5e (dpo/kto \u00b7 dt \u00b7 freeze)",
+  leg_saved:"\u5df2\u5b58\u914d\u7f6e",
+  leg_eval:"\u8bc4\u4f30\u4e0e\u9884\u6d4b\uff08MCQ \u51c6\u786e\u7387\u6216 BLEU/ROUGE\uff09",
+  leg_load:"\u52a0\u8f7d\u6a21\u578b",
+  leg_export:"\u5bfc\u51fa\uff08HF safetensors + ollama Modelfile\uff09",
+  btn_preview_data:"\u9884\u89c8\u6570\u636e\u96c6",btn_last_run:"\u4f7f\u7528\u4e0a\u6b21\u8fd0\u884c",
+  btn_preview:"\u9884\u89c8 YAML",btn_start:"\u5f00\u59cb",btn_abort:"\u4e2d\u6b62",
+  btn_save:"\u4fdd\u5b58",btn_load:"\u52a0\u8f7d",btn_eval:"\u8bc4\u4f30",
+  btn_load_chat:"\u52a0\u8f7d",btn_send:"\u53d1\u9001",btn_clear:"\u6e05\u7a7a",
+  btn_export:"\u5bfc\u51fa"}};
+function setLang(l){localStorage.setItem("ivl_lang",l);
+ const d=I18N[l]||I18N.en;
+ for(const el of document.querySelectorAll("[data-i18n]")){
+  const t=d[el.getAttribute("data-i18n")];if(t!==undefined)el.textContent=t;}}
+window.addEventListener("DOMContentLoaded",()=>{
+ const l=localStorage.getItem("ivl_lang")||"en";
+ document.getElementById("lang_sel").value=l;setLang(l);});
 function showTab(name,btn){for(const t of document.querySelectorAll(".tab"))t.style.display="none";
  document.getElementById("tab_"+name).style.display="block";
  for(const b of document.querySelectorAll(".tabbtn"))b.classList.remove("active");
@@ -719,7 +759,8 @@ const NUM=new Set(["learning_rate","per_device_train_batch_size","cutoff_len",
 const CHECKS=["bf16","packing","remat","scan_layers","use_dora","use_rslora",
  "streaming"];
 const OPT=["model_name_or_path","rope_scaling","quantization_bit","max_samples",
- "use_optimizer","teacher_model_path","resume_from_checkpoint","eval_steps"];
+ "use_optimizer","teacher_model_path","resume_from_checkpoint","eval_steps",
+ "report_to"];
 function cfg(){const c={};for(const k of FORM){let v=document.getElementById(k).value;
  if(NUM.has(k))v=Number(v);c[k]=v;}
  for(const k of CHECKS)c[k]=document.getElementById(k).checked;

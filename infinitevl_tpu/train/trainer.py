@@ -465,6 +465,17 @@ def collate_kto(
         }
 
 
+def _maybe_resume(trainer: "Trainer", args: AllArgs) -> None:
+    """resume_from_checkpoint: a path, or "auto" to pick up the latest
+    checkpoint under output_dir/checkpoints (elastic restart after a
+    preemption: relaunching the same yaml continues where it stopped;
+    silently starts fresh when none exists yet)."""
+    rfc = args.train.resume_from_checkpoint
+    if not rfc:
+        return
+    trainer.resume(None if str(rfc).lower() in ("auto", "true", "1") else rfc)
+
+
 class Trainer:
     """Step loop with logging + orbax checkpointing + resume."""
 
@@ -924,8 +935,7 @@ def run_sft(args: AllArgs, tokenizer=None):
             eval_hook=eval_hook, eval_steps=args.train.eval_steps,
         report_to=args.train.report_to,
         )
-        if args.train.resume_from_checkpoint:
-            trainer.resume(args.train.resume_from_checkpoint)
+        _maybe_resume(trainer, args)
         lora = trainer.train(
             _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
         )
@@ -991,8 +1001,7 @@ def run_sft(args: AllArgs, tokenizer=None):
         eval_hook=eval_hook, eval_steps=args.train.eval_steps,
         report_to=args.train.report_to,
     )
-    if args.train.resume_from_checkpoint:
-        trainer.resume(args.train.resume_from_checkpoint)
+    _maybe_resume(trainer, args)
     final = trainer.train(
         _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
     )
@@ -1139,8 +1148,7 @@ def run_rm(args: AllArgs, tokenizer=None):
         args.train.logging_steps, args.train.save_steps,
         report_to=args.train.report_to,
     )
-    if args.train.resume_from_checkpoint:
-        trainer.resume(args.train.resume_from_checkpoint)
+    _maybe_resume(trainer, args)
     batches = collate_pairwise(
         data, args.train.per_device_train_batch_size, args.data.cutoff_len,
         seed=args.train.seed, epochs=args.train.num_train_epochs,
@@ -1177,8 +1185,7 @@ def run_dpo(args: AllArgs, tokenizer=None):
         extra_step_args=(ref_params,),
         report_to=args.train.report_to,
     )
-    if args.train.resume_from_checkpoint:
-        trainer.resume(args.train.resume_from_checkpoint)
+    _maybe_resume(trainer, args)
     batches = collate_pairwise(
         data, args.train.per_device_train_batch_size, args.data.cutoff_len,
         seed=args.train.seed, epochs=args.train.num_train_epochs,
@@ -1209,8 +1216,7 @@ def run_kto(args: AllArgs, tokenizer=None):
         extra_step_args=(ref_params,),
         report_to=args.train.report_to,
     )
-    if args.train.resume_from_checkpoint:
-        trainer.resume(args.train.resume_from_checkpoint)
+    _maybe_resume(trainer, args)
     batches = collate_kto(
         data, args.train.per_device_train_batch_size, args.data.cutoff_len,
         seed=args.train.seed, epochs=args.train.num_train_epochs,

@@ -44,6 +44,11 @@ def test_board_page_and_status(board):
         assert f">{tab}</button>" in html
     st = _req(port, "/api/status")
     assert st == {"running": False}
+    # i18n dictionary + language selector (reference webui/locales.py role)
+    assert "I18N" in html and "lang_sel" in html and "setLang" in html
+    assert "\\u8bad\\u7ec3" in html  # zh "train"
+    # knob parity for this round's features
+    assert "adam_mini" in html and "report_to" in html
 
 
 def test_board_train_run_and_log(board):

@@ -150,3 +150,54 @@ def test_run_sft_mm_lora(tmp_path):
     )
     merged = run_sft(args)
     assert "visual" in merged
+
+
+def test_load_video_mp4_container_and_encode(tmp_path):
+    """Real video containers decode via OpenCV with the header fps driving
+    the sampling (reference PyAV path, mm_plugin.py:1129-1152)."""
+    import os
+
+    import cv2
+
+    from infinitevl_tpu.config import tiny_config
+    from infinitevl_tpu.data.loader import (
+        encode_supervised_mm,
+        load_video,
+        SimpleTokenizer,
+    )
+
+    path = os.path.join(str(tmp_path), "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12.0, (64, 48))
+    assert w.isOpened()
+    for i in range(12):
+        w.write(np.full((48, 64, 3), i * 15, np.uint8))
+    w.release()
+
+    frames, fps = load_video(path)
+    assert frames.shape == (12, 48, 64, 3) and fps == 12.0
+    # fixtures (.npy) keep returning fps=None
+    npy = os.path.join(str(tmp_path), "clip.npy")
+    np.save(npy, frames[:4])
+    arr, nofps = load_video(npy)
+    assert arr.shape[0] == 4 and nofps is None
+
+    cfg = tiny_config()
+    enc = encode_supervised_mm(
+        [
+            {
+                "messages": [
+                    {"role": "user", "content": "<video>what happens?"},
+                    {"role": "assistant", "content": "fade"},
+                ],
+                "videos": ["clip.mp4"],
+            }
+        ],
+        SimpleTokenizer(),
+        cfg,
+        cutoff_len=512,
+        dataset_dir=str(tmp_path),
+        video_min_pixels=28 * 28,
+        video_max_pixels=56 * 56,
+    )
+    assert enc and enc[0]["pixel_values_videos"] is not None
+    assert enc[0]["video_grid_thw"][0][0] >= 1

@@ -465,3 +465,39 @@ def test_reporter_tensorboard(tmp_path):
 
     with pytest.raises(ValueError):
         make_reporter("bogus-tracker", str(tmp_path))
+
+
+def test_resume_auto_continues_from_latest(tmp_path):
+    """resume_from_checkpoint="auto": relaunching the same yaml picks up the
+    latest checkpoint under output_dir (elastic restart after preemption)."""
+    import json as _json
+
+    from infinitevl_tpu.hparams import parse_args
+    from infinitevl_tpu.train.trainer import run_exp
+
+    base = {
+        "config_preset": "tiny",
+        "stage": "sft",
+        "dataset": "demo",
+        "dataset_dir": "data",
+        "cutoff_len": 32,
+        "per_device_train_batch_size": 1,
+        "max_steps": 2,
+        "logging_steps": 1,
+        "save_steps": 2,
+        "bf16": False,
+        "learning_rate": 1e-3,
+        "output_dir": str(tmp_path),
+    }
+    run_exp(parse_args(base))
+    # relaunch with 2 more steps; auto-resume must start from step 2
+    run_exp(parse_args({**base, "max_steps": 4, "resume_from_checkpoint": "auto"}))
+    recs = [
+        _json.loads(l)
+        for l in open(os.path.join(str(tmp_path), "trainer_log.jsonl"))
+    ]
+    steps = [r["current_steps"] for r in recs if "loss" in r]
+    assert 3 in steps and 4 in steps, steps
+    # the relaunch must NOT have re-trained steps 1..2 (they appear once,
+    # from the first run)
+    assert steps.count(1) == 1 and steps.count(2) == 1, steps
