@@ -350,6 +350,30 @@ def main():
     )
     del qparams, qstate
 
+    # --- int4 group-wise decode: bit-packed s4 quarters the weight bytes
+    # the step streams (models/quant.py quantize_params(bits=4)).
+    t0 = time.time()
+    q4params = jax.block_until_ready(quantize_params(params, bits=4))
+    q4state = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+    q4state["cum_len"] = jnp.asarray(500_000, jnp.int32)
+
+    def dstep_q4(carry):
+        t, s = carry
+        logits, s = decode_step(q4params, cfg, t, delta, s)
+        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+    tok_s_int4 = None
+    try:
+        ms_dec_q4 = device_time_ms(dstep_q4, (tok, q4state), n1=5, n2=45)
+        tok_s_int4 = 1000 / ms_dec_q4
+        log(
+            f"decode int4 @500K ctx: {ms_dec_q4:.2f} ms/tok = "
+            f"{tok_s_int4:.1f} tok/s ({time.time()-t0:.0f}s)"
+        )
+    except Exception as e:  # noqa: BLE001 - s4 support varies by backend
+        log(f"decode int4: skipped ({type(e).__name__}: {str(e)[:160]})")
+    del q4params, q4state
+
     # --- high-resolution image prefill: one 1344x1344 image (9216 patch
     # tokens) through the ViT. The dense path needs 5.4 GB of scores PER
     # full-attention block at this size; the segment-aware flash kernel
@@ -542,6 +566,9 @@ def main():
                 "fps_clip4_paired": round(2 * fps_clip, 2),
                 "pallas_parity_err": pallas_err,
                 "decode_tok_s_int8": round(tok_s_int8, 1),
+                "decode_tok_s_int4": (
+                    round(tok_s_int4, 1) if tok_s_int4 else None
+                ),
                 "hires_prefill_ms_1344": round(ms_hr, 1),
                 "train_tok_s": round(train_tok_s, 0),
                 "train_mfu": round(train_mfu, 3),

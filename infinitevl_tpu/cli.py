@@ -41,7 +41,7 @@ def _build_generator(args):
         params = load_hf_checkpoint(args.model.model_name_or_path, cfg, dtype)
     else:
         params = init_params(jax.random.PRNGKey(0), cfg, dtype)
-    quant = "int8" if args.model.quantization_bit == 8 else None
+    quant = {8: "int8", 4: "int4"}.get(args.model.quantization_bit)
     return Generator(params, cfg, dtype=dtype, quant=quant), cfg
 
 

@@ -246,14 +246,15 @@ class Generator:
             from .models.fuse import fuse_projections
 
             params = fuse_projections(params)
-        if quant == "int8":
-            # weight-only int8 serving (models/quant.py): halves the decode
-            # weight-read floor; logits parity tested in tests/test_quant.py
+        if quant in ("int8", "int4"):
+            # weight-only serving (models/quant.py): int8 halves the decode
+            # weight-read floor, int4 (group-wise, bit-packed s4) quarters
+            # it; parity tested in tests/test_quant.py
             from .models.quant import quantize_params
 
-            params = quantize_params(params)
+            params = quantize_params(params, bits=4 if quant == "int4" else 8)
         elif quant is not None:
-            raise ValueError(f"unknown quant mode {quant!r} (use 'int8')")
+            raise ValueError(f"unknown quant mode {quant!r} (use 'int8'/'int4')")
         self.params = params
         self.cfg = cfg
         self.dtype = dtype

@@ -26,11 +26,11 @@ class ModelArgs:
     # linear | dynamic | yarn | llama3; factor derived from model_max_length
     rope_scaling: Optional[str] = None
     model_max_length: Optional[int] = None
-    # on-the-fly weight quantization of the FROZEN base for LoRA training
-    # (QLoRA role; reference model_args.py:191 quantization_bit via
-    # bitsandbytes NF4 — here int8 per-channel, models/quant.py, which the
-    # dense helpers read directly so no dequantized copy lands in HBM).
-    # Only 8 is supported; requires finetuning_type: lora.
+    # on-the-fly weight quantization (reference model_args.py:191
+    # quantization_bit via bitsandbytes NF4 — here models/quant.py, which
+    # the dense helpers read directly so no dequantized copy lands in HBM).
+    # 8 = int8 per-channel: QLoRA frozen base for training, or serving.
+    # 4 = int4 group-wise (bit-packed s4): serving only (chat/api/export).
     quantization_bit: Optional[int] = None
 
 

@@ -17,6 +17,11 @@ Per-channel symmetric scheme: w[:, j] ~= q[:, j] * scale[j], q in [-127,
 models/vision._dense) detect 'kernel_q' and compute
 (x @ q.astype(x.dtype)) * scale — column scales commute with the
 contraction, so this is exact dequant-then-matmul.
+
+int4 variant (bits=4): group-wise scales over 128 input rows per output
+column (AWQ/GPTQ granularity), stored as jnp.int4 — the TPU bit-packs s4
+in HBM, halving the weight read again vs int8. The matmul helper contracts
+(group, in-group) against the scaled operand in one dot_general.
 """
 
 from __future__ import annotations
@@ -54,15 +59,60 @@ def dequantize_kernel(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
     ).astype(dtype)
 
 
+def quantize_kernel_int4(
+    w: jax.Array, group_size: int = 128
+) -> Dict[str, jax.Array]:
+    """Group-wise symmetric int4: one scale per (input-group, output column).
+
+    The TPU stores s4 arrays bit-packed (two weights per HBM byte), so the
+    decode weight read halves AGAIN vs int8. Group-wise scales (AWQ/GPTQ
+    granularity; the reference's 4-bit quantized loading lives in
+    model_utils/quantization.py) keep the quantization step local:
+    w[g*G:(g+1)*G, j] ~= q * scale[g, j], q in [-7, 7].
+    Rows not divisible by group_size fall back to one whole-column group."""
+    wf = w.astype(jnp.float32)
+    d_in, d_out = wf.shape
+    if d_in % group_size:
+        group_size = d_in
+    G = d_in // group_size
+    wg = wf.reshape(G, group_size, d_out)
+    amax = jnp.max(jnp.abs(wg), axis=1)  # [G, d_out]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    return {
+        "kernel_q4": q.reshape(d_in, d_out).astype(jnp.int4),
+        "scale4": scale.astype(jnp.float32),
+    }
+
+
+def dequantize_kernel_int4(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
+    q = node["kernel_q4"]
+    s = node["scale4"]
+    G = s.shape[0]
+    d_in, d_out = q.shape
+    wg = q.astype(jnp.float32).reshape(G, d_in // G, d_out) * s[:, None, :]
+    return wg.reshape(d_in, d_out).astype(dtype)
+
+
 def quantize_params(
     params: Params,
     targets: Sequence[str] = DEFAULT_TARGETS,
     min_size: int = 65536,
+    bits: int = 8,
+    group_size: int = 128,
 ) -> Params:
-    """Replace each targeted dense node's 'kernel' with int8 + scale.
+    """Replace each targeted dense node's 'kernel' with int8 (per-channel)
+    or int4 (group-wise) + scales.
 
     Structure-preserving otherwise; nodes smaller than `min_size` elements
     keep full precision (scales/overhead would dominate)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+
+    def quant(kernel):
+        if bits == 4:
+            return quantize_kernel_int4(kernel, group_size)
+        return quantize_kernel(kernel)
 
     def walk(node):
         if isinstance(node, dict):
@@ -76,7 +126,7 @@ def quantize_params(
                     and v["kernel"].size >= min_size
                 ):
                     new = {kk: vv for kk, vv in v.items() if kk != "kernel"}
-                    new.update(quantize_kernel(v["kernel"]))
+                    new.update(quant(v["kernel"]))
                     out[k] = new
                 else:
                     out[k] = walk(v)
@@ -89,6 +139,9 @@ def quantize_params(
 
 
 def quantized_bytes(params: Params) -> int:
-    return sum(
-        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
-    )
+    def nbytes(x):
+        if x.dtype in (jnp.int4, jnp.uint4):
+            return x.size // 2  # bit-packed: two weights per byte
+        return x.size * x.dtype.itemsize
+
+    return sum(nbytes(x) for x in jax.tree.leaves(params))

@@ -70,16 +70,16 @@ class BatchingEngine:
         chunk_size: int = 8,
         quant: Optional[str] = None,
     ):
-        if quant == "int8":
-            # weight-only int8 (models/quant.py): halves the weight-read
-            # share of every batched decode step; exact dequant-matmul, so
-            # the quality delta is the quantization error only (measured on
-            # the MCQ fixture in tests/test_quant.py)
+        if quant in ("int8", "int4"):
+            # weight-only quantization (models/quant.py): int8 halves (int4
+            # quarters) the weight-read share of every batched decode step;
+            # exact dequant-matmul, so the quality delta is the quantization
+            # error only (measured on the MCQ fixture in tests/test_quant.py)
             from ..models.quant import quantize_params
 
-            params = quantize_params(params)
+            params = quantize_params(params, bits=4 if quant == "int4" else 8)
         elif quant is not None:
-            raise ValueError(f"unknown quant mode {quant!r} (use 'int8')")
+            raise ValueError(f"unknown quant mode {quant!r} (use 'int8'/'int4')")
         self.params = params
         self.cfg = cfg
         self.dtype = dtype

@@ -248,8 +248,9 @@ class ChatRunner:
                     self.status = {
                         "state": "ready",
                         "template": args.data.template,
-                        "quant": "int8" if args.model.quantization_bit == 8
-                        else None,
+                        "quant": {8: "int8", 4: "int4"}.get(
+                            args.model.quantization_bit
+                        ),
                     }
                 except Exception as e:  # noqa: BLE001 - surfaced to the UI
                     self.status = {
@@ -673,7 +674,7 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>checkpoint <input id=ch_model_path placeholder="(blank = random init)" size=22></label>
 <label>preset <select id=ch_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
 <label>template <select id=ch_template></select></label>
-<label>quant <select id=ch_quant><option value="">bf16</option><option value=8>int8</option></select></label>
+<label>quant <select id=ch_quant><option value="">bf16</option><option value=8>int8</option><option value=4>int4</option></select></label>
 <button onclick=loadChat() data-i18n=btn_load_chat>Load</button>
 <span id=ch_status>empty</span>
 </fieldset>

@@ -848,7 +848,11 @@ def run_sft(args: AllArgs, tokenizer=None):
         # int8, models/quant.py). Halves the frozen base's HBM footprint,
         # which is what lets 64K-context LoRA fit one 16 GB v5e.
         if args.model.quantization_bit != 8:
-            raise ValueError("only quantization_bit: 8 is supported on TPU")
+            raise ValueError(
+                "only quantization_bit: 8 is supported for TRAINING "
+                "(QLoRA); int4 is a serving-only mode (cli chat/api, "
+                "Generator(quant='int4'))"
+            )
         if args.finetune.finetuning_type != "lora":
             raise ValueError(
                 "quantization_bit requires finetuning_type: lora (the "

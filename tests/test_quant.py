@@ -277,3 +277,49 @@ def test_int8_mcq_prediction_agreement():
         f"int8 flipped {len(prompts) - agree}/{len(prompts)} MCQ "
         f"predictions: {list(zip(preds_fp, preds_q))}"
     )
+
+
+def test_quantize_kernel_int4_roundtrip_groupwise():
+    from infinitevl_tpu.models.quant import (
+        dequantize_kernel_int4,
+        quantize_kernel_int4,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 512), jnp.float32)
+    node = quantize_kernel_int4(w, group_size=128)
+    assert node["kernel_q4"].dtype == jnp.int4
+    assert node["scale4"].shape == (2, 512)  # 256 rows / 128-row groups
+    deq = dequantize_kernel_int4(node, jnp.float32)
+    err = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+    assert err < 0.08, err  # 1/14 quantization step per group
+    # non-divisible rows fall back to one whole-column group
+    node2 = quantize_kernel_int4(w[:200], group_size=128)
+    assert node2["scale4"].shape == (1, 512)
+
+
+def test_int4_forward_parity_and_bytes():
+    from infinitevl_tpu.models.quant import quantize_params, quantized_bytes
+
+    cfg = tiny_config().text
+    params = init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    q8 = quantize_params(params, min_size=1024, bits=8)
+    q4 = quantize_params(params, min_size=1024, bits=4, group_size=32)
+    assert quantized_bytes(q4) < quantized_bytes(q8)
+    l0 = q4["layers"][0]
+    assert "kernel_q4" in l0["q_proj"] and "kernel" not in l0["q_proj"]
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(16)[None, None], (3, 1, 16))
+    h_ref, _, _ = text_forward(params, cfg, embed_tokens(params, ids), pos)
+    h_q, _, _ = text_forward(q4, cfg, embed_tokens(q4, ids), pos)
+    err = float(jnp.abs(h_q - h_ref).mean() / (jnp.abs(h_ref).mean() + 1e-9))
+    assert err < 0.25, err  # int4 is lossier than int8 but must track
+
+
+def test_generator_int4_generates():
+    from infinitevl_tpu.generation import Generator
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    gen = Generator(params, cfg, quant="int4")
+    out = gen.generate(jnp.asarray([[5, 6, 7]], jnp.int32), max_new_tokens=4)
+    assert np.asarray(out).shape[1] >= 1
