@@ -12,6 +12,7 @@ prepare_inputs semantics (reference modeling_infinitevl.py:2112-2174):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, Optional, Tuple
 
@@ -80,6 +81,51 @@ def _decode_step_impl(
 # for the returned state, giving true in-place cache updates.
 decode_step = jax.jit(
     _decode_step_impl, static_argnames=("cfg",), donate_argnames=("state",)
+)
+
+
+def _spec_forward_impl(
+    params: Params,
+    cfg: InfiniteVLConfig,
+    tokens: jax.Array,  # [B, K] draft window (first entry = last emitted)
+    rope_delta: jax.Array,  # [B, 1] int32
+    state: DecoderState,
+) -> Tuple[jax.Array, DecoderState]:
+    """Token-parallel forward over a K-token decode window, ALL logits kept.
+
+    The speculative-decoding building block (speculative.py): positions are
+    cum_len + rope_delta + i exactly as K sequential decode steps would
+    assign, but the projections/MLP matmuls run once over K tokens — at
+    decode batch sizes the step is weight-read-bound, so verifying K drafts
+    costs ~one decode step.
+
+    Losslessness requires conv_carry: sequential decode steps convolve over
+    the cached history (short_conv_step), so the window forward must too —
+    the default conv_carry=False replicates the reference's zero-history
+    multi-token quirk, which here would silently change the first W-1
+    window tokens' conv taps (caught by the verify drive; regression test
+    in tests/test_speculative.py)."""
+    K = tokens.shape[1]
+    tcfg = cfg.text
+    if not tcfg.conv_carry:
+        tcfg = dataclasses.replace(tcfg, conv_carry=True)
+    pos = (state["cum_len"] + rope_delta.astype(jnp.int32))[None]  # [1,B,1]
+    pos = pos + jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    pos = jnp.broadcast_to(pos, (3,) + pos.shape[1:])
+    embeds = embed_tokens(params["text"], tokens)
+    hidden, state, _ = text_forward(params["text"], tcfg, embeds, pos, state)
+    logits = lm_head(params["text"], cfg.text, hidden)  # [B, K, vocab]
+    return logits, state
+
+
+# verify: must NOT donate — on partial acceptance the caller re-runs the
+# accepted prefix from the ORIGINAL state (the returned state is only exact
+# when every input token is accepted).
+spec_verify = jax.jit(_spec_forward_impl, static_argnames=("cfg",))
+
+# commit: re-run the accepted prefix, donating the original state buffers.
+spec_commit = jax.jit(
+    _spec_forward_impl, static_argnames=("cfg",), donate_argnames=("state",)
 )
 
 # Non-donating variant for branched QA: decoding from a snapshot must leave
@@ -267,6 +313,23 @@ class Generator:
         # fit VMEM; measured at 32K total: 2048 -> 17.6K tok/s, 4096 ->
         # 16.4K (ROUND2_NOTES) — 2048 stays the default.
         self.prefill_chunk_size = 2048
+
+    def generate_speculative(
+        self,
+        input_ids: np.ndarray,  # [1, T] text-only prompt
+        max_new_tokens: int = 128,
+        draft_k: int = 8,
+        eos_token_id: Optional[int] = None,
+    ) -> np.ndarray:
+        """Greedy generation with prompt-lookup speculative decoding
+        (speculative.py): token-for-token identical output, several drafts
+        verified per weight read. Batch-1, greedy, text-only."""
+        from .speculative import generate_speculative
+
+        return generate_speculative(
+            self, input_ids, max_new_tokens=max_new_tokens,
+            draft_k=draft_k, eos_token_id=eos_token_id,
+        )
 
     def generate(
         self,

@@ -1,0 +1,141 @@
+"""Lossless speculative decoding with prompt-lookup drafts.
+
+BEYOND-REFERENCE serving feature (hustvl/InfiniteVL has no speculation):
+B=1 decode on a v5e is weight-read-bound (~10.6 ms/token, BENCH_r02), so a
+K-token verify forward costs almost the same as ONE decode step — every
+accepted draft token is nearly free. Drafts come from prompt lookup
+(n-gram continuation from the context itself — the technique behind
+transformers' prompt_lookup_num_tokens): no draft model, no extra weights,
+and strong acceptance on the repetitive text real QA/summarization emits.
+
+Losslessness: greedy output is IDENTICAL to Generator.generate — drafts are
+verified against the model's own argmax and rejected tokens are never
+committed (tests/test_speculative.py asserts token-for-token equality).
+
+State discipline (CLAUDE.md): `spec_verify` (generation.py) runs the
+K-token window WITHOUT donation; its returned state is committed only when
+every input token was accepted. On partial acceptance the accepted prefix
+re-runs from the original state via the donating `spec_commit`. Ring-KV
+slots optimistically written by rejected tokens sit beyond the committed
+cum_len, so position-derived masks never read them and the next window
+overwrites them.
+
+Compile-count bound: one verify program (T = draft_k), at most draft_k - 1
+commit programs (T = 1..draft_k-1), plus the ordinary decode_step fallback
+for rounds where no draft is found — <= draft_k + 1 programs total.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .generation import decode_step, spec_commit, spec_verify
+
+
+def prompt_lookup_draft(
+    ctx: np.ndarray,  # [T] int token ids, prompt + generated so far
+    k: int,
+    ngram_max: int = 3,
+    ngram_min: int = 1,
+) -> np.ndarray:
+    """Propose up to k continuation tokens by matching the longest n-gram
+    suffix of `ctx` against its own history and copying what followed the
+    most recent earlier occurrence. Returns [<=k] (possibly empty)."""
+    T = len(ctx)
+    if T < 2 or k <= 0:
+        return np.empty(0, dtype=ctx.dtype)
+    for n in range(min(ngram_max, T - 1), ngram_min - 1, -1):
+        pat = ctx[T - n :]
+        win = np.lib.stride_tricks.sliding_window_view(ctx[:-1], n)
+        hits = np.nonzero((win == pat).all(axis=1))[0]
+        if len(hits):
+            start = int(hits[-1]) + n
+            cand = ctx[start : start + k]
+            if len(cand):
+                return np.asarray(cand)
+    return np.empty(0, dtype=ctx.dtype)
+
+
+def generate_speculative(
+    gen,  # generation.Generator
+    input_ids: np.ndarray,  # [1, T] text-only prompt
+    max_new_tokens: int = 128,
+    draft_k: int = 8,
+    ngram_max: int = 3,
+    eos_token_id: Optional[int] = None,
+) -> np.ndarray:
+    """Greedy generation with prompt-lookup speculation. Returns [1, <=N].
+
+    Restrictions (documented, loud): batch 1 (acceptance length diverges
+    per row, which would force per-row shapes) and greedy only (lossless
+    sampled speculation needs rejection sampling — not implemented).
+    Multimodal prompts prefill through Generator.generate's path; use it
+    for those (speculation helps long TEXT continuations)."""
+    from .models.infinitevl import get_rope_index
+    from .models.state import init_decoder_state
+
+    cfg = gen.cfg
+    ids = np.asarray(input_ids)
+    if ids.ndim != 2 or ids.shape[0] != 1:
+        raise ValueError(
+            "speculative decoding is batch-1 only (per-row acceptance "
+            f"lengths diverge); got shape {ids.shape}"
+        )
+    if draft_k < 2:
+        raise ValueError("draft_k must be >= 2 (one input slot + drafts)")
+    eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
+
+    pos, deltas = get_rope_index(cfg, ids)
+    state = init_decoder_state(cfg.text, 1, dtype=gen.dtype)
+    from .generation import prefill
+
+    logits, state = prefill(
+        gen.params, cfg, jnp.asarray(ids), jnp.asarray(pos), state
+    )
+    rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
+
+    last = int(np.argmax(np.asarray(logits), axis=-1)[0])
+    out: List[int] = [last]
+    ctx = np.concatenate([ids[0], [last]])
+
+    while len(out) < max_new_tokens and last != eos:
+        drafts = prompt_lookup_draft(ctx, draft_k - 1, ngram_max=ngram_max)
+        if len(drafts) == 0:
+            # no lookup hit: ordinary single decode step (donating)
+            logits, state = decode_step(
+                gen.params, cfg, jnp.asarray([[last]], jnp.int32),
+                rope_delta, state,
+            )
+            last = int(np.argmax(np.asarray(logits), axis=-1)[0])
+            out.append(last)
+            ctx = np.append(ctx, last)
+            continue
+        window = np.concatenate([[last], drafts]).astype(np.int64)[None]
+        vlogits, vstate = spec_verify(
+            gen.params, cfg, jnp.asarray(window), rope_delta, state
+        )
+        m = np.asarray(jnp.argmax(vlogits, axis=-1))[0]  # [K] model argmax
+        j = 0
+        while j < len(drafts) and int(drafts[j]) == int(m[j]):
+            j += 1
+        committed = [int(t) for t in drafts[:j]] + [int(m[j])]
+        if j == len(drafts):
+            # every input token accepted: the verify state is exact
+            state = vstate
+        else:
+            # re-run the accepted prefix from the ORIGINAL state buffers
+            _, state = spec_commit(
+                gen.params, cfg, jnp.asarray(window[:, : j + 1]),
+                rope_delta, state,
+            )
+        out.extend(committed)
+        ctx = np.concatenate([ctx, np.asarray(committed, dtype=ctx.dtype)])
+        last = committed[-1]
+        if eos in committed:
+            out = out[: out.index(eos) + 1]
+            break
+
+    return np.asarray(out[:max_new_tokens], dtype=np.int64)[None]
