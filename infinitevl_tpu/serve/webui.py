@@ -38,6 +38,8 @@ class TrainRunner:
         self.lock = threading.Lock()
 
     def start(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        import time
+
         from ..hparams import parse_args
         from ..train import trainer as trainer_mod
 
@@ -53,6 +55,11 @@ class TrainRunner:
                 "running": True,
                 "stage": args.finetune.stage,
                 "output_dir": args.train.output_dir,
+                # progress-bar/ETA inputs (LlamaBoard's runner progress,
+                # webui/runner.py get_trainer_info role): the UI combines
+                # max_steps with the last logged step and started_at
+                "max_steps": args.train.max_steps or None,
+                "started_at": time.time(),
                 "error": None,
             }
 
@@ -646,6 +653,10 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <button onclick=start() data-i18n=btn_start>Start</button>
 <button onclick=abortRun() data-i18n=btn_abort>Abort</button>
 <div id=status>idle</div>
+<div id=prog_wrap style="display:none;margin:.4em 0;max-width:600px">
+<div style="background:#eeede9;border-radius:4px;height:10px;overflow:hidden">
+<div id=prog_bar style="background:#2a78d6;height:10px;width:0%"></div></div>
+<span id=prog_text style="font-size:12px;color:#52514e"></span></div>
 <pre id=yaml style="display:none"></pre>
 <pre id=data_preview style="display:none"></pre>
 <div id=charts></div>
@@ -932,6 +943,20 @@ async function poll(){
   document.getElementById("status").textContent=
    (st.running?"running":"done")+(st.error?" | "+st.error:"")
    +(last?` | step ${last.step}`+(last.loss!==undefined?` loss ${last.loss}`:""):"");
+  // progress bar + ETA (LlamaBoard runner progress / get_trainer_info role):
+  // fraction from max_steps + last logged step; ETA from started_at rate
+  const wrap=document.getElementById("prog_wrap");
+  if(st.max_steps&&last&&last.step){
+   const frac=Math.min(1,last.step/st.max_steps);
+   document.getElementById("prog_bar").style.width=(100*frac).toFixed(1)+"%";
+   let eta="";
+   if(st.running&&st.started_at&&frac>0&&frac<1){
+    const el=Date.now()/1000-st.started_at;
+    eta=` | eta ${Math.round(el/frac-el)}s`;}
+   document.getElementById("prog_text").textContent=
+    `${last.step} / ${st.max_steps} (${(100*frac).toFixed(0)}%)`+eta;
+   wrap.style.display="block";
+  } else wrap.style.display="none";
  }
  setTimeout(poll,2000);}
 function hookHover(){const tip=document.getElementById("tip");

@@ -46,9 +46,11 @@ def test_board_page_and_status(board):
     assert st == {"running": False}
     # i18n dictionary + language selector (reference webui/locales.py role)
     assert "I18N" in html and "lang_sel" in html and "setLang" in html
-    assert "\\u8bad\\u7ec3" in html  # zh "train"
+    assert "\u8bad\u7ec3" in html  # zh "train" (decoded at module parse)
     # knob parity for this round's features
     assert "adam_mini" in html and "report_to" in html
+    # progress bar + ETA (LlamaBoard runner progress role)
+    assert "prog_bar" in html and "max_steps" in html
 
 
 def test_board_train_run_and_log(board):
@@ -82,6 +84,8 @@ def test_board_train_run_and_log(board):
             break
         time.sleep(1)
     assert not st["running"] and not st.get("error"), st
+    # progress-bar inputs surfaced in status (max_steps + start time)
+    assert st.get("max_steps") == 2 and st.get("started_at"), st
     log = _req(port, f"/api/log?run={out}")
     assert any("loss" in r for r in log["records"])
     runs = _req(port, "/api/runs")
