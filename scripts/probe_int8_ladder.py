@@ -7,6 +7,7 @@ crossover sits so serve/batching.py docs can recommend when quant="int8"
 actually buys throughput (round-3 queue item 5).
 """
 
+import os
 import sys
 import time
 
@@ -20,6 +21,9 @@ def log(*a):
 
 
 def main():
+    # PROBE_INT8_ONLY=1: drop the bf16 copy so big-B rows fit (B=32 needs
+    # 4.2 GB of state; bf16 7.4 + int8 3.8 GB params together OOM it).
+    int8_only = bool(os.environ.get("PROBE_INT8_ONLY"))
     from infinitevl_tpu import infinitevl_3b
     from infinitevl_tpu.generation import decode_step
     from infinitevl_tpu.models.params import init_params
@@ -36,9 +40,16 @@ def main():
         jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     )
     qparams = jax.block_until_ready(quantize_params(params))
+    if int8_only:
+        del params
+        ladder = [(B, "int8", None) for B in (24, 32)]
+    else:
+        ladder = [
+            (B, tag, None) for B in (1, 8, 16, 32) for tag in ("bf16", "int8")
+        ]
 
-    for B in (1, 8, 16, 32):
-        for tag, p in (("bf16", params), ("int8", qparams)):
+    for B, tag, _ in ladder:
+        for tag, p in ((tag, qparams if tag == "int8" else params),):
             state = init_decoder_state(cfg.text, B, dtype=jnp.bfloat16)
             state["cum_len"] = jnp.asarray(500_000, jnp.int32)
             tok = jnp.zeros((B, 1), jnp.int32)
