@@ -545,6 +545,66 @@ def main():
     except Exception as e:  # noqa: BLE001 - baseline is best-effort
         log(f"dense baseline skipped: {type(e).__name__}: {e}")
 
+    # --- 64K QLoRA train step (int8 frozen base + scan-over-layers +
+    # seq-chunked layers): the reference's long-SFT stage tops out at 32K on
+    # an 8-GPU node (README.md:137, train.sh); this recipe trains DOUBLE
+    # that context on ONE v5e (probed 13.3 GB by the compiler's HBM
+    # accounting). Runs last: it needs the chip to itself. ---
+    train_tok_s_64k = None
+    try:
+        from infinitevl_tpu.models.params import init_text_params
+        from infinitevl_tpu.models.quant import quantize_params
+        from infinitevl_tpu.models.stacked import (
+            detect_period,
+            stack_layer_params,
+        )
+
+        t0 = time.time()
+        T64 = 65536
+        tshapes = jax.eval_shape(
+            lambda k: init_text_params(k, cfg.text, jnp.bfloat16),
+            jax.random.PRNGKey(0),
+        )
+        base64 = jax.block_until_ready(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tshapes)
+        )
+        lora64 = init_lora(base64, jax.random.PRNGKey(1))
+        base64 = jax.block_until_ready(quantize_params(base64))
+        period = detect_period(cfg.text.layer_types)
+        base64 = stack_layer_params(base64, period)
+        lora64 = stack_layer_params(lora64, period)
+        opt64 = tx.init(lora64)
+        step64 = jax.jit(
+            make_lora_sft_step(cfg.text, tx, remat=True, remat_group=1),
+            donate_argnums=(0, 1),
+        )
+        r64 = np.random.RandomState(0)
+        batch64 = {
+            "input_ids": jnp.asarray(r64.randint(3, 1000, (1, T64)), jnp.int32),
+            "labels": jnp.asarray(r64.randint(3, 1000, (1, T64)), jnp.int32),
+            "segment_ids": jnp.ones((1, T64), jnp.int32),
+            "position_ids": jnp.broadcast_to(
+                jnp.arange(T64)[None, None], (3, 1, T64)
+            ).astype(jnp.int32),
+        }
+
+        def tstep64(carry):
+            l, o = carry
+            l, o, _ = step64(l, o, base64, batch64)
+            return (l, o)
+
+        ms64 = device_time_ms(tstep64, (lora64, opt64), n1=1, n2=3)
+        train_tok_s_64k = T64 / ms64 * 1000
+        mfu64 = 3.0 * train_tok_s_64k * decoder_flops_per_token(cfg) / 197e12
+        log(
+            f"QLoRA 64K train step (int8 base, one chip): {ms64:.0f} ms = "
+            f"{train_tok_s_64k:.0f} tok/s, ~{100*mfu64:.0f}% MFU "
+            f"({time.time()-t0:.0f}s)"
+        )
+        del base64, lora64, opt64, batch64
+    except Exception as e:  # noqa: BLE001 - guarded, single-chip-sized
+        log(f"64K QLoRA train skipped: {type(e).__name__}: {str(e)[:200]}")
+
     print(
         json.dumps(
             {
@@ -572,6 +632,9 @@ def main():
                 "hires_prefill_ms_1344": round(ms_hr, 1),
                 "train_tok_s": round(train_tok_s, 0),
                 "train_mfu": round(train_mfu, 3),
+                "train_tok_s_64k_qlora": (
+                    round(train_tok_s_64k, 0) if train_tok_s_64k else None
+                ),
                 "params_b": round(n_params / 1e9, 2),
                 "state_mb": round(state_mb, 1),
                 "vs_dense_96k": round(dense_speedup, 2) if dense_speedup else None,

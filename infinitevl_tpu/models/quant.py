@@ -19,9 +19,10 @@ models/vision._dense) detect 'kernel_q' and compute
 contraction, so this is exact dequant-then-matmul.
 
 int4 variant (bits=4): group-wise scales over 128 input rows per output
-column (AWQ/GPTQ granularity), stored as jnp.int4 — the TPU bit-packs s4
-in HBM, halving the weight read again vs int8. The matmul helper contracts
-(group, in-group) against the scaled operand in one dot_general.
+column (AWQ/GPTQ granularity), nibble-packed by hand into uint8 (two
+weights per HBM byte — see quantize_kernel_int4 for why not jnp.int4),
+halving the weight read again vs int8. int4_matmul contracts each nibble
+plane against the matching activation half with ordinary dots.
 """
 
 from __future__ import annotations
@@ -62,36 +63,82 @@ def dequantize_kernel(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
 def quantize_kernel_int4(
     w: jax.Array, group_size: int = 128
 ) -> Dict[str, jax.Array]:
-    """Group-wise symmetric int4: one scale per (input-group, output column).
+    """Group-wise symmetric int4, nibble-packed into uint8.
 
-    The TPU stores s4 arrays bit-packed (two weights per HBM byte), so the
-    decode weight read halves AGAIN vs int8. Group-wise scales (AWQ/GPTQ
-    granularity; the reference's 4-bit quantized loading lives in
-    model_utils/quantization.py) keep the quantization step local:
-    w[g*G:(g+1)*G, j] ~= q * scale[g, j], q in [-7, 7].
-    Rows not divisible by group_size fall back to one whole-column group."""
+    Storage is ``kernel_q4``: uint8 [d_in//2, d_out] — row r of the packed
+    array carries original row r in its LOW nibble and row r + d_in//2 in
+    its HIGH nibble, so the decode weight read is a quarter of bf16. The
+    half-split pairing (not interleaved pairs) lets the matmul helper
+    contract each nibble plane against the matching half of the activation
+    with ORDINARY dots — the unpack is pure elementwise on the dot operand,
+    which XLA fuses into the read. (jnp.int4 arrays would bit-pack natively,
+    but S4 jit ARGUMENTS hit an infinite device_put/layout recursion on the
+    TPU PJRT backend — RecursionError "Recursively calling jit" — so the
+    packing is done by hand.)
+
+    Group-wise scales (AWQ/GPTQ granularity; the reference's 4-bit
+    quantized loading lives in model_utils/quantization.py):
+    w[g*gs:(g+1)*gs, j] ~= q * scale[g, j], q in [-7, 7]. Groups must not
+    straddle the half-split; when d_in//2 is not a multiple of group_size
+    the whole column becomes one group."""
     wf = w.astype(jnp.float32)
     d_in, d_out = wf.shape
-    if d_in % group_size:
+    if d_in % 2:
+        raise ValueError(f"int4 packing needs even d_in, got {d_in}")
+    if (d_in // 2) % group_size:
         group_size = d_in
     G = d_in // group_size
     wg = wf.reshape(G, group_size, d_out)
     amax = jnp.max(jnp.abs(wg), axis=1)  # [G, d_out]
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    q = q.reshape(d_in, d_out).astype(jnp.int32)
+    half = d_in // 2
+    packed = (q[:half] & 0xF) | ((q[half:] & 0xF) << 4)
     return {
-        "kernel_q4": q.reshape(d_in, d_out).astype(jnp.int4),
+        "kernel_q4": packed.astype(jnp.uint8),
         "scale4": scale.astype(jnp.float32),
     }
 
 
-def dequantize_kernel_int4(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
-    q = node["kernel_q4"]
-    s = node["scale4"]
+def unpack_int4(packed: jax.Array, dtype=jnp.bfloat16):
+    """[d_in//2, d_out] uint8 -> (lo, hi) each [d_in//2, d_out] in `dtype`,
+    values in [-7, 7]. Pure elementwise (fuses into a dot's operand read)."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    return lo.astype(dtype), hi.astype(dtype)
+
+
+def int4_matmul(x: jax.Array, node: Dict[str, jax.Array]) -> jax.Array:
+    """x @ dequant(node) with the packed layout above; exact dequant-then-
+    matmul (group scales commute with the within-group contraction)."""
+    q, s = node["kernel_q4"], node["scale4"]
+    half, d_out = q.shape
+    lo, hi = unpack_int4(q, x.dtype)
+    s = s.astype(x.dtype)
     G = s.shape[0]
-    d_in, d_out = q.shape
-    wg = q.astype(jnp.float32).reshape(G, d_in // G, d_out) * s[:, None, :]
-    return wg.reshape(d_in, d_out).astype(dtype)
+    if G == 1:
+        return (x[..., :half] @ lo + x[..., half:] @ hi) * s[0]
+    gs = 2 * half // G
+    wl = (lo.reshape(G // 2, gs, d_out) * s[: G // 2, None]).reshape(
+        half, d_out
+    )
+    wh = (hi.reshape(G // 2, gs, d_out) * s[G // 2 :, None]).reshape(
+        half, d_out
+    )
+    return x[..., :half] @ wl + x[..., half:] @ wh
+
+
+def dequantize_kernel_int4(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
+    q, s = node["kernel_q4"], node["scale4"]
+    half, d_out = q.shape
+    lo, hi = unpack_int4(q, jnp.float32)
+    w = jnp.concatenate([lo, hi], axis=0)
+    G = s.shape[0]
+    wg = w.reshape(G, 2 * half // G, d_out) * s[:, None, :]
+    return wg.reshape(2 * half, d_out).astype(dtype)
 
 
 def quantize_params(
@@ -110,9 +157,9 @@ def quantize_params(
         raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     def quant(kernel):
-        if bits == 4:
+        if bits == 4 and kernel.shape[0] % 2 == 0:
             return quantize_kernel_int4(kernel, group_size)
-        return quantize_kernel(kernel)
+        return quantize_kernel(kernel)  # odd d_in can't nibble-pack
 
     def walk(node):
         if isinstance(node, dict):

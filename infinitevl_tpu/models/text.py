@@ -34,15 +34,12 @@ def _dense(x: jax.Array, p: Params) -> jax.Array:
         # half the HBM bytes
         y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
     elif "kernel_q4" in p:
-        # weight-only int4, group-wise scales [G, d_out] (models/quant.py):
-        # scale the s4 operand per input-group and contract (g, in-group)
-        # in one dot_general; s4 is bit-packed in HBM (quarter the bytes)
-        q, s = p["kernel_q4"], p["scale4"]
-        G = s.shape[0]
-        w = q.astype(x.dtype).reshape(G, q.shape[0] // G, -1) * s[
-            :, None, :
-        ].astype(x.dtype)
-        y = x @ w.reshape(q.shape)
+        # weight-only int4, nibble-packed uint8 + group scales
+        # (models/quant.int4_matmul): quarter the HBM bytes; the unpack is
+        # elementwise on the dot operands so XLA fuses it into the read
+        from .quant import int4_matmul
+
+        y = int4_matmul(x, p)
     else:
         y = x @ p["kernel"]
     if "lora_a" in p:

@@ -140,13 +140,10 @@ def get_vision_plan(
 def _dense(x, p):
     if "kernel_q" in p:  # weight-only int8 (models/quant.py)
         y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
-    elif "kernel_q4" in p:  # weight-only int4, group-wise (models/quant.py)
-        q, s = p["kernel_q4"], p["scale4"]
-        G = s.shape[0]
-        w = q.astype(x.dtype).reshape(G, q.shape[0] // G, -1) * s[
-            :, None, :
-        ].astype(x.dtype)
-        y = x @ w.reshape(q.shape)
+    elif "kernel_q4" in p:  # int4 nibble-packed uint8 (models/quant.py)
+        from .quant import int4_matmul
+
+        y = int4_matmul(x, p)
     else:
         y = x @ p["kernel"]
     if "lora_a" in p:  # low-rank side path (train/lora.attach_lora)

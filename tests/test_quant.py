@@ -287,14 +287,48 @@ def test_quantize_kernel_int4_roundtrip_groupwise():
 
     w = jax.random.normal(jax.random.PRNGKey(0), (256, 512), jnp.float32)
     node = quantize_kernel_int4(w, group_size=128)
-    assert node["kernel_q4"].dtype == jnp.int4
+    # nibble-packed by hand: S4 jit arguments recurse in device_put on the
+    # TPU PJRT backend (see quantize_kernel_int4)
+    assert node["kernel_q4"].dtype == jnp.uint8
+    assert node["kernel_q4"].shape == (128, 512)  # two rows per byte
     assert node["scale4"].shape == (2, 512)  # 256 rows / 128-row groups
     deq = dequantize_kernel_int4(node, jnp.float32)
     err = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
     assert err < 0.08, err  # 1/14 quantization step per group
-    # non-divisible rows fall back to one whole-column group
+    # rows whose half doesn't divide group_size fall back to one group
     node2 = quantize_kernel_int4(w[:200], group_size=128)
     assert node2["scale4"].shape == (1, 512)
+
+
+def test_int4_pack_unpack_exact():
+    from infinitevl_tpu.models.quant import unpack_int4
+
+    r = np.random.RandomState(0)
+    q = r.randint(-7, 8, (64, 96)).astype(np.int32)
+    packed = jnp.asarray(
+        (q[:32] & 0xF) | ((q[32:] & 0xF) << 4), jnp.uint8
+    )
+    lo, hi = unpack_int4(packed, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(lo), q[:32].astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(hi), q[32:].astype(np.float32))
+
+
+def test_int4_matmul_matches_dequant():
+    from infinitevl_tpu.models.quant import (
+        dequantize_kernel_int4,
+        int4_matmul,
+        quantize_kernel_int4,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (256, 96), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 256), jnp.float32)
+    for gs in (64, 128, 999):  # multi-group, half-aligned, one-group
+        node = quantize_kernel_int4(w, group_size=gs)
+        ref = x @ dequantize_kernel_int4(node, jnp.float32)
+        out = int4_matmul(x, node)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
 
 
 def test_int4_forward_parity_and_bytes():
