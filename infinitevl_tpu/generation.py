@@ -294,8 +294,11 @@ class Generator:
             params = fuse_projections(params)
         if quant in ("int8", "int4"):
             # weight-only serving (models/quant.py): int8 halves the decode
-            # weight-read floor, int4 (group-wise, bit-packed s4) quarters
-            # it; parity tested in tests/test_quant.py
+            # weight-read floor (measured 163 vs 96 tok/s @500K) and is the
+            # recommended default; int4 (group-wise, bit-packed s4) quarters
+            # the weight BYTES but the VPU unpack makes it slower than int8
+            # on v5e (measured 67 tok/s) — use it for memory headroom only.
+            # Parity tested in tests/test_quant.py.
             from .models.quant import quantize_params
 
             params = quantize_params(params, bits=4 if quant == "int4" else 8)

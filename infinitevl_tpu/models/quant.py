@@ -23,6 +23,16 @@ column (AWQ/GPTQ granularity), nibble-packed by hand into uint8 (two
 weights per HBM byte — see quantize_kernel_int4 for why not jnp.int4),
 halving the weight read again vs int8. int4_matmul contracts each nibble
 plane against the matching activation half with ordinary dots.
+
+MEASURED (one v5e, 3B, 500K ctx decode): int4 is a LATENCY LOSS —
+14.9 ms/step at B=1 (67 tok/s) vs int8's 6.1 ms (163) and bf16's 10.4
+(96). The per-element unpack (mask/shift/sign-fix/convert) plus the
+group-scale reshape-multiply runs on the VPU and outweighs the saved HBM
+bytes; int8's convert+per-column-scale fuses cleanly into the dot's
+operand read, int4's does not. int4's value on this chip is MEMORY
+(2.8 GB weights: bigger batches, longer contexts, QLoRA frozen bases),
+not decode speed — int8 stays the recommended serving default
+(scripts/probe_int4.py, ROUND3_NOTES.md).
 """
 
 from __future__ import annotations

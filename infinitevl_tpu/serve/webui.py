@@ -404,6 +404,32 @@ def make_board_handler(
                 from ..data.template import _TEMPLATES
 
                 return self._json(200, {"templates": sorted(_TEMPLATES)})
+            if self.path.startswith("/api/datasets"):
+                # registry listing for the dataset dropdown (LlamaBoard's
+                # list_datasets role, webui/common.py)
+                from urllib.parse import parse_qs, urlparse
+
+                from ..data.loader import load_dataset_info
+
+                q = parse_qs(urlparse(self.path).query)
+                ddir = q.get("dir", ["data"])[0]
+                try:
+                    registry = load_dataset_info(
+                        os.path.join(ddir, "dataset_info.json")
+                    )
+                except FileNotFoundError:
+                    return self._json(200, {"datasets": []})
+                return self._json(
+                    200,
+                    {"datasets": [
+                        {
+                            "name": k,
+                            "formatting": v.formatting,
+                            "num_samples": v.num_samples,
+                        }
+                        for k, v in sorted(registry.items())
+                    ]},
+                )
             if self.path.startswith("/api/dataset"):
                 from urllib.parse import parse_qs, urlparse
 
@@ -503,6 +529,23 @@ def make_board_handler(
             if self.path == "/api/chat":
                 res = chatter.chat(req)
                 return self._json(400 if "error" in res else 200, res)
+            if self.path == "/api/preview":
+                # LlamaBoard's "preview command" role (webui/runner.py
+                # _parse_train_args → gen_cmd): the exact yaml that /api/train
+                # would run, plus the equivalent CLI invocation
+                import yaml
+
+                cfg = req.get("config", req)
+                y = yaml.safe_dump(cfg, sort_keys=True, allow_unicode=True)
+                name = str(req.get("name", "board_run")) or "board_run"
+                path = os.path.join(_config_dir(runs_root), f"{name}.yaml")
+                return self._json(
+                    200,
+                    {
+                        "yaml": y,
+                        "command": f"python -m infinitevl_tpu.cli train {path}",
+                    },
+                )
             if self.path == "/api/config/save":
                 import yaml
 
@@ -577,7 +620,9 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>quant <select id=quantization_bit><option value="">bf16</option><option value=8>int8 (QLoRA)</option></select></label>
 </fieldset>
 <fieldset><legend data-i18n=leg_data>data</legend>
-<label>dataset <input id=dataset value=demo size=12 title="comma-separated list mixes datasets"></label>
+<label>dataset <input id=dataset value=demo size=12 list=dataset_names
+ title="comma-separated list mixes datasets"></label>
+<datalist id=dataset_names></datalist>
 <label>dataset_dir <input id=dataset_dir value=data size=8></label>
 <label>template <select id=template></select></label>
 <label>cutoff <input id=cutoff_len value=1024 size=6></label>
@@ -667,7 +712,7 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
  <option value=predict>SFT predict (BLEU/ROUGE)</option></select></label>
 <label>checkpoint <input id=ev_model_path placeholder="(blank = random init)" size=22></label>
 <label>preset <select id=ev_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
-<label>dataset <input id=ev_dataset value=mcq_demo size=12></label>
+<label>dataset <input id=ev_dataset value=mcq_demo size=12 list=dataset_names></label>
 <label>dataset_dir <input id=ev_dir value=data size=8></label>
 <label>n_shot <input id=ev_nshot value=5 size=3></label>
 <label>batch <input id=ev_batch value=4 size=3></label>
@@ -783,8 +828,14 @@ async function useLastRun(){const j=await (await fetch("/api/runs")).json();
  if(j.runs&&j.runs.length)
   document.getElementById("resume_from_checkpoint").value=
    j.runs[j.runs.length-1]+"/checkpoints";}
-function preview(){const c=cfg();const y=Object.entries(c).map(([k,v])=>k+": "+v).join("\\n");
- const el=document.getElementById("yaml");el.textContent=y;el.style.display="block";}
+async function preview(){
+ const r=await fetch("/api/preview",{method:"POST",
+  headers:{"Content-Type":"application/json"},
+  body:JSON.stringify({name:document.getElementById("cfg_name").value,config:cfg()})});
+ const j=await r.json();
+ const el=document.getElementById("yaml");
+ el.textContent=j.error?("error: "+j.error):("# "+j.command+"\\n"+j.yaml);
+ el.style.display="block";}
 async function previewData(){
  const q=new URLSearchParams({name:document.getElementById("dataset").value,
   dir:document.getElementById("dataset_dir").value,
@@ -896,7 +947,13 @@ async function fillTemplates(){
  const opts=(j.templates||["qwen2_vl"]).map(t=>`<option>${t}</option>`).join("");
  for(const id of ["template","ch_template","exp_template"]){
   const el=document.getElementById(id);el.innerHTML=opts;el.value="qwen2_vl";}}
-fillTemplates();loadCfgList();
+async function fillDatasets(){
+ const dir=document.getElementById("dataset_dir").value||"data";
+ const j=await (await fetch("/api/datasets?dir="+encodeURIComponent(dir))).json();
+ document.getElementById("dataset_names").innerHTML=
+  (j.datasets||[]).map(d=>`<option value="${d.name}">`).join("");}
+fillTemplates();loadCfgList();fillDatasets();
+document.getElementById("dataset_dir").addEventListener("change",fillDatasets);
 async function doExport(){
  const c={config_preset:document.getElementById("exp_preset").value,
   template:document.getElementById("exp_template").value,
@@ -921,10 +978,19 @@ function chart(name,pts){
   g+=`<line x1=${P} y1=${yy} x2=${W-8} y2=${yy} stroke="#f0efec"/>`
    + `<text x=4 y=${yy+4} font-size=10 fill="#52514e">${(y1-(y1-y0)*i/3).toPrecision(3)}</text>`;}
  const path=pts.map((p,i)=>(i?"L":"M")+sx(p[0]).toFixed(1)+","+sy(p[1]).toFixed(1)).join(" ");
+ // EMA-smoothed overlay (LlamaBoard's gen_loss_plot smoothing role):
+ // raw series recedes to 35% opacity once there is enough data to smooth
+ let smooth="";
+ if(pts.length>5){let m=pts[0][1];
+  const sp=pts.map((p,i)=>{m=0.6*m+0.4*p[1];
+   return (i?"L":"M")+sx(p[0]).toFixed(1)+","+sy(m).toFixed(1);}).join(" ");
+  smooth=`<path d="${sp}" fill=none stroke="#2a78d6" stroke-width=2
+   stroke-linejoin=round stroke-linecap=round/>`;}
  return `<div class=chart><h4>${name}</h4>
  <svg width=${W} height=${H} data-n="${name}" data-pts='${JSON.stringify(pts)}'>
- ${g}<path d="${path}" fill=none stroke="#2a78d6" stroke-width=2
-  stroke-linejoin=round stroke-linecap=round/>
+ ${g}<path d="${path}" fill=none stroke="#2a78d6"
+  stroke-width=${smooth?1.5:2} opacity=${smooth?0.35:1}
+  stroke-linejoin=round stroke-linecap=round/>${smooth}
  <text x=${P} y=${H-6} font-size=10 fill="#52514e">step ${x0}</text>
  <text x=${W-60} y=${H-6} font-size=10 fill="#52514e">step ${x1}</text>
  <circle r=4 fill="#2a78d6" stroke="#fcfcfb" stroke-width=2 style="display:none"/>

@@ -287,3 +287,22 @@ def test_board_chat_image_and_system(board):
         },
     )
     assert "content" in out, out
+
+
+def test_board_datasets_and_preview_command(board):
+    """Round-3 additions: registry dataset listing (LlamaBoard list_datasets
+    role) and the preview-command endpoint (runner gen_cmd role)."""
+    port, _ = board
+    ds = _req(port, "/api/datasets?dir=data")
+    names = [d["name"] for d in ds["datasets"]]
+    assert "demo" in names
+    assert all("formatting" in d for d in ds["datasets"])
+    # a missing registry dir degrades to an empty list, not an error
+    assert _req(port, "/api/datasets?dir=/nonexistent") == {"datasets": []}
+    cfg = {"stage": "sft", "dataset": "demo", "cutoff_len": 64, "bf16": True}
+    prev = _req(port, "/api/preview", {"name": "t2", "config": cfg})
+    assert "infinitevl_tpu.cli train" in prev["command"]
+    assert "t2.yaml" in prev["command"]
+    import yaml
+
+    assert yaml.safe_load(prev["yaml"]) == cfg
