@@ -374,6 +374,37 @@ def main():
         log(f"decode int4: skipped ({type(e).__name__}: {str(e)[:160]})")
     del q4params, q4state
 
+    # --- speculative decoding mechanics (speculative.py): decode is
+    # weight-read-bound, so a K-token verify window should cost ~one step.
+    # Acceptance is workload-dependent; what the hardware fixes is the
+    # verify/step ratio, reported as the full-acceptance ceiling
+    # (probed 1.14x at K=8 -> 671 tok/s ceiling, ROUND3_NOTES).
+    from infinitevl_tpu.generation import spec_verify
+
+    spec_x_k8 = spec_ceiling_k8 = None
+    try:
+        t0 = time.time()
+        win8 = jnp.zeros((1, 8), jnp.int32)
+        sstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+        sstate["cum_len"] = jnp.asarray(500_000, jnp.int32)
+
+        def vstep(carry):
+            (s,) = carry
+            spec_verify(params, cfg, win8, delta, s)
+            return (s,)
+
+        ms_v8 = device_time_ms(vstep, (sstate,), n1=3, n2=23)
+        spec_x_k8 = ms_v8 / ms_dec
+        spec_ceiling_k8 = 8 * 1000 / ms_v8
+        log(
+            f"spec verify K=8 @500K ctx: {ms_v8:.2f} ms = {spec_x_k8:.2f}x a "
+            f"decode step -> {spec_ceiling_k8:.0f} tok/s full-acceptance "
+            f"ceiling ({time.time()-t0:.0f}s)"
+        )
+        del sstate
+    except Exception as e:  # noqa: BLE001 - keep bench alive
+        log(f"spec verify: skipped ({type(e).__name__}: {str(e)[:160]})")
+
     # --- high-resolution image prefill: one 1344x1344 image (9216 patch
     # tokens) through the ViT. The dense path needs 5.4 GB of scores PER
     # full-attention block at this size; the segment-aware flash kernel
