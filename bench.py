@@ -660,6 +660,12 @@ def main():
                 "decode_tok_s_int4": (
                     round(tok_s_int4, 1) if tok_s_int4 else None
                 ),
+                "spec_verify_x_k8": (
+                    round(spec_x_k8, 2) if spec_x_k8 else None
+                ),
+                "spec_ceiling_tok_s_k8": (
+                    round(spec_ceiling_k8, 0) if spec_ceiling_k8 else None
+                ),
                 "hires_prefill_ms_1344": round(ms_hr, 1),
                 "train_tok_s": round(train_tok_s, 0),
                 "train_mfu": round(train_mfu, 3),
