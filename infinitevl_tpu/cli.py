@@ -87,14 +87,22 @@ def cmd_chat(config_path: str):
         history.append({"role": "user", "content": user})
         prompt = template.render_prompt(history)
         ids = np.asarray([tok.encode(prompt, add_special_tokens=False)])
-        out = gen.generate(
-            ids,
-            max_new_tokens=args.gen.max_new_tokens,
-            temperature=args.gen.temperature if args.gen.do_sample else 0.0,
-            top_k=args.gen.top_k,
-            top_p=args.gen.top_p,
-            repetition_penalty=args.gen.repetition_penalty,
-        )
+        greedy = not args.gen.do_sample or args.gen.temperature == 0.0
+        if args.gen.draft_k > 0 and greedy and args.gen.repetition_penalty == 1.0:
+            out = gen.generate_speculative(
+                ids,
+                max_new_tokens=args.gen.max_new_tokens,
+                draft_k=args.gen.draft_k,
+            )
+        else:
+            out = gen.generate(
+                ids,
+                max_new_tokens=args.gen.max_new_tokens,
+                temperature=args.gen.temperature if args.gen.do_sample else 0.0,
+                top_k=args.gen.top_k,
+                top_p=args.gen.top_p,
+                repetition_penalty=args.gen.repetition_penalty,
+            )
         text = tok.decode(out[0], skip_special_tokens=True)
         history.append({"role": "assistant", "content": text})
         print(f"Assistant: {text}")
@@ -105,7 +113,9 @@ def cmd_api(config_path: str, port: int = 8000):
 
     args = _load(config_path)
     gen, cfg = _build_generator(args)
-    backend = ChatBackend(gen, _tokenizer(args), args.data.template)
+    backend = ChatBackend(
+        gen, _tokenizer(args), args.data.template, draft_k=args.gen.draft_k
+    )
     run_api(backend, port=port)
 
 

@@ -173,6 +173,10 @@ class GenArgs:
     top_p: float = 0.9
     repetition_penalty: float = 1.0
     do_sample: bool = True
+    # > 0 enables lossless prompt-lookup speculative decoding for GREEDY
+    # text-only requests (speculative.py; chat/api); 8 is the sweet spot
+    # measured on v5e (verify window = 1.14x one decode step)
+    draft_k: int = 0
 
 
 @dataclasses.dataclass

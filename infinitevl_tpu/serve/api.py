@@ -66,11 +66,14 @@ class ChatBackend:
     """Adapter between the HTTP layer and a Generator + tokenizer."""
 
     def __init__(self, generator, tokenizer, template: str = "qwen2_vl",
-                 model_name: str = "infinitevl-tpu"):
+                 model_name: str = "infinitevl-tpu", draft_k: int = 0):
         self.generator = generator
         self.tokenizer = tokenizer
         self.template = get_template(template)
         self.model_name = model_name
+        # draft_k > 0: greedy text-only completions go through lossless
+        # prompt-lookup speculative decoding (speculative.py)
+        self.draft_k = int(draft_k)
         self.lock = threading.Lock()
         self._mm_lock = threading.Lock()
 
@@ -93,6 +96,7 @@ class ChatBackend:
             cm.tokenizer = self.tokenizer
             cm.template = self.template
             cm.processor = InfiniteVLProcessor(self.tokenizer, self.generator.cfg)
+            cm.draft_k = self.draft_k
             cm._lock = threading.Lock()
             self._chat_model = cm
         return self._chat_model
@@ -147,12 +151,17 @@ class ChatBackend:
             [self.tokenizer.encode(prompt, add_special_tokens=False)], np.int64
         )
         with self.lock:
-            out = self.generator.generate(
-                ids,
-                max_new_tokens=max_tokens,
-                temperature=temperature,
-                top_p=top_p,
-            )
+            if self.draft_k > 0 and temperature == 0.0:
+                out = self.generator.generate_speculative(
+                    ids, max_new_tokens=max_tokens, draft_k=self.draft_k
+                )
+            else:
+                out = self.generator.generate(
+                    ids,
+                    max_new_tokens=max_tokens,
+                    temperature=temperature,
+                    top_p=top_p,
+                )
         text = self.tokenizer.decode(out[0], skip_special_tokens=True)
         res = {
             "text": text,

@@ -44,10 +44,16 @@ class ChatModel:
         generator: Generator,
         tokenizer,
         template: str = "qwen2_vl",
+        draft_k: int = 0,
     ):
         self.generator = generator
         self.tokenizer = tokenizer
         self.template = get_template(template)
+        # draft_k > 0 opt-in routes GREEDY text-only requests through
+        # prompt-lookup speculative decoding (speculative.py) — lossless
+        # (token-for-token equal, tested), and a K=8 verify window costs
+        # only 1.14x one decode step on v5e, so accepted drafts are ~free.
+        self.draft_k = int(draft_k)
         self.processor = InfiniteVLProcessor(tokenizer, generator.cfg)
         self._lock = threading.Lock()
 
@@ -88,6 +94,22 @@ class ChatModel:
         seed: int = 0,
     ) -> str:
         out = self._prepare(messages, images, videos)
+        spec_ok = (
+            self.draft_k > 0
+            and temperature == 0.0
+            and repetition_penalty == 1.0
+            and out.pixel_values is None
+            and out.pixel_values_videos is None
+            and out.input_ids.shape[0] == 1
+        )
+        if spec_ok:
+            with self._lock:
+                tokens = self.generator.generate_speculative(
+                    out.input_ids,
+                    max_new_tokens=max_new_tokens,
+                    draft_k=self.draft_k,
+                )
+            return self.tokenizer.decode(tokens[0], skip_special_tokens=True)
         with self._lock:
             tokens = self.generator.generate(
                 out.input_ids,

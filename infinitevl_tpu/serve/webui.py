@@ -251,6 +251,7 @@ class ChatRunner:
                     self.model = ChatModel(
                         gen, _tokenizer(args, cfg),
                         template=args.data.template,
+                        draft_k=args.gen.draft_k,
                     )
                     self.status = {
                         "state": "ready",
@@ -731,6 +732,8 @@ pre{background:#f6f5f2;padding:8px;border-radius:4px;font-size:12px}
 <label>preset <select id=ch_preset><option>tiny</option><option>infinitevl_3b</option></select></label>
 <label>template <select id=ch_template></select></label>
 <label>quant <select id=ch_quant><option value="">bf16</option><option value=8>int8</option><option value=4>int4</option></select></label>
+<label>spec draft_k <input id=ch_draft value=0 size=3
+ title="0 = off; >0 enables lossless prompt-lookup speculation for greedy text chats"></label>
 <button onclick=loadChat() data-i18n=btn_load_chat>Load</button>
 <span id=ch_status>empty</span>
 </fieldset>
@@ -908,6 +911,7 @@ async function loadChat(){
   template:document.getElementById("ch_template").value};
  const mp=document.getElementById("ch_model_path").value;if(mp)c.model_name_or_path=mp;
  const qb=document.getElementById("ch_quant").value;if(qb)c.quantization_bit=Number(qb);
+ const dk=Number(document.getElementById("ch_draft").value);if(dk)c.draft_k=dk;
  const r=await fetch("/api/chat/load",{method:"POST",
   headers:{"Content-Type":"application/json"},body:JSON.stringify(c)});
  const j=await r.json();

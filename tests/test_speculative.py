@@ -143,3 +143,38 @@ def test_generator_method_delegates(tiny_gen):
     prompt = np.asarray([[5, 6, 5, 6, 5, 6]], dtype=np.int64)
     out = gen.generate_speculative(prompt, max_new_tokens=8, eos_token_id=-1)
     assert out.shape[0] == 1 and out.shape[1] >= 1
+
+
+def test_chat_model_spec_routing_lossless(tiny_gen):
+    """ChatModel(draft_k>0): greedy text-only answers are identical to the
+    plain path; sampling / penalty requests fall back to generate()."""
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.serve.chat import ChatModel
+
+    gen, cfg = tiny_gen
+    tok = SimpleTokenizer(config=cfg)
+    msgs = [{"role": "user", "content": "the cat sat on the mat the cat"}]
+    plain = ChatModel(gen, tok).chat(msgs, max_new_tokens=12)
+    spec = ChatModel(gen, tok, draft_k=4).chat(msgs, max_new_tokens=12)
+    assert spec == plain
+    # non-greedy request through the same model exercises the fallback
+    sampled = ChatModel(gen, tok, draft_k=4).chat(
+        msgs, max_new_tokens=4, temperature=0.8, seed=3
+    )
+    assert isinstance(sampled, str)
+
+
+def test_api_backend_spec_routing_lossless(tiny_gen):
+    """ChatBackend(draft_k>0): greedy text completion matches the plain
+    backend token-for-token (api-level losslessness)."""
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.serve.api import ChatBackend
+
+    gen, cfg = tiny_gen
+    tok = SimpleTokenizer(config=cfg)
+    msgs = [{"role": "user", "content": "one two three one two three one"}]
+    plain = ChatBackend(gen, tok).complete(msgs, max_tokens=12, temperature=0.0)
+    spec = ChatBackend(gen, tok, draft_k=4).complete(
+        msgs, max_tokens=12, temperature=0.0
+    )
+    assert spec["text"] == plain["text"]
