@@ -51,6 +51,13 @@ class VisionConfig:
     hidden_act: str = "silu"
     initializer_range: float = 0.02
 
+    def __post_init__(self):
+        if self.hidden_act not in ("silu", "swish"):
+            raise ValueError(
+                f"unsupported hidden_act {self.hidden_act!r} (the ViT MLP "
+                "implements silu/swish; the merger's gelu is structural)"
+            )
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
@@ -171,6 +178,15 @@ class TextConfig:
     delta_seq_chunk_eval: int = 4096
 
     def __post_init__(self):
+        # the compute path implements exactly the deployed activation
+        # (SwiGLU, models/text.mlp_forward); anything else must fail loudly
+        # at config time rather than silently run silu
+        if self.hidden_act not in ("silu", "swish"):
+            raise ValueError(
+                f"unsupported hidden_act {self.hidden_act!r} (the TPU MLP "
+                "path implements silu/swish — reference config.json uses "
+                "silu)"
+            )
         if self.layer_types is None:
             object.__setattr__(
                 self, "layer_types", _default_layer_types(self.num_hidden_layers)

@@ -233,3 +233,18 @@ def test_attention_dense_gqa_matches_mha():
     v_rep = jnp.repeat(v, 2, axis=2)
     out_ref = attention_dense(q, k_rep, v_rep, mask)
     assert err_ratio(out, out_ref) < 1e-6
+
+
+def test_unsupported_hidden_act_rejected():
+    """The compute path implements exactly silu/swish (models/text.mlp_forward
+    hardcodes SwiGLU); other activation names must raise at config time, not
+    silently run silu."""
+    import pytest
+
+    from infinitevl_tpu.config import TextConfig, VisionConfig
+
+    with pytest.raises(ValueError, match="hidden_act"):
+        TextConfig(hidden_act="gelu_new")
+    with pytest.raises(ValueError, match="hidden_act"):
+        VisionConfig(hidden_act="relu")
+    TextConfig(hidden_act="swish")  # alias accepted
