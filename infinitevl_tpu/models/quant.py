@@ -123,7 +123,16 @@ def unpack_int4(packed: jax.Array, dtype=jnp.bfloat16):
 
 def int4_matmul(x: jax.Array, node: Dict[str, jax.Array]) -> jax.Array:
     """x @ dequant(node) with the packed layout above; exact dequant-then-
-    matmul (group scales commute with the within-group contraction)."""
+    matmul (group scales commute with the within-group contraction).
+
+    The group scales are applied to the per-group dot OUTPUTS, never to the
+    weight operand: scaling the operand needs a reshape-multiply-reshape
+    between the nibble unpack and the dot, which XLA materializes instead
+    of fusing into the weight read — measured 14.8 ms/tok B=1 decode vs
+    8.3 ms with output-side scales (one v5e, 3B @500K; scripts/probe_int4).
+    Each nibble plane runs as ONE G/2-batched dot over [gs]-row groups, so
+    the unpack stays pure elementwise on the operand and the scale lands on
+    the tiny [G/2, M, d_out] per-group results."""
     q, s = node["kernel_q4"], node["scale4"]
     half, d_out = q.shape
     lo, hi = unpack_int4(q, x.dtype)
@@ -131,14 +140,21 @@ def int4_matmul(x: jax.Array, node: Dict[str, jax.Array]) -> jax.Array:
     G = s.shape[0]
     if G == 1:
         return (x[..., :half] @ lo + x[..., half:] @ hi) * s[0]
-    gs = 2 * half // G
-    wl = (lo.reshape(G // 2, gs, d_out) * s[: G // 2, None]).reshape(
-        half, d_out
-    )
-    wh = (hi.reshape(G // 2, gs, d_out) * s[G // 2 :, None]).reshape(
-        half, d_out
-    )
-    return x[..., :half] @ wl + x[..., half:] @ wh
+    lead = x.shape[:-1]
+    g2 = G // 2
+    gs = half // g2
+
+    def plane(xh, w, sh):
+        # xh [..., half] @ (w [half, d_out] group-scaled by sh [g2, d_out])
+        xg = xh.reshape(-1, g2, gs).transpose(1, 0, 2)  # [g2, M, gs]
+        wg = w.reshape(g2, gs, d_out)  # row-major: layout-compatible bitcast
+        yg = jax.lax.dot_general(
+            xg, wg, (((2,), (1,)), ((0,), (0,)))
+        )  # [g2, M, d_out]
+        return (yg * sh[:, None, :]).sum(0)
+
+    y = plane(x[..., :half], lo, s[:g2]) + plane(x[..., half:], hi, s[g2:])
+    return y.reshape(*lead, d_out)
 
 
 def dequantize_kernel_int4(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
