@@ -89,11 +89,17 @@ def cmd_chat(config_path: str):
         ids = np.asarray([tok.encode(prompt, add_special_tokens=False)])
         greedy = not args.gen.do_sample or args.gen.temperature == 0.0
         if args.gen.draft_k > 0 and greedy and args.gen.repetition_penalty == 1.0:
+            from .speculative import SpecStats
+
+            spec_stats = SpecStats()
             out = gen.generate_speculative(
                 ids,
                 max_new_tokens=args.gen.max_new_tokens,
                 draft_k=args.gen.draft_k,
+                stats=spec_stats,
             )
+            if spec_stats.forwards:
+                print(f"[{spec_stats.summary()}]")
         else:
             out = gen.generate(
                 ids,

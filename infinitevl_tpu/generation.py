@@ -323,15 +323,17 @@ class Generator:
         max_new_tokens: int = 128,
         draft_k: int = 8,
         eos_token_id: Optional[int] = None,
+        stats=None,  # Optional[speculative.SpecStats]
     ) -> np.ndarray:
         """Greedy generation with prompt-lookup speculative decoding
         (speculative.py): token-for-token identical output, several drafts
-        verified per weight read. Batch-1, greedy, text-only."""
+        verified per weight read. Batch-1, greedy, text-only. Pass a
+        SpecStats to collect the request's measured acceptance."""
         from .speculative import generate_speculative
 
         return generate_speculative(
             self, input_ids, max_new_tokens=max_new_tokens,
-            draft_k=draft_k, eos_token_id=eos_token_id,
+            draft_k=draft_k, eos_token_id=eos_token_id, stats=stats,
         )
 
     def generate(

@@ -150,10 +150,15 @@ class ChatBackend:
         ids = np.asarray(
             [self.tokenizer.encode(prompt, add_special_tokens=False)], np.int64
         )
+        spec_stats = None
         with self.lock:
             if self.draft_k > 0 and temperature == 0.0:
+                from ..speculative import SpecStats
+
+                spec_stats = SpecStats()
                 out = self.generator.generate_speculative(
-                    ids, max_new_tokens=max_tokens, draft_k=self.draft_k
+                    ids, max_new_tokens=max_tokens, draft_k=self.draft_k,
+                    stats=spec_stats,
                 )
             else:
                 out = self.generator.generate(
@@ -169,6 +174,15 @@ class ChatBackend:
             "completion_tokens": int(out.shape[1]),
             "tool_calls": None,
         }
+        if spec_stats is not None and spec_stats.forwards:
+            # measured per-request acceptance (extension field; OpenAI
+            # clients ignore unknown usage keys)
+            res["speculation"] = {
+                "draft_acceptance_rate": round(spec_stats.acceptance_rate, 4),
+                "mean_accepted_per_window": round(spec_stats.mean_accepted, 3),
+                "tokens_per_forward": round(spec_stats.tokens_per_forward, 3),
+                "forwards": spec_stats.forwards,
+            }
         if tools:
             parsed = extract_tool_calls(text)
             if isinstance(parsed, list):
@@ -328,6 +342,11 @@ def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:
             "prompt_tokens": res["prompt_tokens"],
             "completion_tokens": res["completion_tokens"],
             "total_tokens": res["prompt_tokens"] + res["completion_tokens"],
+            **(
+                {"speculation": res["speculation"]}
+                if res.get("speculation")
+                else {}
+            ),
         },
     }
 

@@ -54,6 +54,9 @@ class ChatModel:
         # (token-for-token equal, tested), and a K=8 verify window costs
         # only 1.14x one decode step on v5e, so accepted drafts are ~free.
         self.draft_k = int(draft_k)
+        # measured acceptance of the most recent speculative request
+        # (speculative.SpecStats); None until the first spec-routed chat
+        self.last_spec_stats = None
         self.processor = InfiniteVLProcessor(tokenizer, generator.cfg)
         self._lock = threading.Lock()
 
@@ -103,12 +106,17 @@ class ChatModel:
             and out.input_ids.shape[0] == 1
         )
         if spec_ok:
+            from ..speculative import SpecStats
+
+            stats = SpecStats()
             with self._lock:
                 tokens = self.generator.generate_speculative(
                     out.input_ids,
                     max_new_tokens=max_new_tokens,
                     draft_k=self.draft_k,
+                    stats=stats,
                 )
+                self.last_spec_stats = stats
             return self.tokenizer.decode(tokens[0], skip_special_tokens=True)
         with self._lock:
             tokens = self.generator.generate(

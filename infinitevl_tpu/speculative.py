@@ -27,12 +27,60 @@ for rounds where no draft is found — <= draft_k + 1 programs total.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from .generation import decode_step, spec_commit, spec_verify
+
+
+@dataclasses.dataclass
+class SpecStats:
+    """Acceptance instrumentation for one speculative generation.
+
+    Acceptance is workload-dependent (prompt-lookup hits on repetitive
+    text), so the serving layers surface MEASURED numbers per request
+    instead of bench-time mechanics: `tokens_per_forward` is the realized
+    speedup proxy — decode is weight-read-bound on v5e (BENCH_r02), so
+    tokens emitted per model forward ≈ tokens per weight read.
+    """
+
+    windows: int = 0         # verify forwards (a draft was found)
+    fallback_steps: int = 0  # ordinary decode steps (no lookup hit)
+    commit_steps: int = 0    # partial-acceptance re-runs (extra forwards)
+    drafted: int = 0         # draft tokens fed to verify windows
+    accepted: int = 0        # draft tokens the model's argmax confirmed
+    emitted: int = 0         # tokens appended to the output
+
+    @property
+    def forwards(self) -> int:
+        """Model forwards after prefill (each ≈ one weight read)."""
+        return self.windows + self.fallback_steps + self.commit_steps
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / self.drafted if self.drafted else 0.0
+
+    @property
+    def mean_accepted(self) -> float:
+        """E[accepted draft tokens] per verify window."""
+        return self.accepted / self.windows if self.windows else 0.0
+
+    @property
+    def tokens_per_forward(self) -> float:
+        return self.emitted / self.forwards if self.forwards else 0.0
+
+    def summary(self) -> str:
+        return (
+            f"spec: {self.emitted} tok / {self.forwards} forwards "
+            f"({self.tokens_per_forward:.2f} tok/fwd), "
+            f"accept {self.accepted}/{self.drafted} "
+            f"({100 * self.acceptance_rate:.0f}%), "
+            f"E[accepted|window]={self.mean_accepted:.2f}, "
+            f"{self.fallback_steps} fallback steps"
+        )
 
 
 def prompt_lookup_draft(
@@ -66,8 +114,10 @@ def generate_speculative(
     draft_k: int = 8,
     ngram_max: int = 3,
     eos_token_id: Optional[int] = None,
+    stats: Optional[SpecStats] = None,
 ) -> np.ndarray:
     """Greedy generation with prompt-lookup speculation. Returns [1, <=N].
+    Pass a `SpecStats` to collect measured acceptance for this request.
 
     Restrictions (documented, loud): batch 1 (acceptance length diverges
     per row, which would force per-row shapes) and greedy only (lossless
@@ -101,6 +151,8 @@ def generate_speculative(
     out: List[int] = [last]
     ctx = np.concatenate([ids[0], [last]])
 
+    if stats is None:
+        stats = SpecStats()  # local collection; caller's object if given
     while len(out) < max_new_tokens and last != eos:
         drafts = prompt_lookup_draft(ctx, draft_k - 1, ngram_max=ngram_max)
         if len(drafts) == 0:
@@ -112,6 +164,8 @@ def generate_speculative(
             last = int(np.argmax(np.asarray(logits), axis=-1)[0])
             out.append(last)
             ctx = np.append(ctx, last)
+            stats.fallback_steps += 1
+            stats.emitted += 1
             continue
         window = np.concatenate([[last], drafts]).astype(np.int64)[None]
         vlogits, vstate = spec_verify(
@@ -131,6 +185,11 @@ def generate_speculative(
                 gen.params, cfg, jnp.asarray(window[:, : j + 1]),
                 rope_delta, state,
             )
+            stats.commit_steps += 1
+        stats.windows += 1
+        stats.drafted += len(drafts)
+        stats.accepted += j
+        stats.emitted += len(committed)
         out.extend(committed)
         ctx = np.concatenate([ctx, np.asarray(committed, dtype=ctx.dtype)])
         last = committed[-1]

@@ -66,6 +66,47 @@ def test_speculative_repetitive_prompt_accepts(tiny_gen):
     assert spec[0].tolist() == ref[0].tolist()
 
 
+def test_spec_stats_accounting(tiny_gen):
+    """SpecStats must reconcile with the emitted tokens: every output token
+    is attributed to exactly one forward's commit, accepted <= drafted, and
+    a periodic prompt yields tokens_per_forward > 1 (the speedup proxy)."""
+    from infinitevl_tpu.speculative import SpecStats
+
+    gen, cfg = tiny_gen
+    prompt = np.asarray([[11, 12, 13, 14] * 5], dtype=np.int64)
+    stats = SpecStats()
+    spec = generate_speculative(
+        gen, prompt, max_new_tokens=16, draft_k=5, eos_token_id=-1,
+        stats=stats,
+    )
+    # the prefill argmax token is emitted without a decode forward; the
+    # last window's commit may overshoot max_new_tokens and get trimmed
+    assert spec.shape[1] - 1 <= stats.emitted < spec.shape[1] + 5
+    assert stats.accepted <= stats.drafted
+    assert stats.forwards == stats.windows + stats.fallback_steps + stats.commit_steps
+    # random tiny weights emit periodic argmax text -> lookup accepts
+    assert stats.windows > 0 and stats.accepted > 0
+    assert stats.tokens_per_forward > 1.0
+    assert "tok/fwd" in stats.summary()
+
+
+def test_chat_model_records_spec_stats(tiny_gen):
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.serve.chat import ChatModel
+
+    gen, cfg = tiny_gen
+    tok = SimpleTokenizer(config=cfg)
+    cm = ChatModel(gen, tok, template="empty", draft_k=5)
+    assert cm.last_spec_stats is None
+    cm.chat(
+        [{"role": "user", "content": "abc abc abc abc abc abc"}],
+        max_new_tokens=12,
+    )
+    st = cm.last_spec_stats
+    assert st is not None and st.forwards > 0
+    assert st.emitted <= 12
+
+
 def test_spec_verify_logits_match_decode_steps(tiny_gen):
     """REGRESSION: the K-token verify window must convolve over the cached
     short-conv history exactly like sequential decode steps do. With the
