@@ -50,6 +50,8 @@ def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
         info = json.load(f)
     out = {}
     for name, meta in info.items():
+        if name.startswith("_"):  # provenance/comment keys, not datasets
+            continue
         out[name] = DatasetAttr(
             name=name,
             file_name=meta.get("file_name"),

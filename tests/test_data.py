@@ -377,6 +377,30 @@ def test_registry_tags_folder_num_samples(tmp_path):
     ]
 
 
+def test_shipped_registry_breadth():
+    """The shipped data/dataset_info.json mirrors the reference's public-hub
+    registry (dataset_info.json, 96 entries): every hub entry resolves to a
+    DatasetAttr with its format/column/tag metadata; `_`-prefixed keys are
+    provenance comments, not datasets."""
+    import os
+
+    from infinitevl_tpu.data.loader import load_dataset_info
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "dataset_info.json")
+    reg = load_dataset_info(path)
+    assert len(reg) >= 80
+    assert not any(n.startswith("_") for n in reg)
+    uc = reg["ultrachat_200k"]
+    assert uc.hf_hub_url == "HuggingFaceH4/ultrachat_200k"
+    assert uc.formatting == "sharegpt" and uc.split == "train_sft"
+    assert uc.tags["role_tag"] == "role"
+    # local fixtures stay loadable alongside the hub entries
+    assert reg["demo"].file_name == "demo.json"
+    # preference data keeps the ranking bit
+    assert any(a.ranking for a in reg.values())
+
+
 def test_hub_loading_via_datasets_lib(tmp_path):
     """hf_hub_url routes through datasets.load_dataset (reference
     data/loader.py:123-137). A local directory path exercises the exact
