@@ -71,7 +71,7 @@ def dequantize_kernel(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
 
 
 def quantize_kernel_int4(
-    w: jax.Array, group_size: int = 128
+    w: jax.Array, group_size: int = 128, biased: bool = False
 ) -> Dict[str, jax.Array]:
     """Group-wise symmetric int4, nibble-packed into uint8.
 
@@ -104,6 +104,15 @@ def quantize_kernel_int4(
     q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
     q = q.reshape(d_in, d_out).astype(jnp.int32)
     half = d_in // 2
+    if biased:
+        # store q+7 in [0,14]: the unpack needs no sign-fix selects
+        # (kernel_q4b key switches the matmul helper's unpack path)
+        qb = q + 7
+        packed = (qb[:half] & 0xF) | ((qb[half:] & 0xF) << 4)
+        return {
+            "kernel_q4b": packed.astype(jnp.uint8),
+            "scale4": scale.astype(jnp.float32),
+        }
     packed = (q[:half] & 0xF) | ((q[half:] & 0xF) << 4)
     return {
         "kernel_q4": packed.astype(jnp.uint8),
@@ -111,9 +120,17 @@ def quantize_kernel_int4(
     }
 
 
-def unpack_int4(packed: jax.Array, dtype=jnp.bfloat16):
+def unpack_int4(packed: jax.Array, dtype=jnp.bfloat16, biased: bool = False):
     """[d_in//2, d_out] uint8 -> (lo, hi) each [d_in//2, d_out] in `dtype`,
-    values in [-7, 7]. Pure elementwise (fuses into a dot's operand read)."""
+    values in [-7, 7]. Pure elementwise (fuses into a dot's operand read).
+
+    `biased` storage keeps q+7 in [0, 14] so the unpack is mask/shift/
+    convert/subtract with NO sign-fix selects — probed as a lever against
+    the VPU-bound unpack chain (scripts/probe_int4_g1.py)."""
+    if biased:
+        lo = (packed & 0xF).astype(dtype) - jnp.asarray(7, dtype)
+        hi = (packed >> 4).astype(dtype) - jnp.asarray(7, dtype)
+        return lo, hi
     lo = (packed & 0xF).astype(jnp.int8)
     hi = (packed >> 4).astype(jnp.int8)
     lo = jnp.where(lo > 7, lo - 16, lo)
@@ -133,9 +150,11 @@ def int4_matmul(x: jax.Array, node: Dict[str, jax.Array]) -> jax.Array:
     Each nibble plane runs as ONE G/2-batched dot over [gs]-row groups, so
     the unpack stays pure elementwise on the operand and the scale lands on
     the tiny [G/2, M, d_out] per-group results."""
-    q, s = node["kernel_q4"], node["scale4"]
+    biased = "kernel_q4b" in node
+    q = node["kernel_q4b"] if biased else node["kernel_q4"]
+    s = node["scale4"]
     half, d_out = q.shape
-    lo, hi = unpack_int4(q, x.dtype)
+    lo, hi = unpack_int4(q, x.dtype, biased=biased)
     s = s.astype(x.dtype)
     G = s.shape[0]
     if G == 1:
@@ -158,9 +177,11 @@ def int4_matmul(x: jax.Array, node: Dict[str, jax.Array]) -> jax.Array:
 
 
 def dequantize_kernel_int4(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
-    q, s = node["kernel_q4"], node["scale4"]
+    biased = "kernel_q4b" in node
+    q = node["kernel_q4b"] if biased else node["kernel_q4"]
+    s = node["scale4"]
     half, d_out = q.shape
-    lo, hi = unpack_int4(q, jnp.float32)
+    lo, hi = unpack_int4(q, jnp.float32, biased=biased)
     w = jnp.concatenate([lo, hi], axis=0)
     G = s.shape[0]
     wg = w.reshape(G, 2 * half // G, d_out) * s[:, None, :]
@@ -173,6 +194,7 @@ def quantize_params(
     min_size: int = 65536,
     bits: int = 8,
     group_size: int = 128,
+    int4_biased: bool = False,
 ) -> Params:
     """Replace each targeted dense node's 'kernel' with int8 (per-channel)
     or int4 (group-wise) + scales.
@@ -184,7 +206,7 @@ def quantize_params(
 
     def quant(kernel):
         if bits == 4 and kernel.shape[0] % 2 == 0:
-            return quantize_kernel_int4(kernel, group_size)
+            return quantize_kernel_int4(kernel, group_size, biased=int4_biased)
         return quantize_kernel(kernel)  # odd d_in can't nibble-pack
 
     def walk(node):

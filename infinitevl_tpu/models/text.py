@@ -33,7 +33,7 @@ def _dense(x: jax.Array, p: Params) -> jax.Array:
         # with the contraction, so this is exact dequant-then-matmul at
         # half the HBM bytes
         y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
-    elif "kernel_q4" in p:
+    elif "kernel_q4" in p or "kernel_q4b" in p:
         # weight-only int4, nibble-packed uint8 + group scales
         # (models/quant.int4_matmul): quarter the HBM bytes; the unpack is
         # elementwise on the dot operands so XLA fuses it into the read

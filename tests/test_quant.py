@@ -331,6 +331,49 @@ def test_int4_matmul_matches_dequant():
         )
 
 
+def test_int4_biased_storage_matches_signed():
+    """Biased-nibble storage (q+7 in [0,14], no sign-fix selects in the
+    unpack) must dequantize and matmul EXACTLY like the signed layout —
+    it is the same q, shifted for storage only."""
+    from infinitevl_tpu.models.quant import (
+        dequantize_kernel_int4,
+        int4_matmul,
+        quantize_kernel_int4,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (256, 96), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 256), jnp.float32)
+    for gs in (64, 999):
+        signed = quantize_kernel_int4(w, group_size=gs)
+        biased = quantize_kernel_int4(w, group_size=gs, biased=True)
+        assert "kernel_q4b" in biased and "kernel_q4" not in biased
+        np.testing.assert_array_equal(
+            np.asarray(dequantize_kernel_int4(signed, jnp.float32)),
+            np.asarray(dequantize_kernel_int4(biased, jnp.float32)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(int4_matmul(x, signed)),
+            np.asarray(int4_matmul(x, biased)),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+def test_int4_biased_end_to_end_forward():
+    from infinitevl_tpu.models.quant import quantize_params
+
+    cfg = tiny_config().text
+    params = init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    q4 = quantize_params(params, min_size=1024, bits=4, group_size=32)
+    q4b = quantize_params(
+        params, min_size=1024, bits=4, group_size=32, int4_biased=True
+    )
+    ids = jnp.asarray([[3, 5, 7, 9]], jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(4)[None, None], (3, 1, 4))
+    a, _, _ = text_forward(q4, cfg, embed_tokens(q4, ids), pos)
+    b, _, _ = text_forward(q4b, cfg, embed_tokens(q4b, ids), pos)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_int4_forward_parity_and_bytes():
     from infinitevl_tpu.models.quant import quantize_params, quantized_bytes
 
