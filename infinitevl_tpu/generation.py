@@ -279,6 +279,7 @@ class Generator:
         chunk_size: int = 8,
         fuse: bool = False,
         quant: Optional[str] = None,
+        quant_group_size: Optional[int] = None,
     ):
         if dtype is None:
             # ring/conv state must match the activations' dtype (the conv
@@ -294,14 +295,21 @@ class Generator:
             params = fuse_projections(params)
         if quant in ("int8", "int4"):
             # weight-only serving (models/quant.py): int8 halves the decode
-            # weight-read floor (measured 163 vs 96 tok/s @500K) and is the
-            # recommended default; int4 (group-wise, bit-packed s4) quarters
-            # the weight BYTES but the VPU unpack makes it slower than int8
-            # on v5e (measured 67 tok/s) — use it for memory headroom only.
-            # Parity tested in tests/test_quant.py.
+            # weight-read floor (measured 167 vs 96 tok/s @500K) and is the
+            # recommended default; int4 (bit-packed s4) quarters the weight
+            # BYTES but stays slower than int8 on v5e — use for memory
+            # headroom. When int4 latency matters, pass a huge
+            # quant_group_size (>= hidden) for per-column scales: 121 tok/s
+            # vs 75 at group-128 (scripts/probe_int4_g1.py), at coarser
+            # quantization. Parity tested in tests/test_quant.py.
             from .models.quant import quantize_params
 
-            params = quantize_params(params, bits=4 if quant == "int4" else 8)
+            qkw = {}
+            if quant_group_size is not None:
+                qkw["group_size"] = int(quant_group_size)
+            params = quantize_params(
+                params, bits=4 if quant == "int4" else 8, **qkw
+            )
         elif quant is not None:
             raise ValueError(f"unknown quant mode {quant!r} (use 'int8'/'int4')")
         self.params = params

@@ -104,6 +104,11 @@ class TrainArgs:
     # on from cutoff_len >= 16384 (the first length that OOMs the python
     # layer loop on one v5e; below it the loop is ~13% faster).
     scan_layers: Optional[bool] = None
+    # partial unroll of the scan-over-layers HLO loop: k bodies inline per
+    # iteration — scheduler overlap freedom at ~k bodies' residual memory
+    # (a dial between the python loop's throughput and the scan's
+    # serialization). 1 = strict scan; probe memory on chip before raising.
+    scan_unroll: int = 1
     # predict_with_generate analogue: after training, greedy-generate the
     # first predict_samples examples' prompts and score BLEU-4/ROUGE vs the
     # gold completions (reference train/sft/workflow.py predict path)

@@ -24,15 +24,19 @@ weights per HBM byte — see quantize_kernel_int4 for why not jnp.int4),
 halving the weight read again vs int8. int4_matmul contracts each nibble
 plane against the matching activation half with ordinary dots.
 
-MEASURED (one v5e, 3B, 500K ctx decode): int4 is a LATENCY LOSS —
-14.9 ms/step at B=1 (67 tok/s) vs int8's 6.1 ms (163) and bf16's 10.4
-(96). The per-element unpack (mask/shift/sign-fix/convert) plus the
-group-scale reshape-multiply runs on the VPU and outweighs the saved HBM
-bytes; int8's convert+per-column-scale fuses cleanly into the dot's
-operand read, int4's does not. int4's value on this chip is MEMORY
-(2.8 GB weights: bigger batches, longer contexts, QLoRA frozen bases),
-not decode speed — int8 stays the recommended serving default
-(scripts/probe_int4.py, ROUND3_NOTES.md).
+MEASURED (one v5e, 3B, 500K ctx decode; scripts/probe_int4.py +
+probe_int4_g1.py): int4 is a LATENCY LOSS vs int8 at every setting —
+group-128 scales 13.3 ms/step B=1 (75 tok/s), per-column scales (G=1,
+group_size >= d_in) 8.24 ms (121), vs int8 6.0 ms (167) and bf16 10.4
+(96). The G=1 path is the one worth using when int4 is chosen for memory
+AND latency matters: two plain dots + one column scale, same fusion shape
+as int8 (group scales cost +62%: the per-group batched dots break the
+single big MXU contraction). Biased-nibble storage (kernel_q4b, no
+sign-fix selects) was probed and FALSIFIED as a lever: 13.19 ms at G=128
+(noise vs 13.34) and 9.08 at G=1 (worse than signed 8.24) — the unpack's
+select chain was never the bottleneck. int4's value on this chip is
+MEMORY (2.8 GB weights: bigger batches, longer contexts, QLoRA frozen
+bases); int8 stays the recommended serving default.
 """
 
 from __future__ import annotations

@@ -681,8 +681,15 @@ def text_forward(
     remat: bool = False,
     remat_group: int = 1,
     remat_barrier: bool = False,
+    scan_unroll: int = 1,
 ):
     """Run the decoder stack.
+
+    scan_unroll (layer_stacks path only) partially unrolls the HLO layer
+    loop: k bodies inline per iteration, giving the scheduler overlap
+    freedom at ~k bodies' residual memory — a dial between the python
+    loop's throughput and the scan's serialization (probe on chip before
+    raising; scripts/probe_scan_unroll.py).
 
     remat_group > 1 checkpoints GROUPS of layers instead of each layer:
     only num_layers/remat_group boundary activations stay live (134 MB
@@ -748,7 +755,9 @@ def text_forward(
             return x, None
 
         scan_body = jax.checkpoint(body) if remat else body
-        x, _ = jax.lax.scan(scan_body, x, tuple(stacks))
+        x, _ = jax.lax.scan(
+            scan_body, x, tuple(stacks), unroll=max(1, scan_unroll)
+        )
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         return x, None, None
 

@@ -140,7 +140,7 @@ def get_vision_plan(
 def _dense(x, p):
     if "kernel_q" in p:  # weight-only int8 (models/quant.py)
         y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
-    elif "kernel_q4" in p:  # int4 nibble-packed uint8 (models/quant.py)
+    elif "kernel_q4" in p or "kernel_q4b" in p:  # int4 packed (models/quant.py)
         from .quant import int4_matmul
 
         y = int4_matmul(x, p)

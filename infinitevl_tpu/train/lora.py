@@ -355,7 +355,7 @@ def merge_lora(params: Params, lora: Params, alpha: float = 16.0,
 def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                        rank: int = 8, remat: bool = False,
                        remat_group: int = 1, remat_barrier: bool = False,
-                       use_rslora: bool = False):
+                       use_rslora: bool = False, scan_unroll: int = 1):
     """Only the adapter tree is optimized; base weights stay frozen.
     remat=True enables per-layer gradient checkpointing (the stage-3
     32K-context recipe).
@@ -399,6 +399,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                     remat=remat,
                     remat_group=remat_group,
                     remat_barrier=remat_barrier,
+                    scan_unroll=scan_unroll,
                 )
             text = merged["text"] if "text" in merged else merged
             return sft_loss_fn(
@@ -411,6 +412,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                 remat=remat,
                 remat_group=remat_group,
                 remat_barrier=remat_barrier,
+                scan_unroll=scan_unroll,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(lora)

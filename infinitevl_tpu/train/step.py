@@ -168,11 +168,13 @@ def sft_loss_fn(
     remat: bool = False,
     remat_group: int = 1,
     remat_barrier: bool = False,
+    scan_unroll: int = 1,
 ) -> jax.Array:
     embeds = inputs_embeds if inputs_embeds is not None else embed_tokens(params, input_ids)
     hidden, _, _ = text_forward(
         params, cfg, embeds, position_ids, state=None, segment_ids=segment_ids,
         remat=remat, remat_group=remat_group, remat_barrier=remat_barrier,
+        scan_unroll=scan_unroll,
     )
     if remat:
         # long-context path: chunked CE avoids the [T, V] logits tensor;
@@ -200,6 +202,7 @@ def mm_sft_loss_fn(
     remat: bool = False,
     remat_group: int = 1,
     remat_barrier: bool = False,
+    scan_unroll: int = 1,
 ) -> jax.Array:
     """Multimodal SFT loss: ViT features scattered into the token embeds
     (the reference trains the full VLM on image batches — collator emits
@@ -221,6 +224,7 @@ def mm_sft_loss_fn(
     hidden, _, _ = text_forward(
         tp, cfg.text, embeds, position_ids, state=None, segment_ids=segment_ids,
         remat=remat, remat_group=remat_group, remat_barrier=remat_barrier,
+        scan_unroll=scan_unroll,
     )
     if remat:
         w = tp.get("lm_head", tp["embed"].T)
@@ -232,7 +236,7 @@ def mm_sft_loss_fn(
 
 def make_mm_sft_train_step(
     cfg: InfiniteVLConfig, tx: optax.GradientTransformation, remat: bool = False,
-    remat_group: int = 1, remat_barrier: bool = False,
+    remat_group: int = 1, remat_barrier: bool = False, scan_unroll: int = 1,
 ):
     """Multimodal train step. Returns (params, opt_state, batch, grid_thw,
     video_grid_thw) -> (params, opt_state, loss); jit with static_argnums for
@@ -255,6 +259,7 @@ def make_mm_sft_train_step(
                 remat=remat,
                 remat_group=remat_group,
                 remat_barrier=remat_barrier,
+                scan_unroll=scan_unroll,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -286,7 +291,7 @@ def make_sft_eval_fn(cfg: TextConfig):
 
 def make_sft_train_step(
     cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False,
-    remat_group: int = 1, remat_barrier: bool = False,
+    remat_group: int = 1, remat_barrier: bool = False, scan_unroll: int = 1,
 ):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, loss).
     params: full pytree with a "text" subtree (so sharding-rule paths match);
@@ -305,6 +310,7 @@ def make_sft_train_step(
                 remat=remat,
                 remat_group=remat_group,
                 remat_barrier=remat_barrier,
+                scan_unroll=scan_unroll,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

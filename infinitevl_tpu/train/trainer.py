@@ -916,6 +916,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                 remat_group=args.train.remat_group,
                 remat_barrier=args.train.remat_barrier,
                 use_rslora=args.finetune.use_rslora,
+                scan_unroll=args.train.scan_unroll,
             ),
             static_argnums=(4, 5),
             donate_argnums=(0, 1),
@@ -979,6 +980,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                 cfg, tx, remat=args.train.remat,
                 remat_group=args.train.remat_group,
                 remat_barrier=args.train.remat_barrier,
+                scan_unroll=args.train.scan_unroll,
             ),
             static_argnums=(3, 4),
             donate_argnums=(0, 1),
@@ -989,6 +991,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                 tcfg, tx, remat=args.train.remat,
                 remat_group=args.train.remat_group,
                 remat_barrier=args.train.remat_barrier,
+                scan_unroll=args.train.scan_unroll,
             ),
             donate_argnums=(0, 1),
         )

@@ -403,3 +403,18 @@ def test_scan_layers_parity():
     for a, b in zip(jax.tree.leaves(g_scan_un), jax.tree.leaves(g_ref)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() < 1e-4 * (1.0 + np.abs(b).max())
+
+    # scan_unroll is a scheduling dial: same math, fusion reorder only
+    # (measured ~2e-6 abs fp32 drift on this tiny config)
+    h_u, _, _ = text_forward(stacked, cfg, emb, pos, remat=True, scan_unroll=3)
+    np.testing.assert_allclose(
+        np.asarray(h_u), np.asarray(h_scan_r), rtol=1e-4, atol=1e-5
+    )
+    g_u = jax.grad(
+        lambda p: jnp.sum(
+            text_forward(p, cfg, emb, pos, remat=True, scan_unroll=3)[0] ** 2
+        )
+    )(stacked)
+    for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_scan)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 1e-4 * (1.0 + np.abs(b).max())
