@@ -105,9 +105,10 @@ class TrainArgs:
     # layer loop on one v5e; below it the loop is ~13% faster).
     scan_layers: Optional[bool] = None
     # partial unroll of the scan-over-layers HLO loop: k bodies inline per
-    # iteration — scheduler overlap freedom at ~k bodies' residual memory
-    # (a dial between the python loop's throughput and the scan's
-    # serialization). 1 = strict scan; probe memory on chip before raising.
+    # iteration at ~k bodies' residual memory. MEASURED NEUTRAL on v5e
+    # (16K unroll=3: 2933 tok/s vs strict scan 2959 at 13.7 vs 13.6 GB;
+    # 32K unroll=3 overflows at 15.6 GB — scripts/probe_scan_unroll.py);
+    # kept as a dial for other chips/shapes. 1 = strict scan.
     scan_unroll: int = 1
     # predict_with_generate analogue: after training, greedy-generate the
     # first predict_samples examples' prompts and score BLEU-4/ROUGE vs the

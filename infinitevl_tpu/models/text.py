@@ -686,10 +686,10 @@ def text_forward(
     """Run the decoder stack.
 
     scan_unroll (layer_stacks path only) partially unrolls the HLO layer
-    loop: k bodies inline per iteration, giving the scheduler overlap
-    freedom at ~k bodies' residual memory — a dial between the python
-    loop's throughput and the scan's serialization (probe on chip before
-    raising; scripts/probe_scan_unroll.py).
+    loop: k bodies inline per iteration at ~k bodies' residual memory.
+    Probed NEUTRAL on v5e at 16K (2933 vs 2959 tok/s) and unaffordable at
+    32K (15.6 GB) — scripts/probe_scan_unroll.py; kept as a dial for
+    other chips/shapes.
 
     remat_group > 1 checkpoints GROUPS of layers instead of each layer:
     only num_layers/remat_group boundary activations stay live (134 MB
