@@ -42,7 +42,13 @@ def _build_generator(args):
     else:
         params = init_params(jax.random.PRNGKey(0), cfg, dtype)
     quant = {8: "int8", 4: "int4"}.get(args.model.quantization_bit)
-    return Generator(params, cfg, dtype=dtype, quant=quant), cfg
+    return (
+        Generator(
+            params, cfg, dtype=dtype, quant=quant,
+            quant_group_size=args.model.quantization_group_size,
+        ),
+        cfg,
+    )
 
 
 def _tokenizer(args, cfg=None):

@@ -43,6 +43,11 @@ class DatasetAttr:
     # local dataset directory, or a builder name; `subset` is its `name`.
     hf_hub_url: Optional[str] = None
     subset: Optional[str] = None
+    # ModelScope-only entries (reference dataset_info.json `ms_hub_url`,
+    # e.g. deepctrl): kept in the registry for inventory parity but there
+    # is no ModelScope loading path on this build — selecting one raises a
+    # clear error instead of a misleading HF-hub 404.
+    ms_hub_url: Optional[str] = None
 
 
 def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
@@ -62,7 +67,8 @@ def load_dataset_info(path: str) -> Dict[str, DatasetAttr]:
             tags=meta.get("tags"),
             folder=meta.get("folder"),
             num_samples=meta.get("num_samples"),
-            hf_hub_url=meta.get("hf_hub_url") or meta.get("ms_hub_url"),
+            hf_hub_url=meta.get("hf_hub_url"),
+            ms_hub_url=meta.get("ms_hub_url"),
             subset=meta.get("subset"),
         )
     return out
@@ -168,6 +174,12 @@ def _iter_raw_rows(
     - otherwise: local file(s); `file_name` may be a glob pattern (shards
       load in sorted order) and .jsonl files stream line-by-line.
     """
+    if attr.ms_hub_url and not attr.hf_hub_url:
+        raise ValueError(
+            f"dataset {attr.name!r} is registered only on ModelScope "
+            f"({attr.ms_hub_url}); this build has no ms_hub loading path — "
+            "download it locally and point a file_name entry at it"
+        )
     if attr.hf_hub_url:
         from datasets import load_dataset as _hf_load
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import re
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
 
 IGNORE_INDEX = -100
 
@@ -273,6 +273,33 @@ def get_template(name: str) -> Template:
             f"unknown template {name!r}; available: {sorted(_TEMPLATES)}"
         )
     return _TEMPLATES[name]
+
+
+def register_custom_template(
+    spec: Mapping[str, Any], name: str = "custom"
+) -> Template:
+    """User-defined chat template from a yaml dict (the reference's
+    `register_template(name="custom", ...)` hook, template.py:396-414 —
+    there users edit source; here `custom_template:` in the run yaml maps
+    straight onto Template's slot fields and `template: custom` selects it).
+
+    Recognized keys = Template's fields except `name` (system_prefix,
+    user_prefix, assistant_prefix, turn_suffix, default_system, stop_words,
+    prefix, system_suffix, user_suffix, system_inline). Prefix strings use
+    `{content}` for the message body. Unknown keys raise."""
+    allowed = {f.name for f in dataclasses.fields(Template)} - {"name"}
+    unknown = set(spec) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown custom_template keys {sorted(unknown)}; "
+            f"allowed: {sorted(allowed)}"
+        )
+    kwargs = dict(spec)
+    if "stop_words" in kwargs:
+        kwargs["stop_words"] = tuple(kwargs["stop_words"])
+    t = Template(name=name, **kwargs)
+    register_template(t)
+    return t
 
 
 register_template(

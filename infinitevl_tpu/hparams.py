@@ -32,6 +32,11 @@ class ModelArgs:
     # 8 = int8 per-channel: QLoRA frozen base for training, or serving.
     # 4 = int4 group-wise (bit-packed s4): serving only (chat/api/export).
     quantization_bit: Optional[int] = None
+    # int4 group size override (models/quant.py group_size). Large values
+    # (>= hidden size) collapse to per-column scales — the measured-faster
+    # int4 decode variant (121 vs 75 tok/s; generation.py:302). None keeps
+    # the memory-optimal grouped default. Ignored unless quantization_bit=4.
+    quantization_group_size: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -42,6 +47,9 @@ class DataArgs:
     mix_strategy: str = "concat"  # concat | interleave_under | interleave_over
     interleave_probs: Optional[Tuple[float, ...]] = None
     template: str = "qwen2_vl"
+    # user-defined template slots (data/template.register_custom_template);
+    # a dict of Template fields in yaml, selected with `template: custom`
+    custom_template: Optional[Dict[str, Any]] = None
     cutoff_len: int = 2048
     max_samples: Optional[int] = None
     packing: bool = False
@@ -86,6 +94,15 @@ class TrainArgs:
     data_parallel: int = 1
     model_parallel: int = 1
     param_mode: str = "fsdp"  # tp | fsdp | replicated
+    # pipeline parallelism (parallel/pipeline.py, GPipe over a `pipe` mesh
+    # axis; the reference only DECLARES pp via base_model_pp_plan,
+    # configuration_infinitevl.py:202-206). pipeline_stages must divide the
+    # layer-pattern period count (9 at the deployed 36-layer config);
+    # n_microbatches splits the global batch (B % M == 0). Composes with
+    # data_parallel/model_parallel: mesh = (pipe, data, model). Text-only
+    # full finetuning (SFT/PT).
+    pipeline_stages: int = 1
+    n_microbatches: int = 1
     # gradient checkpointing (reference model_utils/checkpointing.py role):
     # remat recomputes layer internals in the backward; remat_group > 1
     # checkpoints groups of layers (fewer live boundary activations) but
@@ -231,6 +248,13 @@ def parse_args(config: Dict[str, Any]) -> AllArgs:
     unknown = set(config) - used
     if unknown:
         raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    if out.data.custom_template:
+        # every entry point parses args through here, so registering the
+        # user template at parse time makes `template: custom` resolvable
+        # from any workflow (train/chat/api/eval/export)
+        from .data.template import register_custom_template
+
+        register_custom_template(dict(out.data.custom_template))
     return out
 
 

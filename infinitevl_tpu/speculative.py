@@ -153,6 +153,7 @@ def generate_speculative(
 
     if stats is None:
         stats = SpecStats()  # local collection; caller's object if given
+    emitted0 = stats.emitted  # accumulative across requests; see return
     while len(out) < max_new_tokens and last != eos:
         drafts = prompt_lookup_draft(ctx, draft_k - 1, ngram_max=ngram_max)
         if len(drafts) == 0:
@@ -197,4 +198,11 @@ def generate_speculative(
             out = out[: out.index(eos) + 1]
             break
 
-    return np.asarray(out[:max_new_tokens], dtype=np.int64)[None]
+    final = out[:max_new_tokens]
+    # the loop counts whole committed windows, but eos truncation and the
+    # max_new_tokens trim can drop up to draft_k-1 of those tokens from the
+    # returned array — re-anchor emitted to what the caller actually gets
+    # (len-1: the first token comes from prefill and was never counted), so
+    # usage.speculation reports realized output, not pre-trim commits.
+    stats.emitted = emitted0 + max(0, len(final) - 1)
+    return np.asarray(final, dtype=np.int64)[None]

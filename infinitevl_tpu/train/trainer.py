@@ -103,9 +103,15 @@ def build_dataset_stream(args: AllArgs, tokenizer=None):
     if args.finetune.stage not in ("sft", "pt"):
         raise ValueError("streaming is only supported for the sft/pt stages")
     if args.train.max_steps is None:
-        raise ValueError("Please specify `max_steps` in streaming mode.")
+        raise ValueError(
+            "streaming datasets have no length — set `max_steps` to bound "
+            "the run"
+        )
     if args.data.max_samples:
-        raise ValueError("`max_samples` is incompatible with `streaming`.")
+        raise ValueError(
+            "`max_samples` cannot cap a streaming dataset; drop it or "
+            "disable `streaming`"
+        )
     if 0 < args.data.val_size < 1:
         raise ValueError(
             "fractional `val_size` is incompatible with `streaming` "
@@ -824,6 +830,81 @@ def predict_and_score(params, cfg, data, tokenizer, args: AllArgs):
     return scores
 
 
+def _run_sft_pipeline(args: AllArgs, cfg, data, tokenizer, mm: bool, dtype):
+    """Pipelined SFT/PT: `pipeline_stages` + `n_microbatches` yaml knobs
+    drive parallel/pipeline.make_pp_sft_train_step over a
+    (pipe, data, model) mesh. The reference exposes every parallelism mode
+    through yaml+config (examples/deepspeed/*.json, accelerate fsdp yaml);
+    this is the PP entry of that surface. Text-only full finetuning — the
+    stage stacker cuts the DECODER at hybrid-period granularity, and
+    LoRA/freeze masking is per-layer-indexed, which the stacked layout
+    does not expose."""
+    from ..parallel.pipeline import (
+        create_pp_mesh,
+        make_pp_sft_train_step,
+        shard_pp_params,
+        stack_stage_params,
+        unstack_stage_params,
+    )
+
+    tcfg = cfg.text
+    if mm:
+        raise ValueError(
+            "pipeline_stages > 1 is text-only (the ViT is not stage-cut); "
+            "train multimodal recipes with data/model parallelism instead"
+        )
+    if args.finetune.finetuning_type != "full":
+        raise ValueError(
+            "pipeline_stages > 1 requires finetuning_type: full (stage-"
+            "stacked params have no per-layer adapter/freeze indexing)"
+        )
+    if args.model.quantization_bit is not None:
+        raise ValueError("pipeline_stages > 1 does not compose with QLoRA")
+    S, M = args.train.pipeline_stages, args.train.n_microbatches
+    B = args.train.per_device_train_batch_size * max(args.train.data_parallel, 1)
+    if B % M:
+        raise ValueError(
+            f"global batch {B} (= per_device x data_parallel) must be "
+            f"divisible by n_microbatches {M}"
+        )
+    mesh = create_pp_mesh(
+        pipe=S,
+        data=args.train.data_parallel,
+        model=args.train.model_parallel,
+    )
+    params = _load_or_init_params(args, cfg, mm, dtype)
+    pp = {"text": stack_stage_params(params["text"], tcfg, S)}
+    pp = shard_pp_params(pp, mesh, param_mode=args.train.param_mode)
+    steps = args.train.max_steps or int(
+        np.ceil(
+            args.train.num_train_epochs
+            * len(data)
+            / args.train.per_device_train_batch_size
+        )
+    )
+    tx = _make_tx(args, steps)
+    opt_state = tx.init(pp)
+    step_fn = jax.jit(
+        make_pp_sft_train_step(
+            tcfg, tx, n_microbatches=M, mesh=mesh, remat=args.train.remat
+        ),
+        donate_argnums=(0, 1),
+    )
+    trainer = Trainer(
+        step_fn, pp, opt_state, args.train.output_dir,
+        args.train.logging_steps, args.train.save_steps,
+        report_to=args.train.report_to,
+    )
+    _maybe_resume(trainer, args)
+    final = trainer.train(
+        _shard_batches(_batches(args, data, cfg, mm), mesh), max_steps=steps
+    )
+    merged = {"text": unstack_stage_params(final["text"])}
+    if args.train.do_predict and not args.data.streaming:
+        predict_and_score(merged, cfg, data, tokenizer, args)
+    return merged
+
+
 def run_sft(args: AllArgs, tokenizer=None):
     """SFT / PT workflow: text-only or multimodal, full / freeze / lora
     finetuning (reference train/sft/workflow.py + model/adapter.py)."""
@@ -840,6 +921,8 @@ def run_sft(args: AllArgs, tokenizer=None):
     # must not be consumed before the training loop
     mm = False if args.data.streaming else is_multimodal(data)
     data, eval_data = _split_val(args, data, mm)
+    if args.train.pipeline_stages > 1:
+        return _run_sft_pipeline(args, cfg, data, tokenizer, mm, dtype)
     mesh = _maybe_mesh(args)
     params = _load_or_init_params(args, cfg, mm, dtype)
     if args.model.quantization_bit is not None:

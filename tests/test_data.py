@@ -494,3 +494,52 @@ def test_encode_supervised_stream_matches_and_rejects_mm():
               "images": ["x.png"]}]
     with _pytest.raises(ValueError, match="text-only"):
         list(encode_supervised_stream(iter(mm_ex), tok, "qwen2_vl", 64))
+
+
+def test_custom_template_from_yaml_dict():
+    """`custom_template:` yaml dict registers a user-defined template at
+    parse time (reference template.py:396-414 register_template hook) and
+    `template: custom` resolves it from any workflow."""
+    from infinitevl_tpu.data.template import get_template
+    from infinitevl_tpu.hparams import parse_args
+
+    parse_args(
+        {
+            "template": "custom",
+            "custom_template": {
+                "system_prefix": "<s>[SYS]{content}[/SYS]\n",
+                "user_prefix": "<user>{content}\n<model>",
+                "assistant_prefix": "",
+                "turn_suffix": "</s>\n",
+                "user_suffix": "",
+                "stop_words": ["</s>"],
+                "prefix": "<s>",
+            },
+        }
+    )
+    t = get_template("custom")
+    text = t.render_prompt(
+        [
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "yo"},
+        ],
+        add_generation_prompt=False,
+    )
+    assert text == "<s><user>hi\n<model>yo</s>\n"
+    assert t.stop_words == ("</s>",)
+    # unknown slot keys fail loudly
+    with pytest.raises(ValueError, match="unknown custom_template"):
+        parse_args(
+            {"custom_template": {"bogus_slot": "x", "user_prefix": "u"}}
+        )
+
+
+def test_ms_hub_only_dataset_raises_clearly():
+    """ModelScope-only registry entries (reference dataset_info.json
+    deepctrl) must not be silently rewritten as HF repo ids — selecting one
+    raises an actionable error instead of a hub 404."""
+    from infinitevl_tpu.data.loader import DatasetAttr, iter_examples
+
+    attr = DatasetAttr(name="deepctrl", ms_hub_url="deepctrl/deepctrl-sft-data")
+    with pytest.raises(ValueError, match="ModelScope"):
+        list(iter_examples(attr, "data"))

