@@ -33,6 +33,9 @@ def log(*a):
 
 
 def main():
+    from infinitevl_tpu.parallel.sharding import maybe_init_distributed
+
+    maybe_init_distributed()  # env-driven multi-host; no-op single-host
     from infinitevl_tpu import infinitevl_3b
     from infinitevl_tpu.generation import decode_step
     from infinitevl_tpu.models.params import init_params

@@ -63,8 +63,10 @@ def _tokenizer(args, cfg=None):
 
 
 def cmd_train(config_path: str):
+    from .parallel.sharding import maybe_init_distributed
     from .train.trainer import run_exp
 
+    maybe_init_distributed()  # env-driven multi-host; no-op single-host
     args = _load(config_path)
     run_exp(args, tokenizer=_tokenizer(args))
 
@@ -187,6 +189,9 @@ def main(argv=None):
     if cmd == "bench":
         import runpy
 
+        from .parallel.sharding import maybe_init_distributed
+
+        maybe_init_distributed()
         runpy.run_path("bench.py", run_name="__main__")
         return 0
     if cmd == "board":

@@ -25,6 +25,57 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA = "data"
 MODEL = "model"
 
+_distributed_initialized = False
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host bootstrap (SURVEY §5.8): env-driven
+    `jax.distributed.initialize()`, a no-op on a single host.
+
+    The reference's multi-node launch is torchrun rendezvous env vars
+    (train.sh:13-19; src/llamafactory/cli.py:88-115 spawns torchrun from
+    NNODES/NODE_RANK/MASTER_ADDR/MASTER_PORT). The JAX equivalent reads:
+
+    - JAX-native names: COORDINATOR_ADDRESS, NUM_PROCESSES, PROCESS_ID
+      (all three required together), or
+    - torchrun-style names for drop-in launcher compat: MASTER_ADDR
+      [+ MASTER_PORT, default 1234], WORLD_SIZE, RANK.
+
+    With neither set (or a world size of 1) nothing happens and the
+    process keeps its local devices — the single-chip path is untouched.
+    On TPU pods with the cloud metadata server, calling
+    `jax.distributed.initialize()` with no args also auto-detects; we only
+    do that when JAX_AUTO_DISTRIBUTED=1 opts in, because the blind call
+    hangs off-pod. Returns True iff initialize() ran (idempotent).
+    Called from `cli train` / `cli bench` / bench.py before backend use.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    import os as _os
+
+    env = _os.environ
+    coord = env.get("COORDINATOR_ADDRESS")
+    nproc = env.get("NUM_PROCESSES")
+    pid = env.get("PROCESS_ID")
+    if not coord and env.get("MASTER_ADDR"):
+        coord = f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '1234')}"
+        nproc = nproc or env.get("WORLD_SIZE")
+        pid = pid or env.get("RANK")
+    if coord and nproc and pid is not None and int(nproc) > 1:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+        _distributed_initialized = True
+        return True
+    if env.get("JAX_AUTO_DISTRIBUTED") == "1":
+        jax.distributed.initialize()
+        _distributed_initialized = True
+        return True
+    return False
+
 
 def create_mesh(
     data: int = 1, model: int = 1, devices=None

@@ -173,3 +173,59 @@ def test_hybrid_mesh_runs_sharded_forward():
 
     h = fwd(sharded, ids, pos)
     assert err_ratio(h, h_ref) < 1e-5
+
+
+def test_maybe_init_distributed_env_parsing(monkeypatch):
+    """Env-driven multi-host bootstrap (SURVEY §5.8): torchrun-style and
+    JAX-native env names both resolve to one jax.distributed.initialize
+    call; absent/world-size-1 envs are a no-op."""
+    import jax
+
+    from infinitevl_tpu.parallel import sharding as sh
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    monkeypatch.setattr(sh, "_distributed_initialized", False)
+    for var in (
+        "COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",
+        "MASTER_ADDR", "MASTER_PORT", "WORLD_SIZE", "RANK",
+        "JAX_AUTO_DISTRIBUTED",
+    ):
+        monkeypatch.delenv(var, raising=False)
+
+    assert sh.maybe_init_distributed() is False and not calls
+
+    # torchrun-style names (the reference's launcher env, train.sh:13-19)
+    monkeypatch.setenv("MASTER_ADDR", "10.0.0.1")
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    monkeypatch.setenv("RANK", "2")
+    assert sh.maybe_init_distributed() is True
+    assert calls == [
+        {
+            "coordinator_address": "10.0.0.1:1234",
+            "num_processes": 4,
+            "process_id": 2,
+        }
+    ]
+    # idempotent: a second call does not re-initialize
+    assert sh.maybe_init_distributed() is True
+    assert len(calls) == 1
+
+    # JAX-native names win over torchrun-style when both exist
+    monkeypatch.setattr(sh, "_distributed_initialized", False)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.9:8476")
+    monkeypatch.setenv("NUM_PROCESSES", "2")
+    monkeypatch.setenv("PROCESS_ID", "0")
+    assert sh.maybe_init_distributed() is True
+    assert calls[-1]["coordinator_address"] == "10.0.0.9:8476"
+
+    # world size 1 = single host: no-op
+    calls.clear()
+    monkeypatch.setattr(sh, "_distributed_initialized", False)
+    monkeypatch.setenv("NUM_PROCESSES", "1")
+    monkeypatch.delenv("MASTER_ADDR")
+    monkeypatch.delenv("WORLD_SIZE")
+    monkeypatch.delenv("RANK")
+    assert sh.maybe_init_distributed() is False and not calls
