@@ -96,7 +96,19 @@ def cmd_chat(config_path: str):
         prompt = template.render_prompt(history)
         ids = np.asarray([tok.encode(prompt, add_special_tokens=False)])
         greedy = not args.gen.do_sample or args.gen.temperature == 0.0
-        if args.gen.draft_k > 0 and greedy and args.gen.repetition_penalty == 1.0:
+        if args.gen.num_beams > 1:
+            if not greedy or args.gen.repetition_penalty != 1.0:
+                raise ValueError(
+                    "num_beams > 1 is greedy beam search; disable "
+                    "do_sample / repetition_penalty"
+                )
+            out = gen.generate_beam(
+                ids,
+                num_beams=args.gen.num_beams,
+                max_new_tokens=args.gen.max_new_tokens,
+                length_penalty=args.gen.length_penalty,
+            )
+        elif args.gen.draft_k > 0 and greedy and args.gen.repetition_penalty == 1.0:
             from .speculative import SpecStats
 
             spec_stats = SpecStats()

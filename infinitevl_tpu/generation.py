@@ -344,6 +344,26 @@ class Generator:
             draft_k=draft_k, eos_token_id=eos_token_id, stats=stats,
         )
 
+    def generate_beam(
+        self,
+        input_ids: np.ndarray,  # [B, T] text-only
+        num_beams: int = 4,
+        max_new_tokens: int = 128,
+        eos_token_id: Optional[int] = None,
+        length_penalty: float = 1.0,
+        early_stopping=False,
+    ) -> np.ndarray:
+        """Beam search (beam.py): HF BeamSearchScorer semantics with a
+        jitted beam-expanded decode step; parity-tested vs transformers
+        generate(num_beams=K) in tests/test_beam.py."""
+        from .beam import beam_search
+
+        return beam_search(
+            self, input_ids, num_beams=num_beams,
+            max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+            length_penalty=length_penalty, early_stopping=early_stopping,
+        )
+
     def generate(
         self,
         input_ids: np.ndarray,  # [B, T]

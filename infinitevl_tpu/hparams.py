@@ -119,7 +119,10 @@ class TrainArgs:
     # an HLO loop serializes the per-layer remat recomputes the scheduler
     # otherwise hoists (models/stacked.py). Requires remat. None = auto:
     # on from cutoff_len >= 16384 (the first length that OOMs the python
-    # layer loop on one v5e; below it the loop is ~13% faster).
+    # layer loop on one v5e; below it the loop is ~13-16% faster) — or
+    # >= 32768 with quantization_bit: 8, whose int8 base frees enough HBM
+    # for the loop at 16K (probed 15.7 GB, 3474 vs 2994 tok/s,
+    # scripts/probe_16k_int8_loop.py).
     scan_layers: Optional[bool] = None
     # partial unroll of the scan-over-layers HLO loop: k bodies inline per
     # iteration at ~k bodies' residual memory. MEASURED NEUTRAL on v5e
@@ -200,6 +203,10 @@ class GenArgs:
     # text-only requests (speculative.py; chat/api); 8 is the sweet spot
     # measured on v5e (verify window = 1.14x one decode step)
     draft_k: int = 0
+    # > 1 switches text-only chat to beam search (beam.py; reference
+    # generating_args.py:45). Greedy scoring — do_sample knobs are refused.
+    num_beams: int = 1
+    length_penalty: float = 1.0
 
 
 @dataclasses.dataclass

@@ -95,8 +95,31 @@ class ChatModel:
         top_p: float = 1.0,
         repetition_penalty: float = 1.0,
         seed: int = 0,
+        num_beams: int = 1,
+        length_penalty: float = 1.0,
     ) -> str:
         out = self._prepare(messages, images, videos)
+        if num_beams > 1:
+            # beam search (reference generating_args.py:45): greedy scoring,
+            # text-only (beam.py docstring explains the multimodal scoping)
+            if temperature != 0.0 or repetition_penalty != 1.0:
+                raise ValueError(
+                    "num_beams > 1 is greedy beam search; unset "
+                    "temperature/repetition_penalty (HF ignores sampling "
+                    "knobs under beams — we refuse them loudly instead)"
+                )
+            if out.pixel_values is not None or out.pixel_values_videos is not None:
+                raise ValueError(
+                    "num_beams > 1 is text-only; multimodal prompts "
+                    "generate greedily (see beam.py docstring)"
+                )
+            with self._lock:
+                tokens = self.generator.generate_beam(
+                    out.input_ids, num_beams=num_beams,
+                    max_new_tokens=max_new_tokens,
+                    length_penalty=length_penalty,
+                )
+            return self.tokenizer.decode(tokens[0], skip_special_tokens=True)
         spec_ok = (
             self.draft_k > 0
             and temperature == 0.0

@@ -966,8 +966,15 @@ def run_sft(args: AllArgs, tokenizer=None):
         # math is 2D-kernel-shaped)
         scan_period = None
         use_scan = args.train.scan_layers
-        if use_scan is None:  # auto: memory regime starts at 16K
-            use_scan = args.data.cutoff_len >= 16384
+        if use_scan is None:
+            # auto: the python loop is ~16% faster per step but holds every
+            # layer's hoisted remat recompute at once; it OOMs one v5e from
+            # 16K with a bf16 base (18.8 GB). An int8 frozen base (QLoRA)
+            # frees ~3.4 GB and the loop fits 16K again — probed 15.7 GB,
+            # 3474 vs scan's 2994 tok/s (scripts/probe_16k_int8_loop.py) —
+            # so the scan threshold moves to 32K under quantization_bit: 8.
+            thresh = 32768 if args.model.quantization_bit == 8 else 16384
+            use_scan = args.data.cutoff_len >= thresh
         if args.train.remat and use_scan and not args.finetune.use_dora:
             from ..models.stacked import detect_period, stack_layer_params
 

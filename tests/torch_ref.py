@@ -165,11 +165,35 @@ def load_reference():
     return cfgmod, mod
 
 
-def build_torch_model(hf_config_dict, safetensors_path):
-    """Construct the reference model (eager attention, fp32) and load an
-    exported checkpoint."""
-    import torch
+def _load_state_dict(path):
+    """Single-file OR sharded-directory safetensors -> one state dict
+    (real released checkpoints ship model-0000x-of-0000y.safetensors with
+    an index; test fixtures export a single model.safetensors)."""
+    import json
+    import os
+
     from safetensors.torch import load_file
+
+    if not os.path.isdir(path):
+        return load_file(path)
+    index = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+    else:
+        shards = sorted(
+            f for f in os.listdir(path) if f.endswith(".safetensors")
+        )
+    state = {}
+    for s in shards:
+        state.update(load_file(os.path.join(path, s)))
+    return state
+
+
+def build_torch_model(hf_config_dict, safetensors_path):
+    """Construct the reference model (eager attention, fp32) and load a
+    checkpoint — a single .safetensors file or a sharded checkpoint dir."""
+    import torch
 
     cfgmod, mod = load_reference()
     tcfg = cfgmod.InfiniteVLConfig(**hf_config_dict)
@@ -181,7 +205,7 @@ def build_torch_model(hf_config_dict, safetensors_path):
     model.config._attn_implementation = "eager"
     model = model.eval().float()
     missing, unexpected = model.load_state_dict(
-        load_file(safetensors_path), strict=False
+        _load_state_dict(safetensors_path), strict=False
     )
     assert not unexpected, f"unexpected keys: {unexpected[:5]}"
     model.tie_weights()
