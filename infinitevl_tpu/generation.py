@@ -344,6 +344,30 @@ class Generator:
             draft_k=draft_k, eos_token_id=eos_token_id, stats=stats,
         )
 
+    def generate_speculative_sampled(
+        self,
+        input_ids: np.ndarray,  # [1, T] text-only prompt
+        max_new_tokens: int = 128,
+        draft_k: int = 8,
+        temperature: float = 0.7,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        eos_token_id: Optional[int] = None,
+        stats=None,
+    ) -> np.ndarray:
+        """LOSSLESS sampled speculation (rejection sampling over prompt-
+        lookup drafts, speculative.generate_speculative_sampled): the
+        emitted stream is distributed exactly as plain temperature/top-k/
+        top-p sampling, with several drafts verified per weight read."""
+        from .speculative import generate_speculative_sampled
+
+        return generate_speculative_sampled(
+            self, input_ids, max_new_tokens=max_new_tokens, draft_k=draft_k,
+            temperature=temperature, top_k=top_k, top_p=top_p, seed=seed,
+            eos_token_id=eos_token_id, stats=stats,
+        )
+
     def generate_beam(
         self,
         input_ids: np.ndarray,  # [B, T] text-only

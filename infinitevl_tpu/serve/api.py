@@ -160,6 +160,18 @@ class ChatBackend:
                     ids, max_new_tokens=max_tokens, draft_k=self.draft_k,
                     stats=spec_stats,
                 )
+            elif self.draft_k > 0:
+                # sampled requests go through lossless rejection-sampled
+                # speculation (speculative.generate_speculative_sampled):
+                # same token distribution as plain sampling, several
+                # drafts verified per weight read
+                from ..speculative import SpecStats
+
+                spec_stats = SpecStats()
+                out = self.generator.generate_speculative_sampled(
+                    ids, max_new_tokens=max_tokens, draft_k=self.draft_k,
+                    temperature=temperature, top_p=top_p, stats=spec_stats,
+                )
             else:
                 out = self.generator.generate(
                     ids,

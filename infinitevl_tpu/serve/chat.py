@@ -122,7 +122,6 @@ class ChatModel:
             return self.tokenizer.decode(tokens[0], skip_special_tokens=True)
         spec_ok = (
             self.draft_k > 0
-            and temperature == 0.0
             and repetition_penalty == 1.0
             and out.pixel_values is None
             and out.pixel_values_videos is None
@@ -133,12 +132,27 @@ class ChatModel:
 
             stats = SpecStats()
             with self._lock:
-                tokens = self.generator.generate_speculative(
-                    out.input_ids,
-                    max_new_tokens=max_new_tokens,
-                    draft_k=self.draft_k,
-                    stats=stats,
-                )
+                if temperature == 0.0:
+                    tokens = self.generator.generate_speculative(
+                        out.input_ids,
+                        max_new_tokens=max_new_tokens,
+                        draft_k=self.draft_k,
+                        stats=stats,
+                    )
+                else:
+                    # sampled requests: lossless rejection-sampled
+                    # speculation — same token distribution as plain
+                    # sampling (speculative.generate_speculative_sampled)
+                    tokens = self.generator.generate_speculative_sampled(
+                        out.input_ids,
+                        max_new_tokens=max_new_tokens,
+                        draft_k=self.draft_k,
+                        temperature=temperature,
+                        top_k=top_k,
+                        top_p=top_p,
+                        seed=seed,
+                        stats=stats,
+                    )
                 self.last_spec_stats = stats
             return self.tokenizer.decode(tokens[0], skip_special_tokens=True)
         with self._lock:

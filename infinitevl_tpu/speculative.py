@@ -206,3 +206,157 @@ def generate_speculative(
     # usage.speculation reports realized output, not pre-trim commits.
     stats.emitted = emitted0 + max(0, len(final) - 1)
     return np.asarray(final, dtype=np.int64)[None]
+
+
+def processed_probs(
+    logits: np.ndarray,  # [V] fp32
+    temperature: float,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> np.ndarray:
+    """The SAMPLING distribution: generation.sample_token's temperature /
+    top-k / top-p processing mirrored in numpy, returned as probabilities.
+    Rejection-sampled speculation must verify against exactly this
+    distribution or it stops being lossless."""
+    x = logits.astype(np.float64) / float(temperature)
+    if top_k > 0:
+        kth = np.sort(x)[-top_k]
+        x = np.where(x < kth, -np.inf, x)
+    if top_p < 1.0:
+        sorted_x = np.sort(x)[::-1]
+        e = np.exp(sorted_x - sorted_x[0])
+        probs = e / e.sum()
+        cum = np.cumsum(probs)
+        cutoff_idx = int(np.sum(cum < top_p))
+        cutoff = sorted_x[cutoff_idx]
+        x = np.where(x < cutoff, -np.inf, x)
+    x = x - x.max()
+    p = np.exp(x)
+    return (p / p.sum()).astype(np.float64)
+
+
+def generate_speculative_sampled(
+    gen,  # generation.Generator
+    input_ids: np.ndarray,  # [1, T] text-only prompt
+    max_new_tokens: int = 128,
+    draft_k: int = 8,
+    temperature: float = 0.7,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    ngram_max: int = 3,
+    seed: int = 0,
+    eos_token_id: Optional[int] = None,
+    stats: Optional[SpecStats] = None,
+) -> np.ndarray:
+    """LOSSLESS sampled speculation: rejection sampling over prompt-lookup
+    drafts, so draft_k composes with temperature/top-k/top-p.
+
+    The draft distribution is a point mass q = one-hot(draft), so the
+    speculative-sampling rule (Leviathan et al. / Chen et al.) reduces to:
+    accept draft d_j with prob min(1, p_j(d_j)); on reject, resample from
+    norm(max(p_j - q_j, 0)) = p_j with d_j zeroed, renormalized. The
+    emitted token stream is distributed EXACTLY as sampling p_j directly —
+    tested statistically in tests/test_speculative.py.
+
+    p_j is the post-processing distribution (temperature/top-k/top-p,
+    `processed_probs`), matching what Generator.generate samples. Batch-1
+    text-only like the greedy path (per-row acceptance lengths diverge)."""
+    import jax.numpy as _jnp
+
+    from .generation import prefill
+    from .models.infinitevl import get_rope_index
+    from .models.state import init_decoder_state
+
+    cfg = gen.cfg
+    ids = np.asarray(input_ids)
+    if ids.ndim != 2 or ids.shape[0] != 1:
+        raise ValueError(
+            "speculative decoding is batch-1 only (per-row acceptance "
+            f"lengths diverge); got shape {ids.shape}"
+        )
+    if draft_k < 2:
+        raise ValueError("draft_k must be >= 2 (one input slot + drafts)")
+    if temperature <= 0.0:
+        raise ValueError(
+            "temperature must be > 0 for sampled speculation; use "
+            "generate_speculative for greedy"
+        )
+    eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
+    rng = np.random.RandomState(seed)
+
+    def draw(logits_row: np.ndarray) -> int:
+        p = processed_probs(logits_row, temperature, top_k, top_p)
+        return int(rng.choice(len(p), p=p))
+
+    pos, deltas = get_rope_index(cfg, ids)
+    state = init_decoder_state(cfg.text, 1, dtype=gen.dtype)
+    logits, state = prefill(
+        gen.params, cfg, _jnp.asarray(ids), _jnp.asarray(pos), state
+    )
+    rope_delta = _jnp.asarray(deltas, dtype=_jnp.int32)
+
+    last = draw(np.asarray(logits, np.float32)[0])
+    out: List[int] = [last]
+    ctx = np.concatenate([ids[0], [last]])
+
+    if stats is None:
+        stats = SpecStats()
+    emitted0 = stats.emitted
+    while len(out) < max_new_tokens and last != eos:
+        drafts = prompt_lookup_draft(ctx, draft_k - 1, ngram_max=ngram_max)
+        if len(drafts) == 0:
+            logits, state = decode_step(
+                gen.params, cfg, _jnp.asarray([[last]], _jnp.int32),
+                rope_delta, state,
+            )
+            last = draw(np.asarray(logits, np.float32)[0])
+            out.append(last)
+            ctx = np.append(ctx, last)
+            stats.fallback_steps += 1
+            stats.emitted += 1
+            continue
+        window = np.concatenate([[last], drafts]).astype(np.int64)[None]
+        vlogits, vstate = spec_verify(
+            gen.params, cfg, _jnp.asarray(window), rope_delta, state
+        )
+        vl = np.asarray(vlogits, np.float32)[0]  # [K, V]
+        j = 0
+        resampled = None
+        while j < len(drafts):
+            p = processed_probs(vl[j], temperature, top_k, top_p)
+            d = int(drafts[j])
+            if rng.uniform() <= p[d]:
+                j += 1
+                continue
+            # reject: residual distribution = p with the draft zeroed
+            # (q is a point mass, so max(p - q, 0) keeps everything else)
+            p = p.copy()
+            p[d] = 0.0
+            p = p / p.sum()
+            resampled = int(rng.choice(len(p), p=p))
+            break
+        if resampled is None:
+            # every draft accepted: bonus token from the window's last slot
+            resampled = draw(vl[len(drafts)])
+            state = vstate  # all inputs accepted -> verify state is exact
+        else:
+            _, state = spec_commit(
+                gen.params, cfg, _jnp.asarray(window[:, : j + 1]),
+                rope_delta, state,
+            )
+            stats.commit_steps += 1
+        committed = [int(t) for t in drafts[:j]] + [resampled]
+        stats.windows += 1
+        stats.drafted += len(drafts)
+        stats.accepted += j
+        stats.emitted += len(committed)
+        out.extend(committed)
+        ctx = np.concatenate([ctx, np.asarray(committed, dtype=ctx.dtype)])
+        last = committed[-1]
+        if eos in committed:
+            out = out[: out.index(eos) + 1]
+            break
+
+    final = out[:max_new_tokens]
+    stats.emitted = emitted0 + max(0, len(final) - 1)
+    return np.asarray(final, dtype=np.int64)[None]

@@ -220,3 +220,126 @@ def test_api_backend_spec_routing_lossless(tiny_gen):
         msgs, max_tokens=12, temperature=0.0
     )
     assert spec["text"] == plain["text"]
+
+
+def test_processed_probs_matches_sample_token_masking():
+    """processed_probs must mirror generation.sample_token's temperature /
+    top-k / top-p masking exactly: same support, same argmax, and the same
+    renormalized values (the losslessness of rejection sampling hinges on
+    verifying against THE sampling distribution)."""
+    from infinitevl_tpu.generation import sample_token
+    from infinitevl_tpu.speculative import processed_probs
+
+    r = np.random.RandomState(3)
+    logits = r.randn(64).astype(np.float32) * 2.0
+    for temp, tk, tp in ((0.7, 0, 1.0), (1.3, 5, 1.0), (0.9, 0, 0.8),
+                         (1.0, 7, 0.9)):
+        p = processed_probs(logits, temp, tk, tp)
+        # reconstruct the masked logits via sample_token's own code path:
+        # greedy over (logits + log-one-hot noise-free) isn't exposed, so
+        # check support + values against a direct mirror of its masking
+        x = jnp.asarray(logits)[None] / temp
+        if tk > 0:
+            kth = jnp.sort(x, axis=-1)[:, -tk][:, None]
+            x = jnp.where(x < kth, -jnp.inf, x)
+        if tp < 1.0:
+            sx = jnp.sort(x, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sx, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            ci = jnp.sum(cum < tp, axis=-1, keepdims=True)
+            cut = jnp.take_along_axis(sx, ci, axis=-1)
+            x = jnp.where(x < cut, -jnp.inf, x)
+        want = np.asarray(jax.nn.softmax(x, axis=-1))[0]
+        assert (p > 0).tolist() == (want > 0).tolist(), (temp, tk, tp)
+        np.testing.assert_allclose(p, want, atol=1e-5)
+        # greedy agreement with the real sampler
+        g = sample_token(jnp.asarray(logits)[None], temperature=0.0)
+        assert int(np.argmax(processed_probs(logits, 1.0, 0, 1.0))) == int(g[0])
+
+
+def test_sampled_spec_distribution_equality(tiny_gen):
+    """Losslessness of rejection-sampled speculation: over many seeds the
+    emitted-token distribution at each position matches plain sampling
+    (total-variation distance, fixed seeds — deterministic)."""
+    from infinitevl_tpu.speculative import generate_speculative_sampled
+
+    gen, cfg = tiny_gen
+    period = [11, 12, 13, 14]
+    prompt = np.asarray([period * 5], dtype=np.int64)
+    # top_k=3 pins each step's support to 3 tokens, so N samples actually
+    # estimate the distribution (a raw tiny-model distribution is near-
+    # uniform over the 512-token vocab and no sample count converges)
+    N, L = 300, 3
+    temp, tk = 1.0, 3
+
+    spec_rows = np.stack([
+        np.pad(
+            generate_speculative_sampled(
+                gen, prompt, max_new_tokens=L, draft_k=4,
+                temperature=temp, top_k=tk, seed=1000 + s, eos_token_id=-1,
+            )[0],
+            (0, L),
+        )[:L]
+        for s in range(N)
+    ])
+    plain_rows = np.stack([
+        np.pad(
+            np.asarray(
+                gen.generate(
+                    prompt, max_new_tokens=L, temperature=temp, top_k=tk,
+                    seed=2000 + s, eos_token_id=-1,
+                )
+            )[0],
+            (0, L),
+        )[:L]
+        for s in range(N)
+    ])
+    V = cfg.text.vocab_size
+    for pos in range(L):
+        h_spec = np.bincount(spec_rows[:, pos], minlength=V) / N
+        h_plain = np.bincount(plain_rows[:, pos], minlength=V) / N
+        tv = 0.5 * np.abs(h_spec - h_plain).sum()
+        # two-sample noise floor at N=300 over <=3^(pos+1) support is
+        # ~0.1-0.15; a support/renormalization bug reads ~0.5+
+        assert tv < 0.25, f"position {pos}: tv={tv:.3f}"
+        # support check: spec must never emit outside plain sampling's
+        # reachable support (top-k masking respected)
+        assert h_spec[h_plain == 0].sum() < 0.06, f"position {pos}"
+    # speculation actually fired (not all fallback): periodic prompt
+    stats_probe = __import__(
+        "infinitevl_tpu.speculative", fromlist=["SpecStats"]
+    ).SpecStats()
+    generate_speculative_sampled(
+        gen, prompt, max_new_tokens=8, draft_k=4, temperature=temp,
+        top_k=tk, seed=7, eos_token_id=-1, stats=stats_probe,
+    )
+    assert stats_probe.windows > 0
+
+
+def test_sampled_spec_rejects_greedy_and_batch(tiny_gen):
+    from infinitevl_tpu.speculative import generate_speculative_sampled
+
+    gen, cfg = tiny_gen
+    with pytest.raises(ValueError, match="temperature"):
+        generate_speculative_sampled(
+            gen, np.ones((1, 4), np.int64), temperature=0.0
+        )
+    with pytest.raises(ValueError, match="batch-1"):
+        generate_speculative_sampled(
+            gen, np.ones((2, 4), np.int64), temperature=0.7
+        )
+
+
+def test_chat_routes_sampled_requests_through_spec(tiny_gen):
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.serve.chat import ChatModel
+
+    gen, cfg = tiny_gen
+    tok = SimpleTokenizer()
+    cm = ChatModel(gen, tok, template="qwen2_vl", draft_k=4)
+    cm.chat(
+        [{"role": "user", "content": "repeat repeat repeat repeat"}],
+        max_new_tokens=8, temperature=0.8,
+    )
+    assert cm.last_spec_stats is not None
+    assert cm.last_spec_stats.forwards > 0
