@@ -201,3 +201,21 @@ def test_load_video_mp4_container_and_encode(tmp_path):
     )
     assert enc and enc[0]["pixel_values_videos"] is not None
     assert enc[0]["video_grid_thw"][0][0] >= 1
+
+
+def test_mm_encode_rejects_foreign_template(cfg):
+    """Vision data + a non-Qwen2VL-family template must fail loudly: the
+    other families' mm_plugins (reference mm_plugin.py:1378 registry) are
+    scope-noted out, and silently emitting Qwen pad ids into a gemma3/
+    paligemma recipe would be a data bug, not a feature."""
+    import pytest as _pytest
+
+    from infinitevl_tpu.data.loader import load_dataset_info, load_examples
+
+    registry = load_dataset_info(f"{DATA_DIR}/dataset_info.json")
+    raw = load_examples(registry["mllm_demo"], DATA_DIR)
+    with _pytest.raises(ValueError, match="out of scope"):
+        encode_supervised_mm(
+            raw, SimpleTokenizer(config=cfg), cfg, template="gemma3",
+            cutoff_len=128, dataset_dir=DATA_DIR,
+        )
