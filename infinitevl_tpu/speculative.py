@@ -360,3 +360,133 @@ def generate_speculative_sampled(
     final = out[:max_new_tokens]
     stats.emitted = emitted0 + max(0, len(final) - 1)
     return np.asarray(final, dtype=np.int64)[None]
+
+
+def generate_speculative_batched(
+    gen,  # generation.Generator
+    input_ids: np.ndarray,  # [B, T] text-only prompts (same padded length)
+    max_new_tokens: int = 128,
+    draft_k: int = 8,
+    ngram_max: int = 3,
+    eos_token_id: Optional[int] = None,
+    stats: Optional[SpecStats] = None,
+) -> np.ndarray:
+    """Batched greedy speculation with SYNCHRONIZED commits.
+
+    The decoder state carries ONE shared cum_len scalar (models/state.py),
+    so all rows must advance together. Each round verifies a K-token
+    window for every row and commits c = min_b(accepted_b) + 1 tokens:
+    every committed token was verified against its own row's argmax, so
+    each row's output is token-for-token identical to row-wise greedy
+    decoding (tested). Rows that accepted more than c drafts simply
+    re-verify the surplus next round — correctness is untouched; only the
+    speedup degrades toward the slowest row (E[min acceptance] falls with
+    B, which is why batch-1 remains the default serving route and this
+    exists for small same-workload batches, e.g. n>1 completions of one
+    prompt).
+
+    Rows that hit EOS freeze: their window slots turn into EOS padding
+    (HF pad semantics) and their acceptance no longer drags the min.
+    """
+    import jax.numpy as _jnp
+
+    from .generation import prefill
+    from .models.infinitevl import get_rope_index
+    from .models.state import init_decoder_state
+
+    cfg = gen.cfg
+    ids = np.asarray(input_ids)
+    B = ids.shape[0]
+    if draft_k < 2:
+        raise ValueError("draft_k must be >= 2 (one input slot + drafts)")
+    eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
+    K = draft_k  # window length: 1 input slot + K-1 drafts
+
+    pos, deltas = get_rope_index(cfg, ids)
+    state = init_decoder_state(cfg.text, B, dtype=gen.dtype)
+    logits, state = prefill(
+        gen.params, cfg, _jnp.asarray(ids), _jnp.asarray(pos), state
+    )
+    rope_delta = _jnp.asarray(deltas, dtype=_jnp.int32)
+
+    last = np.asarray(jnp.argmax(logits, axis=-1), np.int64)  # [B]
+    out = [[int(t)] for t in last]
+    ctx = [np.concatenate([ids[b], [last[b]]]) for b in range(B)]
+    finished = np.asarray(
+        [int(t) == eos or max_new_tokens <= 1 for t in last]
+    )
+
+    if stats is None:
+        stats = SpecStats()
+    emitted0 = stats.emitted
+    while not finished.all():
+        # per-row drafts, padded to a common K-1 with eos (finished rows)
+        # or the row's last token (live rows without a lookup hit — their
+        # acceptance is whatever the model's argmax happens to repeat)
+        window = np.empty((B, K), np.int64)
+        n_drafted = 0
+        for b in range(B):
+            window[b, 0] = last[b]
+            if finished[b]:
+                window[b, 1:] = eos
+                continue
+            d = prompt_lookup_draft(ctx[b], K - 1, ngram_max=ngram_max)
+            # filler slots count as drafts too (they are verified like any)
+            n_drafted += K - 1
+            fill = np.full(K - 1, last[b], np.int64)
+            fill[: len(d)] = d
+            window[b, 1:] = fill
+        vlogits, vstate = spec_verify(
+            gen.params, cfg, _jnp.asarray(window), rope_delta, state
+        )
+        m = np.asarray(jnp.argmax(vlogits, axis=-1))  # [B, K]
+        acc = np.zeros(B, np.int64)
+        for b in range(B):
+            if finished[b]:
+                acc[b] = K - 1  # frozen rows never drag the min
+                continue
+            j = 0
+            while j < K - 1 and window[b, j + 1] == m[b, j]:
+                j += 1
+            acc[b] = j
+        live = ~finished
+        c = int(min(acc[live]) + 1) if live.any() else K
+        c = min(c, K)
+        if c == K:
+            state = vstate  # every row accepted its full window
+        else:
+            _, state = spec_commit(
+                gen.params, cfg, _jnp.asarray(window[:, :c]),
+                rope_delta, state,
+            )
+            stats.commit_steps += 1
+        stats.windows += 1
+        stats.drafted += n_drafted
+        stats.accepted += int(np.minimum(acc[live], c - 1).sum()) if live.any() else 0
+        for b in range(B):
+            if finished[b]:
+                continue
+            # committed tokens for this row: verified drafts up to c-1,
+            # then the model's own argmax at slot c-1 (equal to the draft
+            # wherever the draft was accepted)
+            row = [int(t) for t in window[b, 1:c]] + [int(m[b, c - 1])]
+            for t in row:
+                out[b].append(t)
+                ctx[b] = np.append(ctx[b], t)
+                stats.emitted += 1
+                if t == eos or len(out[b]) >= max_new_tokens:
+                    finished[b] = True
+                    break
+            last[b] = out[b][-1]
+
+    L = min(max_new_tokens, max(len(o) for o in out))
+    res = np.full((B, L), eos, np.int64)
+    for b in range(B):
+        row = out[b][:L]
+        if eos in row:
+            row = row[: row.index(eos) + 1]
+        res[b, : len(row)] = row
+    stats.emitted = emitted0 + sum(
+        max(0, min(len(o), L) - 1) for o in out
+    )
+    return res

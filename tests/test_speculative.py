@@ -343,3 +343,81 @@ def test_chat_routes_sampled_requests_through_spec(tiny_gen):
     )
     assert cm.last_spec_stats is not None
     assert cm.last_spec_stats.forwards > 0
+
+
+def test_batched_spec_matches_rowwise_greedy(tiny_gen):
+    """Synchronized-commit batched speculation is lossless PER ROW: every
+    row equals its own greedy decode (min-commit only slows rows down,
+    never changes tokens)."""
+    from infinitevl_tpu.speculative import generate_speculative_batched
+
+    gen, cfg = tiny_gen
+    r = np.random.RandomState(17)
+    # one periodic row (high acceptance) + one arbitrary row (low): the min
+    # commit must not leak tokens across rows
+    rows = [
+        ([11, 12, 13, 14] * 3)[:12],
+        r.randint(3, cfg.text.vocab_size - 8, 12).tolist(),
+    ]
+    prompt = np.asarray(rows, dtype=np.int64)
+    batched = generate_speculative_batched(
+        gen, prompt, max_new_tokens=16, draft_k=5, eos_token_id=-1
+    )
+    for b in range(2):
+        solo = _greedy_reference(gen, prompt[b:b + 1], 16)
+        n = min(batched.shape[1], solo.shape[1], 16)
+        assert batched[b, :n].tolist() == solo[0, :n].tolist(), b
+
+
+def test_batched_spec_eos_freezes_row(tiny_gen):
+    """A row hitting EOS freezes (pads) while the other row keeps going,
+    and neither drags the other's tokens."""
+    from infinitevl_tpu.speculative import generate_speculative_batched
+
+    gen, cfg = tiny_gen
+    prompt = np.asarray(
+        [[7, 8, 9, 7, 8, 9], [11, 12, 13, 11, 12, 13]], dtype=np.int64
+    )
+    ref0 = _greedy_reference(gen, prompt[:1], 24)
+    eos = int(ref0[0][2])  # row 0's 3rd greedy token as fake eos
+    batched = generate_speculative_batched(
+        gen, prompt, max_new_tokens=24, draft_k=4, eos_token_id=eos
+    )
+    row0 = batched[0].tolist()
+    assert eos in row0
+    stop = row0.index(eos)
+    assert row0[: stop + 1] == ref0[0][: stop + 1].tolist()
+    # tokens after the row's eos are eos padding
+    assert all(t == eos for t in row0[stop:])
+    ref1 = _greedy_reference(gen, prompt[1:], 24)
+    n = min(batched.shape[1], ref1.shape[1], 24)
+    # row 1 may legitimately emit the fake-eos token; compare up to its stop
+    row1 = batched[1, :n].tolist()
+    want1 = ref1[0][:n].tolist()
+    if eos in want1:
+        k = want1.index(eos)
+        assert row1[: k + 1] == want1[: k + 1]
+    else:
+        assert row1 == want1
+
+
+def test_batched_spec_stats_accounting(tiny_gen):
+    from infinitevl_tpu.speculative import (
+        SpecStats,
+        generate_speculative_batched,
+    )
+
+    gen, cfg = tiny_gen
+    prompt = np.asarray([[11, 12, 13, 14] * 4] * 2, dtype=np.int64)
+    stats = SpecStats()
+    outb = generate_speculative_batched(
+        gen, prompt, max_new_tokens=12, draft_k=4, eos_token_id=-1,
+        stats=stats,
+    )
+    assert stats.accepted <= stats.drafted
+    assert stats.windows > 0
+    # emitted reconciles with what the rows actually contain
+    per_row = [
+        len(row.tolist()) - 1 for row in outb
+    ]
+    assert stats.emitted == sum(per_row)
