@@ -62,6 +62,28 @@ def _parse_content_parts(messages):
     return out, images
 
 
+def _normalize_stop(stop) -> List[str]:
+    """OpenAI `stop`: a string or up to 4 strings (protocol.py:104)."""
+    if stop is None:
+        return []
+    if isinstance(stop, str):
+        return [stop] if stop else []
+    if not isinstance(stop, list) or not all(isinstance(s, str) for s in stop):
+        raise ValueError("stop must be a string or a list of strings")
+    return [s for s in stop if s]
+
+
+def _truncate_at_stop(text: str, stops: List[str]):
+    """Cut at the EARLIEST stop-sequence occurrence; the stop text itself is
+    excluded from the output (OpenAI semantics). Returns (text, hit)."""
+    cut = -1
+    for s in stops:
+        i = text.find(s)
+        if i != -1 and (cut == -1 or i < cut):
+            cut = i
+    return (text[:cut], True) if cut != -1 else (text, False)
+
+
 class ChatBackend:
     """Adapter between the HTTP layer and a Generator + tokenizer."""
 
@@ -101,6 +123,20 @@ class ChatBackend:
             self._chat_model = cm
         return self._chat_model
 
+    def _stop_and_finish(self, texts, rows, stops):
+        """Apply stop-sequence truncation in place; per-text finish_reason:
+        "stop" when the row hit EOS or a stop string, else "length"
+        (max_tokens exhausted) — the OpenAI Finish mapping the reference
+        does at api/chat.py:186."""
+        eos = self.generator.cfg.eos_token_id
+        finishes = []
+        for i, t in enumerate(texts):
+            t2, hit = _truncate_at_stop(t, stops)
+            texts[i] = t2
+            eos_hit = bool((np.asarray(rows[i]) == eos).any())
+            finishes.append("stop" if (hit or eos_hit) else "length")
+        return finishes
+
     def complete(
         self,
         messages: List[Dict[str, str]],
@@ -108,12 +144,39 @@ class ChatBackend:
         temperature: float = 0.0,
         top_p: float = 1.0,
         tools: Optional[List[Dict[str, Any]]] = None,
+        n: int = 1,
+        stop=None,
+        do_sample: Optional[bool] = None,
     ) -> Dict[str, Any]:
         """OpenAI-style completion; with `tools`, signatures render into the
         system turn and <tool_call> blocks in the output parse back into
-        tool_calls (reference api smoke: scripts/api_example/test_toolcall.py)."""
+        tool_calls (reference api smoke: scripts/api_example/test_toolcall.py).
+
+        `n` > 1 returns that many sampled completions (protocol.py:102 /
+        num_return_sequences). Mirroring the reference engine
+        (hf_engine.py:158-161), n > 1 FORCES sampling: a zero temperature
+        becomes 1.0. Text-only requests run all n rows as ONE batched
+        decode (the prompt is tiled along the batch axis; decode is
+        weight-read-bound so extra rows are nearly free); multimodal
+        requests loop with distinct seeds (tiling would need per-row
+        image re-expansion).
+
+        `stop` (string or list) truncates each completion at the earliest
+        stop-sequence occurrence — the reference's hf engine only WARNS
+        that stop is unsupported (hf_engine.py:135-136); here it works.
+        `do_sample=False` forces greedy regardless of temperature
+        (hf_engine.py:163-166 semantics; n > 1 overrides it back to
+        sampled, matching the reference's precedence)."""
         from ..data.template import extract_tool_calls
 
+        n = int(n)
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        stops = _normalize_stop(stop)
+        if do_sample is False:
+            temperature = 0.0  # greedy wins over the temperature knob
+        if n > 1 and temperature == 0.0:
+            temperature = 1.0  # n>1 needs sampling (reference semantics)
         # OpenAI wraps as {"type": "function", "function": {...}}
         fns = [t.get("function", t) for t in tools] if tools else None
         messages, images = _parse_content_parts(messages)
@@ -123,26 +186,40 @@ class ChatBackend:
             # scripts/api_example/test_image.py)
             prep = self._mm_model()._prepare(messages, images=images, tools=fns)
             ids = prep.input_ids
+            texts = []
+            rows = []
+            completion_tokens = 0
             with self.lock:
-                out = self.generator.generate(
-                    ids,
-                    pixel_values=prep.pixel_values,
-                    image_grid_thw=prep.image_grid_thw,
-                    max_new_tokens=max_tokens,
-                    temperature=temperature,
-                    top_p=top_p,
-                )
-            text = self.tokenizer.decode(out[0], skip_special_tokens=True)
+                for i in range(n):
+                    out = self.generator.generate(
+                        ids,
+                        pixel_values=prep.pixel_values,
+                        image_grid_thw=prep.image_grid_thw,
+                        max_new_tokens=max_tokens,
+                        temperature=temperature,
+                        top_p=top_p,
+                        seed=i,
+                    )
+                    texts.append(
+                        self.tokenizer.decode(out[0], skip_special_tokens=True)
+                    )
+                    rows.append(np.asarray(out[0]))
+                    completion_tokens += int(out.shape[1])
+            finishes = self._stop_and_finish(texts, rows, stops)
             res = {
-                "text": text,
+                "text": texts[0],
+                "texts": texts,
+                "finish_reasons": finishes,
                 "prompt_tokens": int(np.asarray(ids).shape[1]),
-                "completion_tokens": int(out.shape[1]),
+                "completion_tokens": completion_tokens,
                 "tool_calls": None,
             }
             if tools:
-                parsed = extract_tool_calls(text)
-                if isinstance(parsed, list):
-                    res["tool_calls"] = parsed
+                parsed = [extract_tool_calls(t) for t in texts]
+                res["tool_calls_list"] = [
+                    p if isinstance(p, list) else None for p in parsed
+                ]
+                res["tool_calls"] = res["tool_calls_list"][0]
             return res
         prompt = self.template.render_prompt(
             messages, add_generation_prompt=True, tools=fns
@@ -150,6 +227,47 @@ class ChatBackend:
         ids = np.asarray(
             [self.tokenizer.encode(prompt, add_special_tokens=False)], np.int64
         )
+        if n > 1:
+            # all n completions as ONE batched decode: the tiled rows share
+            # the weight read, and jax.random.categorical draws each row
+            # independently, so the n samples are i.i.d. under one seed
+            with self.lock:
+                out = self.generator.generate(
+                    np.repeat(ids, n, axis=0),
+                    max_new_tokens=max_tokens,
+                    temperature=temperature,
+                    top_p=top_p,
+                )
+            eos = self.generator.cfg.eos_token_id
+            texts = []
+            rows = []
+            completion_tokens = 0
+            for b in range(n):
+                row = np.asarray(out[b])
+                cut = np.where(row == eos)[0]
+                if cut.size:  # per-row EOS; later columns are padding
+                    row = row[: cut[0] + 1]
+                rows.append(row)
+                completion_tokens += int(row.shape[0])
+                texts.append(
+                    self.tokenizer.decode(row, skip_special_tokens=True)
+                )
+            finishes = self._stop_and_finish(texts, rows, stops)
+            res = {
+                "text": texts[0],
+                "texts": texts,
+                "finish_reasons": finishes,
+                "prompt_tokens": int(ids.shape[1]),
+                "completion_tokens": completion_tokens,
+                "tool_calls": None,
+            }
+            if tools:
+                parsed = [extract_tool_calls(t) for t in texts]
+                res["tool_calls_list"] = [
+                    p if isinstance(p, list) else None for p in parsed
+                ]
+                res["tool_calls"] = res["tool_calls_list"][0]
+            return res
         spec_stats = None
         with self.lock:
             if self.draft_k > 0 and temperature == 0.0:
@@ -179,9 +297,12 @@ class ChatBackend:
                     temperature=temperature,
                     top_p=top_p,
                 )
-        text = self.tokenizer.decode(out[0], skip_special_tokens=True)
+        texts = [self.tokenizer.decode(out[0], skip_special_tokens=True)]
+        finishes = self._stop_and_finish(texts, [np.asarray(out[0])], stops)
+        text = texts[0]
         res = {
             "text": text,
+            "finish_reasons": finishes,
             "prompt_tokens": int(ids.shape[1]),
             "completion_tokens": int(out.shape[1]),
             "tool_calls": None,
@@ -208,15 +329,25 @@ class ChatBackend:
         temperature: float = 0.0,
         top_p: float = 1.0,
         parsed=None,
+        stop=None,
+        do_sample: Optional[bool] = None,
     ):
         """TRUE streaming: yields text deltas as decode chunks land (one per
         jitted chunk) — the reference streams via TextIteratorStreamer
         (chat/hf_engine.py:45-415). Incremental decode is cumulative-text
         diffing so tokenizers that merge tokens stay correct.
 
+        `stop` sequences end the stream early; deltas hold back the last
+        max(len(stop))-1 characters so a stop string split across two
+        decode chunks is never partially emitted.
+
         `parsed` is an optional pre-computed _parse_content_parts result —
         the SSE handler validates content parts before sending headers and
         passes its result through so images are not decoded twice."""
+        stops = _normalize_stop(stop)
+        holdback = max((len(s) for s in stops), default=1) - 1
+        if do_sample is False:
+            temperature = 0.0
         messages, images = parsed or _parse_content_parts(messages)
         mm_kwargs: Dict[str, Any] = {}
         if images:
@@ -237,7 +368,7 @@ class ChatBackend:
         eos = self.generator.cfg.eos_token_id
         with self.lock:
             toks: List[int] = []
-            prev = ""
+            emitted = 0  # chars of cumulative text already yielded
             done = False
             for chunk in self.generator.generate_stream(
                 ids,
@@ -252,11 +383,22 @@ class ChatBackend:
                         break
                     toks.append(int(t))
                 text = self.tokenizer.decode(toks, skip_special_tokens=True)
-                delta, prev = text[len(prev):], text
-                if delta:
-                    yield delta
+                if stops:
+                    text, hit = _truncate_at_stop(text, stops)
+                    done = done or hit
+                # hold back a stop-prefix-sized tail until the stream ends
+                safe = len(text) if done else max(emitted, len(text) - holdback)
+                if safe > emitted:
+                    yield text[emitted:safe]
+                    emitted = safe
                 if done:
                     return
+            # stream exhausted (max_tokens): flush the held-back tail
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            if stops:
+                text, _ = _truncate_at_stop(text, stops)
+            if len(text) > emitted:
+                yield text[emitted:]
 
     def get_scores(
         self, texts: List[str], max_length: Optional[int] = None
@@ -314,17 +456,9 @@ def _score_forward(text_params, cfg, ids, pos, seg):
     )
 
 
-def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:
-    res = backend.complete(
-        req.get("messages", []),
-        max_tokens=req.get("max_tokens", 512),
-        temperature=req.get("temperature", 0.0),
-        top_p=req.get("top_p", 1.0),
-        tools=req.get("tools"),
-    )
-    message: Dict[str, Any] = {"role": "assistant", "content": res["text"]}
-    finish = "stop"
-    if res.get("tool_calls"):
+def _choice(index: int, text: str, tool_calls, finish: str = "stop") -> Dict[str, Any]:
+    message: Dict[str, Any] = {"role": "assistant", "content": text}
+    if tool_calls:
         message["content"] = ""
         message["tool_calls"] = [
             {
@@ -335,20 +469,36 @@ def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:
                     "arguments": json.dumps(c["arguments"], ensure_ascii=False),
                 },
             }
-            for c in res["tool_calls"]
+            for c in tool_calls
         ]
         finish = "tool_calls"
+    return {"index": index, "message": message, "finish_reason": finish}
+
+
+def _chat_response(backend: ChatBackend, req: Dict[str, Any]) -> Dict[str, Any]:
+    res = backend.complete(
+        req.get("messages", []),
+        max_tokens=req.get("max_tokens", 512),
+        temperature=req.get("temperature", 0.0),
+        top_p=req.get("top_p", 1.0),
+        tools=req.get("tools"),
+        n=req.get("n", 1),
+        stop=req.get("stop"),
+        do_sample=req.get("do_sample"),
+    )
+    texts = res.get("texts") or [res["text"]]
+    calls = list(res.get("tool_calls_list") or [res.get("tool_calls")])
+    calls += [None] * (len(texts) - len(calls))
+    finishes = list(res.get("finish_reasons") or [])
+    finishes += ["stop"] * (len(texts) - len(finishes))
     return {
         "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
         "object": "chat.completion",
         "created": int(time.time()),
         "model": req.get("model", backend.model_name),
         "choices": [
-            {
-                "index": 0,
-                "message": message,
-                "finish_reason": finish,
-            }
+            _choice(i, t, c, f)
+            for i, (t, c, f) in enumerate(zip(texts, calls, finishes))
         ],
         "usage": {
             "prompt_tokens": res["prompt_tokens"],
@@ -468,6 +618,7 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
             # connection mid-stream instead of returning a 400.
             try:
                 parsed = _parse_content_parts(req.get("messages", []))
+                _normalize_stop(req.get("stop"))  # bad stop -> 400 pre-SSE
             except ValueError as e:
                 return self._send(400, {"error": str(e)})
             self.send_response(200)
@@ -481,6 +632,8 @@ def make_handler(backend: ChatBackend, api_key: Optional[str] = None):
                 temperature=req.get("temperature", 0.0),
                 top_p=req.get("top_p", 1.0),
                 parsed=parsed,
+                stop=req.get("stop"),
+                do_sample=req.get("do_sample"),
             ):
                 chunk = {
                     "id": rid,

@@ -97,8 +97,68 @@ class ChatModel:
         seed: int = 0,
         num_beams: int = 1,
         length_penalty: float = 1.0,
-    ) -> str:
+        num_return_sequences: int = 1,
+    ):  # -> str, or List[str] when num_return_sequences > 1
         out = self._prepare(messages, images, videos)
+        if num_return_sequences > 1:
+            # n>1 completions (reference hf_engine.py:158-161: forces
+            # sampling, temperature defaults to 1.0). Returns List[str].
+            if num_beams > 1:
+                raise ValueError(
+                    "num_return_sequences > 1 is sampled; it does not "
+                    "compose with beam search here"
+                )
+            n = int(num_return_sequences)
+            if temperature == 0.0:
+                temperature = 1.0
+            if out.pixel_values is None and out.pixel_values_videos is None:
+                # text-only: one batched decode over the tiled prompt
+                # (rows sample independently; extra rows are nearly free
+                # in the weight-read-bound decode regime)
+                with self._lock:
+                    toks = self.generator.generate(
+                        np.repeat(out.input_ids, n, axis=0),
+                        max_new_tokens=max_new_tokens,
+                        temperature=temperature,
+                        top_k=top_k,
+                        top_p=top_p,
+                        repetition_penalty=repetition_penalty,
+                        seed=seed,
+                    )
+                eos = self.generator.cfg.eos_token_id
+                texts = []
+                for b in range(n):
+                    row = np.asarray(toks[b])
+                    stop = np.where(row == eos)[0]
+                    if stop.size:  # per-row EOS; later columns are padding
+                        row = row[: stop[0] + 1]
+                    texts.append(
+                        self.tokenizer.decode(row, skip_special_tokens=True)
+                    )
+                return texts
+            texts = []
+            with self._lock:
+                for i in range(n):  # multimodal: distinct seeds per sample
+                    toks = self.generator.generate(
+                        out.input_ids,
+                        pixel_values=out.pixel_values,
+                        image_grid_thw=out.image_grid_thw,
+                        pixel_values_videos=out.pixel_values_videos,
+                        video_grid_thw=out.video_grid_thw,
+                        second_per_grid_ts=out.second_per_grid_ts,
+                        max_new_tokens=max_new_tokens,
+                        temperature=temperature,
+                        top_k=top_k,
+                        top_p=top_p,
+                        repetition_penalty=repetition_penalty,
+                        seed=seed + i,
+                    )
+                    texts.append(
+                        self.tokenizer.decode(
+                            toks[0], skip_special_tokens=True
+                        )
+                    )
+            return texts
         if num_beams > 1:
             # beam search (reference generating_args.py:45): greedy scoring,
             # text-only (beam.py docstring explains the multimodal scoping)
