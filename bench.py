@@ -32,6 +32,186 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def log_live(label: str, top: int = 8):
+    """HBM audit: total live jax arrays grouped by shape (largest first).
+    Diagnoses which section leaked when a later one hits RESOURCE_EXHAUSTED
+    (observed: dense maxctx walk + 64K QLoRA both OOMed with ~4 GB of
+    unexplained residents)."""
+    try:
+        by_shape = {}
+        for a in jax.live_arrays():
+            key = (str(a.dtype), tuple(a.shape))
+            nb = a.size * a.dtype.itemsize
+            cnt, tot = by_shape.get(key, (0, 0))
+            by_shape[key] = (cnt + 1, tot + nb)
+        rows = sorted(by_shape.items(), key=lambda kv: -kv[1][1])
+        total = sum(t for _, t in by_shape.values())
+        head = "; ".join(
+            f"{c}x {d}{list(s)}={t/1e9:.2f}GB" for (d, s), (c, t) in rows[:top]
+        )
+        log(f"[live {label}] total {total/1e9:.2f} GB in "
+            f"{sum(c for c, _ in by_shape.values())} arrays: {head}")
+    except Exception as e:  # noqa: BLE001 - audit must never kill bench
+        log(f"[live {label}] audit failed: {type(e).__name__}: {e}")
+
+
+def measure_dense_baselines(cfg):
+    """FA2-dense-twin decode baselines (reference README.md:49 >3.6x
+    claim): same dims, every layer full attention over an L-entry KV ring.
+    MUST run FIRST in the process: the 240K twin needs two ~4.5 GB
+    contiguous ring buffers next to 7.5 GB of weights, which fits a fresh
+    arena (scripts/probe_dense_maxctx.py measured it) but not one
+    fragmented by 15 earlier bench sections (observed: the walk OOMed all
+    the way down to 160K mid-bench and then took the 64K QLoRA step with
+    it). Returns {ms_96k, kv_gb_96k, ms_32k, ms_max, L_max} (values None
+    where a measurement failed)."""
+    import dataclasses
+    import gc
+
+    from infinitevl_tpu.generation import decode_step
+    from infinitevl_tpu.models.params import init_params
+    from infinitevl_tpu.models.state import init_decoder_state, state_bytes
+    from infinitevl_tpu.utils.benchlib import device_time_ms_min
+
+    res = {"ms_96k": None, "kv_gb_96k": None, "ms_32k": None,
+           "ms_max": None, "L_max": None}
+    tok = jnp.zeros((1, 1), jnp.int32)
+    delta = jnp.zeros((1, 1), jnp.int32)
+
+    def dense_cfg_at(L):
+        dt = dataclasses.replace(
+            cfg.text,
+            layer_types=("sliding_attention",) * cfg.text.num_hidden_layers,
+            sliding_window=L,
+        )
+        return dataclasses.replace(cfg, text=dt)
+
+    dparams = None
+    try:
+        t0 = time.time()
+        dshapes = jax.eval_shape(
+            lambda k: init_params(k, dense_cfg_at(8192), jnp.bfloat16),
+            jax.random.PRNGKey(0),
+        )
+        dparams = jax.block_until_ready(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), dshapes)
+        )
+        # largest-feasible context first (the fresh-arena allocation),
+        # then the 96K / 32K points for the slope
+        ladder = [(245760, "max"), (212992, "max"), (163840, "max"),
+                  (98304, "96k"), (32768, "32k")]
+        for L, tag in ladder:
+            if tag == "max" and res["ms_max"] is not None:
+                continue
+            dcfg = dense_cfg_at(L)
+            dstate = None
+            try:
+                dstate = init_decoder_state(dcfg.text, 1, dtype=jnp.bfloat16)
+                dstate["cum_len"] = jnp.asarray(L + 7, jnp.int32)
+                kv_gb = state_bytes(dstate) / 1e9
+
+                def dense_step(carry, _c=dcfg):
+                    t, s = carry
+                    logits, s = decode_step(dparams, _c, t, delta, s)
+                    return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+                ms = device_time_ms_min(dense_step, (tok, dstate), n1=3, n2=13)
+                log(f"dense twin @{L//1024}K: {ms:.2f} ms/tok "
+                    f"(KV {kv_gb:.2f} GB)")
+                if tag == "max":
+                    res["ms_max"], res["L_max"] = ms, L
+                elif tag == "96k":
+                    res["ms_96k"], res["kv_gb_96k"] = ms, kv_gb
+                else:
+                    res["ms_32k"] = ms
+            except Exception as e:  # noqa: BLE001 - OOM walk-down
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                log(f"dense twin @{L//1024}K OOM; walking down")
+                log_live(f"dense-oom-{L//1024}k")
+            finally:
+                dstate = None
+                gc.collect()
+        log(f"dense baselines done ({time.time()-t0:.0f}s)")
+    except Exception as e:  # noqa: BLE001 - baseline is best-effort
+        log(f"dense baselines skipped: {type(e).__name__}: {str(e)[:200]}")
+    finally:
+        dparams = None
+        gc.collect()
+    return res
+
+
+def measure_qlora_64k(cfg):
+    """64K QLoRA train step (int8 frozen base + scan-over-layers +
+    seq-chunked layers): the reference's long-SFT stage tops out at 32K on
+    an 8-GPU node (README.md:137, train.sh); this recipe trains DOUBLE that
+    context on ONE v5e (13.3 GB by the compiler's HBM accounting). Runs
+    right after the dense baselines, while the arena is still young: its
+    peak needs the chip nearly to itself."""
+    import gc
+
+    import optax
+
+    from infinitevl_tpu.models.params import init_text_params
+    from infinitevl_tpu.models.quant import quantize_params
+    from infinitevl_tpu.models.stacked import detect_period, stack_layer_params
+    from infinitevl_tpu.train.lora import init_lora, make_lora_sft_step
+    from infinitevl_tpu.utils.benchlib import device_time_ms
+    from infinitevl_tpu.utils.profiling import decoder_flops_per_token
+
+    train_tok_s_64k = None
+    try:
+        t0 = time.time()
+        T64 = 65536
+        tx = optax.adamw(1e-4)
+        tshapes = jax.eval_shape(
+            lambda k: init_text_params(k, cfg.text, jnp.bfloat16),
+            jax.random.PRNGKey(0),
+        )
+        base64 = jax.block_until_ready(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tshapes)
+        )
+        lora64 = init_lora(base64, jax.random.PRNGKey(1))
+        base64 = jax.block_until_ready(quantize_params(base64))
+        period = detect_period(cfg.text.layer_types)
+        base64 = stack_layer_params(base64, period)
+        lora64 = stack_layer_params(lora64, period)
+        opt64 = tx.init(lora64)
+        step64 = jax.jit(
+            make_lora_sft_step(cfg.text, tx, remat=True, remat_group=1),
+            donate_argnums=(0, 1),
+        )
+        r64 = np.random.RandomState(0)
+        batch64 = {
+            "input_ids": jnp.asarray(r64.randint(3, 1000, (1, T64)), jnp.int32),
+            "labels": jnp.asarray(r64.randint(3, 1000, (1, T64)), jnp.int32),
+            "segment_ids": jnp.ones((1, T64), jnp.int32),
+            "position_ids": jnp.broadcast_to(
+                jnp.arange(T64)[None, None], (3, 1, T64)
+            ).astype(jnp.int32),
+        }
+
+        def tstep64(carry):
+            l, o = carry
+            l, o, _ = step64(l, o, base64, batch64)
+            return (l, o)
+
+        ms64 = device_time_ms(tstep64, (lora64, opt64), n1=1, n2=3)
+        train_tok_s_64k = T64 / ms64 * 1000
+        mfu64 = 3.0 * train_tok_s_64k * decoder_flops_per_token(cfg) / 197e12
+        log(
+            f"QLoRA 64K train step (int8 base, one chip): {ms64:.0f} ms = "
+            f"{train_tok_s_64k:.0f} tok/s, ~{100*mfu64:.0f}% MFU "
+            f"({time.time()-t0:.0f}s)"
+        )
+    except Exception as e:  # noqa: BLE001 - guarded, single-chip-sized
+        log(f"64K QLoRA train skipped: {type(e).__name__}: {str(e)[:200]}")
+        log_live("qlora-fail")
+    finally:
+        gc.collect()
+    return train_tok_s_64k
+
+
 def main():
     from infinitevl_tpu.parallel.sharding import maybe_init_distributed
 
@@ -41,11 +221,21 @@ def main():
     from infinitevl_tpu.models.params import init_params
     from infinitevl_tpu.models.state import init_decoder_state, state_bytes
     from infinitevl_tpu.streaming import StreamingEngine, stream_frame_step
-    from infinitevl_tpu.utils.benchlib import device_time_ms, sync_overhead_ms
+    from infinitevl_tpu.utils.benchlib import (
+        device_time_ms,
+        device_time_ms_min,
+        sync_overhead_ms,
+    )
 
     cfg = infinitevl_3b()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     log(f"sync overhead: {sync_overhead_ms():.1f} ms per D2H (relay artifact)")
+
+    # the two big-contiguous-allocation measurements run FIRST, on a fresh
+    # arena (see their docstrings for the mid-bench fragmentation failure
+    # they dodge); their ratios/fields are assembled at JSON-emit time
+    dense = measure_dense_baselines(cfg)
+    train_tok_s_64k = measure_qlora_64k(cfg)
 
     t0 = time.time()
     shapes = jax.eval_shape(
@@ -77,7 +267,7 @@ def main():
         )
 
     t0 = time.time()
-    ms_frame = device_time_ms(frame_step, eng.state, n1=5, n2=25)
+    ms_frame = device_time_ms_min(frame_step, eng.state, n1=5, n2=25)
     log(f"frame step: {ms_frame:.1f} ms (compile+measure {time.time()-t0:.0f}s)")
     fps = 1000.0 / ms_frame
     log(f"streaming: {fps:.1f} FPS device-side")
@@ -255,21 +445,22 @@ def main():
         return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
 
     t0 = time.time()
-    ms_dec = device_time_ms(dstep, (tok, state), n1=5, n2=45)
+    ms_dec = device_time_ms_min(dstep, (tok, state), n1=5, n2=25)
     log(f"decode @500K ctx: {ms_dec:.2f} ms/tok = {1000/ms_dec:.1f} tok/s "
         f"(measure {time.time()-t0:.0f}s); state {state_mb:.0f} MB flat")
     hbm_bound = n_params * 2 / 819e9 * 1e3
     log(f"  (weights-bound floor on v5e: {hbm_bound:.1f} ms/tok)")
 
     # --- same decode at MAXCTX, the largest context where the bf16 dense
-    # twin still fits this chip (probed 240K, scripts/probe_dense_maxctx.py)
-    # — the SAME-context hybrid side of the measured vs-dense ratio. The
-    # compiled program is identical (cum_len is a scalar operand), so this
-    # re-times it with the max-ctx value for an extrapolation-free claim.
-    MAXCTX = 245760
+    # twin fit this chip (discovered by measure_dense_baselines at process
+    # start; 240K on a fresh arena) — the SAME-context hybrid side of the
+    # measured vs-dense ratio. The compiled program is identical (cum_len
+    # is a scalar operand), so this re-times it with the max-ctx value for
+    # an extrapolation-free claim.
+    MAXCTX = dense["L_max"] or 245760
     state_mc = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
     state_mc["cum_len"] = jnp.asarray(MAXCTX + 7, jnp.int32)
-    ms_dec_mc = device_time_ms(dstep, (tok, state_mc), n1=5, n2=25)
+    ms_dec_mc = device_time_ms_min(dstep, (tok, state_mc), n1=5, n2=25)
     del state_mc
     log(f"decode @{MAXCTX//1024}K ctx: {ms_dec_mc:.2f} ms/tok (bf16)")
 
@@ -287,7 +478,7 @@ def main():
         return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
 
     t0 = time.time()
-    ms_dec8 = device_time_ms(dstep8, (tok8, state8), n1=5, n2=25)
+    ms_dec8 = device_time_ms_min(dstep8, (tok8, state8), n1=5, n2=25, reps=2)
     tok_s_b8 = B8 * 1000 / ms_dec8
     log(
         f"decode batch=8 @500K: {ms_dec8:.2f} ms/step = {tok_s_b8:.0f} tok/s "
@@ -307,7 +498,7 @@ def main():
         return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
 
     t0 = time.time()
-    ms_dec16 = device_time_ms(dstep16, (tok16, state16), n1=5, n2=25)
+    ms_dec16 = device_time_ms_min(dstep16, (tok16, state16), n1=5, n2=25, reps=2)
     tok_s_b16 = B16 * 1000 / ms_dec16
     log(
         f"decode batch=16 @500K: {ms_dec16:.2f} ms/step = {tok_s_b16:.0f} "
@@ -357,7 +548,7 @@ def main():
         logits, s = decode_step(qparams, cfg, t, delta, s)
         return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
 
-    ms_dec_q = device_time_ms(dstep_q, (tok, qstate), n1=5, n2=45)
+    ms_dec_q = device_time_ms_min(dstep_q, (tok, qstate), n1=5, n2=25)
     tok_s_int8 = 1000 / ms_dec_q
     log(
         f"decode int8 @500K ctx: {ms_dec_q:.2f} ms/tok = {tok_s_int8:.1f} "
@@ -365,7 +556,7 @@ def main():
     )
     qstate_mc = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
     qstate_mc["cum_len"] = jnp.asarray(MAXCTX + 7, jnp.int32)
-    ms_dec_q_mc = device_time_ms(dstep_q, (tok, qstate_mc), n1=5, n2=25)
+    ms_dec_q_mc = device_time_ms_min(dstep_q, (tok, qstate_mc), n1=5, n2=25)
     del qstate_mc
     log(f"decode int8 @{MAXCTX//1024}K ctx: {ms_dec_q_mc:.2f} ms/tok")
     del qparams, qstate
@@ -384,7 +575,7 @@ def main():
 
     tok_s_int4 = None
     try:
-        ms_dec_q4 = device_time_ms(dstep_q4, (tok, q4state), n1=5, n2=45)
+        ms_dec_q4 = device_time_ms_min(dstep_q4, (tok, q4state), n1=5, n2=25)
         tok_s_int4 = 1000 / ms_dec_q4
         log(
             f"decode int4 @500K ctx: {ms_dec_q4:.2f} ms/tok = "
@@ -413,7 +604,7 @@ def main():
             spec_verify(params, cfg, win8, delta, s)
             return (s,)
 
-        ms_v8 = device_time_ms(vstep, (sstate,), n1=3, n2=23)
+        ms_v8 = device_time_ms_min(vstep, (sstate,), n1=3, n2=23)
         spec_x_k8 = ms_v8 / ms_dec
         spec_ceiling_k8 = 8 * 1000 / ms_v8
         log(
@@ -424,6 +615,50 @@ def main():
         del sstate
     except Exception as e:  # noqa: BLE001 - keep bench alive
         log(f"spec verify: skipped ({type(e).__name__}: {str(e)[:160]})")
+
+    # --- speculative decoding END-TO-END (host loop included): with
+    # zero-valued weights the argmax is constant, so prompt-lookup drafts
+    # hit full acceptance — this measures the complete spec path
+    # (prefill + verify + host compare + commit) at its acceptance
+    # ceiling. The relay's ~35 ms D2H floor lands once per window, so
+    # this number is a LOWER bound on any real deployment (a local host
+    # syncs in ~1 ms); the device-only ceiling above is the upper bound.
+    spec_e2e_tok_s = None
+    try:
+        from infinitevl_tpu.generation import Generator as _Gen
+        from infinitevl_tpu.speculative import SpecStats, generate_speculative
+
+        t0 = time.time()
+        sgen = _Gen(params, cfg, dtype=jnp.bfloat16)
+        # zero weights -> argmax is token 0 every step, so an all-zero
+        # prompt makes every prompt-lookup ngram hit (full acceptance);
+        # any other prompt would never match the generated 0s and the
+        # loop would fall back to plain per-token decode
+        sprompt = np.zeros((1, 64), np.int64)
+        _ = generate_speculative(  # warm: prefill+verify+commit compiles
+            sgen, sprompt, max_new_tokens=32, draft_k=8, eos_token_id=-1
+        )
+        t1 = time.time()
+        sstats = SpecStats()
+        N_E2E = 256
+        out_sp = generate_speculative(
+            sgen, sprompt, max_new_tokens=N_E2E, draft_k=8,
+            eos_token_id=-1, stats=sstats,
+        )
+        dt = time.time() - t1
+        n_out = int(out_sp.shape[1])
+        spec_e2e_tok_s = n_out / dt
+        log(
+            f"spec decode e2e K=8: {n_out} tokens in {dt*1000:.0f} ms = "
+            f"{spec_e2e_tok_s:.0f} tok/s at acceptance "
+            f"{sstats.acceptance_rate:.2f} ({sstats.forwards} forwards; "
+            f"warm {t1-t0:.0f}s; relay D2H floor included — deployment "
+            f"sits between this and the {spec_ceiling_k8 or 0:.0f} tok/s "
+            f"device ceiling)"
+        )
+        del sgen, out_sp
+    except Exception as e:  # noqa: BLE001 - keep bench alive
+        log(f"spec e2e: skipped ({type(e).__name__}: {str(e)[:160]})")
 
     # --- high-resolution image prefill: one 1344x1344 image (9216 patch
     # tokens) through the ViT. The dense path needs 5.4 GB of scores PER
@@ -439,25 +674,27 @@ def main():
     vparams = params["visual"]
 
     t0 = time.time()
-    vit_hr = jax.jit(lambda px: vision_forward(vparams, cfg.vision, px, plan_hr))
-    # chain via the pixel input's shape-compatible slice to slope-time
-    out_hr = jax.block_until_ready(vit_hr(pix_hr))
+
+    # CHAINED step (iteration i+1's input depends on iteration i's output,
+    # so dispatches cannot overlap): unchained repeats of vit_hr(pix_hr)
+    # measured dispatch noise, not device time — observed -27 ms under
+    # host contention. The 1e-24-scaled feedback term keeps the pixels
+    # numerically unchanged while forcing the data dependency (a *0 term
+    # could be folded away; float x*0 usually survives XLA, but don't bet
+    # a bench line on it).
+    def vit_step_hr(px):
+        out = vision_forward(vparams, cfg.vision, px, plan_hr)
+        return px + (out[0, 0] * 1e-24).astype(px.dtype)
+
+    vit_hr = jax.jit(vit_step_hr)
+    jax.block_until_ready(vit_hr(pix_hr))
     t1 = time.time()
-    n1, n2 = 2, 6
-    for _ in range(n1):
-        out_hr = vit_hr(pix_hr)
-    np.asarray(out_hr[0, :1])
-    t2 = time.time()
-    for _ in range(n2):
-        out_hr = vit_hr(pix_hr)
-    np.asarray(out_hr[0, :1])
-    t3 = time.time()
-    ms_hr = ((t3 - t2) - (t2 - t1)) / (n2 - n1) * 1e3
+    ms_hr = device_time_ms_min(vit_hr, pix_hr, n1=2, n2=8)
     log(
         f"high-res image prefill (1344x1344, {plan_hr.seq} patches): "
         f"{ms_hr:.0f} ms ViT forward (compile {t1-t0:.0f}s)"
     )
-    del vparams, out_hr, pix_hr
+    del vparams, pix_hr
 
     # --- LoRA train-step throughput @8K (3B, remat, side-path LoRA): the
     # driver-visible training perf metric (VERDICT r2 weak #2). ---
@@ -508,202 +745,57 @@ def main():
     )
     del lora, opt_state, base_tr
 
-    # --- dense full-attention baseline (the FA2-transformer comparison,
-    # README.md:49): same dims, every layer full attention over an L-entry
-    # KV cache. Past ~300K the dense cache exceeds v5e HBM entirely. ---
-    import dataclasses
-
+    # --- vs-dense ratios: baselines were measured at process start on a
+    # fresh arena (measure_dense_baselines); combined here with the hybrid
+    # decode numbers above. The hybrid step is context-independent
+    # (cum_len is a scalar operand; measured flat 240K..500K), and its
+    # max-ctx timing above used the ladder context discovered at start,
+    # so both sides of the measured ratio share the context. ---
     dense_speedup = None
     dense_speedup_500k = None
     dense_speedup_int8 = None
-    dense_max_ctx = None
+    dense_max_ctx = dense["L_max"]
     vs_dense_maxctx = None
     vs_dense_maxctx_int8 = None
-    ms_dense_max = None
-    try:
-        # free the hybrid model first: the dense twin needs its own 8.8 GB
-        # of weights plus a 4.8 GB KV cache
-        del state
-        del eng
-        params = None
-        import gc
-
-        gc.collect()
-        L = 98304  # 96K dense KV (128K + weights exceeds 16 GB HBM)
-        dense_text = dataclasses.replace(
-            cfg.text,
-            layer_types=("sliding_attention",) * cfg.text.num_hidden_layers,
-            sliding_window=L,
-        )
-        dense_cfg = dataclasses.replace(cfg, text=dense_text)
-        dshapes = jax.eval_shape(
-            lambda k: init_params(k, dense_cfg, jnp.bfloat16), jax.random.PRNGKey(0)
-        )
-        dparams = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), dshapes)
-        dstate = init_decoder_state(dense_cfg.text, 1, dtype=jnp.bfloat16)
-        dstate["cum_len"] = jnp.asarray(L + 7, jnp.int32)
-        kv_gb = state_bytes(dstate) / 1e9
-
-        def dense_step(carry):
-            t, s = carry
-            logits, s = decode_step(dparams, dense_cfg, t, delta, s)
-            return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-        ms_dense = device_time_ms(dense_step, (tok, dstate), n1=3, n2=13)
-        dense_speedup = ms_dense / ms_dec
-        # int8-served InfiniteVL vs the bf16 dense baseline (the reference
-        # serves fp16/bf16 dense; int8 weight-only is our serving mode with
-        # zero MCQ-fixture prediction flips, test_quant.py) — the measured
-        # >=96K story without KV-slope extrapolation
-        dense_speedup_int8 = ms_dense / ms_dec_q
+    if dense["ms_96k"] is not None:
+        dense_speedup = dense["ms_96k"] / ms_dec
+        dense_speedup_int8 = dense["ms_96k"] / ms_dec_q
+        kv_gb = dense["kv_gb_96k"]
         log(
-            f"dense-transformer baseline @96K: {ms_dense:.2f} ms/tok "
+            f"dense-transformer baseline @96K: {dense['ms_96k']:.2f} ms/tok "
             f"(KV {kv_gb:.1f} GB) -> InfiniteVL speedup {dense_speedup:.2f}x "
             f"bf16, {dense_speedup_int8:.2f}x int8-served; at 500K the "
             f"dense KV would need {kv_gb*500/96:.0f} GB (OOM) while "
             f"InfiniteVL stays at {state_mb:.0f} MB"
         )
-        del dstate
-
-        # --- the MEASURED north-star point (README.md:49 claims >3.6x vs
-        # an FA2 transformer): dense decode at the LARGEST context whose KV
-        # physically fits this chip next to the bf16 weights — probed 240K
-        # (248K OOMs; scripts/probe_dense_maxctx.py). No extrapolation:
-        # both sides of the ratio are slope-timed at the same context. ---
-        for Lmx in (MAXCTX, 212992, 163840):
-            try:
-                dtmx = dataclasses.replace(dense_text, sliding_window=Lmx)
-                dcfgmx = dataclasses.replace(cfg, text=dtmx)
-                dstmx = init_decoder_state(dcfgmx.text, 1, dtype=jnp.bfloat16)
-                dstmx["cum_len"] = jnp.asarray(Lmx + 7, jnp.int32)
-
-                def dense_step_mx(carry, _c=dcfgmx):
-                    t, s = carry
-                    logits, s = decode_step(dparams, _c, t, delta, s)
-                    return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-                ms_dense_max = device_time_ms(
-                    dense_step_mx, (tok, dstmx), n1=3, n2=13
-                )
-                dense_max_ctx = Lmx
-                del dstmx
-                break
-            except Exception as e:  # noqa: BLE001 - OOM walk-down
-                if "RESOURCE_EXHAUSTED" not in str(e):
-                    raise
-                log(f"dense @{Lmx//1024}K OOM; walking down")
-        if ms_dense_max is not None:
-            vs_dense_maxctx = ms_dense_max / ms_dec_mc
-            vs_dense_maxctx_int8 = ms_dense_max / ms_dec_q_mc
+    if dense["ms_max"] is not None:
+        vs_dense_maxctx = dense["ms_max"] / ms_dec_mc
+        vs_dense_maxctx_int8 = dense["ms_max"] / ms_dec_q_mc
+        log(
+            f"dense @{dense_max_ctx//1024}K (max feasible, KV "
+            f"{dense_max_ctx*36864/1e9:.1f} GB): {dense['ms_max']:.2f} "
+            f"ms/tok -> MEASURED speedup {vs_dense_maxctx:.2f}x bf16, "
+            f"{vs_dense_maxctx_int8:.2f}x int8-served (same context, "
+            f"no extrapolation)"
+        )
+    if dense["ms_32k"] is not None:
+        slope = ms_dense_500k = None
+        if dense["ms_max"] is not None:
+            # widest measured interval (32K..max) for the best-fit slope
+            slope = (dense["ms_max"] - dense["ms_32k"]) / (dense_max_ctx - 32768)
+            ms_dense_500k = dense["ms_max"] + slope * (500_000 - dense_max_ctx)
+        elif dense["ms_96k"] is not None:
+            slope = (dense["ms_96k"] - dense["ms_32k"]) / (98304 - 32768)
+            ms_dense_500k = dense["ms_96k"] + slope * (500_000 - 98304)
+        if ms_dense_500k is not None:
+            dense_speedup_500k = ms_dense_500k / ms_dec
             log(
-                f"dense @{dense_max_ctx//1024}K (max feasible, KV "
-                f"{dense_max_ctx*36864/1e9:.1f} GB): {ms_dense_max:.2f} "
-                f"ms/tok -> MEASURED speedup {vs_dense_maxctx:.2f}x bf16, "
-                f"{vs_dense_maxctx_int8:.2f}x int8-served (same context, "
-                f"no extrapolation)"
+                f"measured KV slope {slope*1e6:.2f} ns/ctx-token -> "
+                f"extrapolated dense @500K = {ms_dense_500k:.1f} ms/tok "
+                f"(if the HBM existed) -> speedup {dense_speedup_500k:.2f}x, "
+                f"growing linearly with context while InfiniteVL stays flat"
             )
 
-        # second dense point at 32K KV: the measured (ms vs ctx) slope
-        # extrapolates the dense cost to contexts that physically OOM on
-        # this chip (>~128K). The reference's >3.6x claim is made at long
-        # context (README.md:49-51) where dense KV reads dominate — at 96K
-        # a 3B model is still weight-read-bound, which a per-token ring
-        # kernel at roofline compresses to ~1.2x. InfiniteVL's ms_dec is
-        # context-independent (measured flat 87-94 tok/s at 500K).
-        L2 = 32768
-        dense_text2 = dataclasses.replace(
-            dense_text, sliding_window=L2
-        )
-        dense_cfg2 = dataclasses.replace(cfg, text=dense_text2)
-        dstate2 = init_decoder_state(dense_cfg2.text, 1, dtype=jnp.bfloat16)
-        dstate2["cum_len"] = jnp.asarray(L2 + 7, jnp.int32)
-
-        def dense_step2(carry):
-            t, s = carry
-            logits, s = decode_step(dparams, dense_cfg2, t, delta, s)
-            return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-        ms_dense2 = device_time_ms(dense_step2, (tok, dstate2), n1=3, n2=13)
-        if ms_dense_max is not None:
-            # widest measured interval (32K..240K) for the best-fit slope
-            slope = (ms_dense_max - ms_dense2) / (dense_max_ctx - L2)
-        else:
-            slope = (ms_dense - ms_dense2) / (L - L2)  # ms per ctx token
-        if ms_dense_max is not None:
-            ms_dense_500k = ms_dense_max + slope * (500_000 - dense_max_ctx)
-        else:
-            ms_dense_500k = ms_dense + slope * (500_000 - L)
-        dense_speedup_500k = ms_dense_500k / ms_dec
-        log(
-            f"dense @32K: {ms_dense2:.2f} ms/tok -> measured KV slope "
-            f"{slope*1e6:.2f} ns/ctx-token; extrapolated dense @500K = "
-            f"{ms_dense_500k:.1f} ms/tok (if {kv_gb*500/96:.0f} GB HBM "
-            f"existed) -> speedup {dense_speedup_500k:.2f}x, growing "
-            f"linearly with context while InfiniteVL stays flat"
-        )
-        del dparams, dstate2
-    except Exception as e:  # noqa: BLE001 - baseline is best-effort
-        log(f"dense baseline skipped: {type(e).__name__}: {e}")
-
-    # --- 64K QLoRA train step (int8 frozen base + scan-over-layers +
-    # seq-chunked layers): the reference's long-SFT stage tops out at 32K on
-    # an 8-GPU node (README.md:137, train.sh); this recipe trains DOUBLE
-    # that context on ONE v5e (probed 13.3 GB by the compiler's HBM
-    # accounting). Runs last: it needs the chip to itself. ---
-    train_tok_s_64k = None
-    try:
-        from infinitevl_tpu.models.params import init_text_params
-        from infinitevl_tpu.models.quant import quantize_params
-        from infinitevl_tpu.models.stacked import (
-            detect_period,
-            stack_layer_params,
-        )
-
-        t0 = time.time()
-        T64 = 65536
-        tshapes = jax.eval_shape(
-            lambda k: init_text_params(k, cfg.text, jnp.bfloat16),
-            jax.random.PRNGKey(0),
-        )
-        base64 = jax.block_until_ready(
-            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tshapes)
-        )
-        lora64 = init_lora(base64, jax.random.PRNGKey(1))
-        base64 = jax.block_until_ready(quantize_params(base64))
-        period = detect_period(cfg.text.layer_types)
-        base64 = stack_layer_params(base64, period)
-        lora64 = stack_layer_params(lora64, period)
-        opt64 = tx.init(lora64)
-        step64 = jax.jit(
-            make_lora_sft_step(cfg.text, tx, remat=True, remat_group=1),
-            donate_argnums=(0, 1),
-        )
-        r64 = np.random.RandomState(0)
-        batch64 = {
-            "input_ids": jnp.asarray(r64.randint(3, 1000, (1, T64)), jnp.int32),
-            "labels": jnp.asarray(r64.randint(3, 1000, (1, T64)), jnp.int32),
-            "segment_ids": jnp.ones((1, T64), jnp.int32),
-            "position_ids": jnp.broadcast_to(
-                jnp.arange(T64)[None, None], (3, 1, T64)
-            ).astype(jnp.int32),
-        }
-
-        def tstep64(carry):
-            l, o = carry
-            l, o, _ = step64(l, o, base64, batch64)
-            return (l, o)
-
-        ms64 = device_time_ms(tstep64, (lora64, opt64), n1=1, n2=3)
-        train_tok_s_64k = T64 / ms64 * 1000
-        mfu64 = 3.0 * train_tok_s_64k * decoder_flops_per_token(cfg) / 197e12
-        log(
-            f"QLoRA 64K train step (int8 base, one chip): {ms64:.0f} ms = "
-            f"{train_tok_s_64k:.0f} tok/s, ~{100*mfu64:.0f}% MFU "
-            f"({time.time()-t0:.0f}s)"
-        )
-        del base64, lora64, opt64, batch64
-    except Exception as e:  # noqa: BLE001 - guarded, single-chip-sized
-        log(f"64K QLoRA train skipped: {type(e).__name__}: {str(e)[:200]}")
 
     print(
         json.dumps(
@@ -734,6 +826,9 @@ def main():
                 ),
                 "spec_ceiling_tok_s_k8": (
                     round(spec_ceiling_k8, 0) if spec_ceiling_k8 else None
+                ),
+                "spec_e2e_tok_s_k8": (
+                    round(spec_e2e_tok_s, 0) if spec_e2e_tok_s else None
                 ),
                 "hires_prefill_ms_1344": round(ms_hr, 1),
                 "train_tok_s": round(train_tok_s, 0),

@@ -90,8 +90,17 @@ def prompt_lookup_draft(
     ngram_min: int = 1,
 ) -> np.ndarray:
     """Propose up to k continuation tokens by matching the longest n-gram
-    suffix of `ctx` against its own history and copying what followed the
-    most recent earlier occurrence. Returns [<=k] (possibly empty)."""
+    suffix of `ctx` against its own history and copying what followed an
+    earlier occurrence. Returns [<=k] (possibly empty).
+
+    Occurrence choice: the LATEST occurrence whose continuation has all k
+    tokens available; if none does, the occurrence with the longest
+    available continuation (latest wins ties). Always taking the latest
+    occurrence (the previous policy) truncates the draft whenever the
+    match sits near the tail — which is the COMMON case on repetitive
+    text, exactly where prompt lookup earns its keep: a periodic sequence
+    kept drafting 1 token per window (2 tok/forward measured) instead of
+    the full k (8 tok/forward)."""
     T = len(ctx)
     if T < 2 or k <= 0:
         return np.empty(0, dtype=ctx.dtype)
@@ -100,7 +109,9 @@ def prompt_lookup_draft(
         win = np.lib.stride_tricks.sliding_window_view(ctx[:-1], n)
         hits = np.nonzero((win == pat).all(axis=1))[0]
         if len(hits):
-            start = int(hits[-1]) + n
+            starts = hits + n
+            avail = np.minimum(T - starts, k)
+            start = int(starts[avail == avail.max()][-1])
             cand = ctx[start : start + k]
             if len(cand):
                 return np.asarray(cand)

@@ -43,6 +43,41 @@ def device_time_ms(
     return ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
 
 
+def device_time_ms_min(
+    step: Callable,
+    init,
+    n1: int = 3,
+    n2: int = 13,
+    warmup: int = 1,
+    reps: int = 3,
+) -> float:
+    """Min over `reps` slope measurements, carry threaded across reps.
+
+    The relay's health varies on minute scales (observed: a window where
+    per-step host cost inflated a 10.6 ms B=1 decode to a 'measured'
+    19.1 ms while an 8-token verify of the SAME weights timed 11.9 ms —
+    physically impossible, so pure measurement pollution). A transient
+    stall can only ADD time to a chained slope, never remove it, so the
+    min across repeats is the honest device number.
+
+    The carry from one rep seeds the next (instead of re-passing `init`),
+    so steps that DONATE their state (decode_step and friends) stay valid:
+    `init`'s buffers are consumed exactly once, at warmup."""
+    out = _run_chained(step, init, warmup)
+    best = None
+    last = None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        out = _run_chained(step, out, n1)
+        t1 = time.perf_counter()
+        out = _run_chained(step, out, n2)
+        t2 = time.perf_counter()
+        last = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
+        if last > 0 and (best is None or last < best):
+            best = last
+    return best if best is not None else last
+
+
 def sync_overhead_ms() -> float:
     """Measured cost of one tiny D2H read (the relay's fixed latency)."""
     import jax.numpy as jnp

@@ -24,6 +24,26 @@ def test_prompt_lookup_draft():
     assert d.tolist() == [1, 2]
 
 
+def test_prompt_lookup_prefers_full_continuation():
+    """On periodic text the LATEST n-gram occurrence sits near the tail
+    and truncates the draft; the draft must come from an occurrence with
+    the full k tokens available (measured 2 -> 8 tok/forward on the bench
+    full-acceptance workload)."""
+    ctx = np.array([1, 2, 3] * 6, dtype=np.int64)  # suffix (1,2,3) repeats
+    d = prompt_lookup_draft(ctx, 7, ngram_max=3)
+    assert len(d) == 7
+    assert d.tolist() == [1, 2, 3, 1, 2, 3, 1]
+    # when NO occurrence has the full continuation, take the longest one
+    ctx2 = np.array([7, 8, 4, 5, 7, 8], dtype=np.int64)
+    d2 = prompt_lookup_draft(ctx2, 5, ngram_max=2)
+    # only occurrence of (7,8) is at 0; continuation truncates at len 4
+    assert d2.tolist() == [4, 5, 7, 8]
+    # ties on available length resolve to the LATEST occurrence
+    ctx3 = np.array([2, 9, 2, 5, 2], dtype=np.int64)
+    d3 = prompt_lookup_draft(ctx3, 1, ngram_max=1)
+    assert d3.tolist() == [5]  # from ctx3[3], after the ctx3[2] match
+
+
 @pytest.fixture(scope="module")
 def tiny_gen():
     cfg = tiny_config()
