@@ -536,10 +536,13 @@ def main():
     # --- int8 weight-only decode (models/quant.py): the B=1 floor is the
     # weight read; int8 halves the bytes the step streams. Quality bound is
     # the per-channel quantization error (parity-tested in test_quant.py).
+    # quantize_embed=True is the serving default (Generator quant_embed):
+    # row-wise int8 embed + pre-transposed head copy — measured +2% at B=1
+    # (5.92 -> 5.80 ms/tok, ROUND4_NOTES item 9), never slower.
     from infinitevl_tpu.models.quant import quantize_params
 
     t0 = time.time()
-    qparams = jax.block_until_ready(quantize_params(params))
+    qparams = jax.block_until_ready(quantize_params(params, quantize_embed=True))
     qstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
     qstate["cum_len"] = jnp.asarray(500_000, jnp.int32)
 
@@ -561,10 +564,15 @@ def main():
     log(f"decode int8 @{MAXCTX//1024}K ctx: {ms_dec_q_mc:.2f} ms/tok")
     del qparams, qstate
 
-    # --- int4 group-wise decode: bit-packed s4 quarters the weight bytes
-    # the step streams (models/quant.py quantize_params(bits=4)).
+    # --- int4 decode: bit-packed s4 quarters the weight bytes the step
+    # streams (models/quant.py quantize_params(bits=4)). G=1 (per-column
+    # scales) is the measured-fastest int4 serving variant (10.62 ms/tok
+    # vs grouped's 13.4 and the fused-Pallas 12.61, ROUND4_NOTES item 9);
+    # int4 stays a memory-only option — int8 wins latency at every batch.
     t0 = time.time()
-    q4params = jax.block_until_ready(quantize_params(params, bits=4))
+    q4params = jax.block_until_ready(
+        quantize_params(params, bits=4, group_size=1 << 30, quantize_embed=True)
+    )
     q4state = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
     q4state["cum_len"] = jnp.asarray(500_000, jnp.int32)
 

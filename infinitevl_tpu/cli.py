@@ -46,6 +46,7 @@ def _build_generator(args):
         Generator(
             params, cfg, dtype=dtype, quant=quant,
             quant_group_size=args.model.quantization_group_size,
+            quant_embed=args.model.quantization_embed,
         ),
         cfg,
     )

@@ -280,12 +280,15 @@ class Generator:
         fuse: bool = False,
         quant: Optional[str] = None,
         quant_group_size: Optional[int] = None,
+        quant_embed: bool = True,
     ):
         if dtype is None:
             # ring/conv state must match the activations' dtype (the conv
             # carry is written with a dynamic_update_slice, which requires
             # equal dtypes) — infer it from the weights before quantization
-            emb = params["text"]["embed"] if "text" in params else params["embed"]
+            # (an already-quantized embed carries its dtype on the scale)
+            tp = params["text"] if "text" in params else params
+            emb = tp["embed"] if "embed" in tp else tp["embed_scale"]
             dtype = emb.dtype
         if fuse:
             # opt-in: one matmul per projection group — measured SLOWER on
@@ -307,8 +310,14 @@ class Generator:
             qkw = {}
             if quant_group_size is not None:
                 qkw["group_size"] = int(quant_group_size)
+            # quant_embed (default on): row-wise int8 embed/lm_head table —
+            # the tied lm_head matmul reads the full vocab x hidden bytes
+            # every decoded token (quantize_embed_rows docstring)
             params = quantize_params(
-                params, bits=4 if quant == "int4" else 8, **qkw
+                params,
+                bits=4 if quant == "int4" else 8,
+                quantize_embed=quant_embed,
+                **qkw,
             )
         elif quant is not None:
             raise ValueError(f"unknown quant mode {quant!r} (use 'int8'/'int4')")

@@ -37,6 +37,11 @@ class ModelArgs:
     # int4 decode variant (121 vs 75 tok/s; generation.py:302). None keeps
     # the memory-optimal grouped default. Ignored unless quantization_bit=4.
     quantization_group_size: Optional[int] = None
+    # also quantize the embed/tied-lm_head table row-wise int8 when
+    # quantization_bit is set (models/quant.quantize_embed_rows — the tied
+    # head reads the full vocab x hidden bytes every decoded token).
+    # Serving default on; set false to keep the bf16 table.
+    quantization_embed: bool = True
 
 
 @dataclasses.dataclass

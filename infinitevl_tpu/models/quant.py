@@ -74,6 +74,42 @@ def dequantize_kernel(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
     ).astype(dtype)
 
 
+def quantize_embed_rows(w: jax.Array) -> Dict[str, jax.Array]:
+    """Per-ROW symmetric int8 for the embedding table plus a PRE-TRANSPOSED
+    int8 copy for the tied lm_head: w[i, :] ~= q[i, :] * scale[i].
+
+    The tied lm_head matmul reads the FULL vocab x hidden table every
+    decoded token (622 MB bf16 at 3B), which is why the table is worth
+    quantizing even though the embedding *gather* only touches selected
+    rows. Row scales are per-LOGIT column scales of the head operand, so
+    they commute with the contraction exactly.
+
+    Why TWO int8 copies ([vocab, hidden] for the gather, [hidden, vocab]
+    for the head): contracting the [vocab, hidden] int8 table on its
+    hidden axis forces a per-step layout change — measured 10.89 ms/tok
+    vs plain int8's 6.81 (scripts/probe_decode_matrix.py), i.e. the
+    "saved" transpose cost MORE than the bf16 table read it replaced
+    (XLA streams a transposed bf16 dot operand natively; the int8
+    convert+transpose does not fuse). Materializing the transpose once
+    at quant time makes the head dot a plain [D] x [D, V] contraction.
+    Both copies together are 622 MB — exactly the bf16 table they
+    replace, and the per-token HEAD read halves to 311 MB.
+
+    `scale` is stored in w.dtype (not fp32): embed_tokens' output dtype —
+    and the activation dtype inferred by Generator/StreamingEngine when
+    none is passed — is then carried by the scale leaf. The bf16 scale
+    rounding (<= 2^-9 relative) is quantized INTO q (q is computed
+    against the stored scale), so it costs nothing beyond the int8
+    rounding itself."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=1)  # [vocab]
+    scale = (jnp.maximum(amax, 1e-8) / 127.0).astype(w.dtype)
+    q = jnp.clip(
+        jnp.round(wf / scale.astype(jnp.float32)[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return {"embed_q": q, "embed_scale": scale, "head_q": q.T}
+
+
 def quantize_kernel_int4(
     w: jax.Array, group_size: int = 128, biased: bool = False
 ) -> Dict[str, jax.Array]:
@@ -155,7 +191,7 @@ def int4_matmul(x: jax.Array, node: Dict[str, jax.Array]) -> jax.Array:
     the unpack stays pure elementwise on the operand and the scale lands on
     the tiny [G/2, M, d_out] per-group results."""
     biased = "kernel_q4b" in node
-    q = node["kernel_q4b"] if biased else node["kernel_q4"]
+    q = node["kernel_q4b"] if biased else node.get("kernel_q4", node.get("kernel_q4f"))
     s = node["scale4"]
     half, d_out = q.shape
     lo, hi = unpack_int4(q, x.dtype, biased=biased)
@@ -180,9 +216,52 @@ def int4_matmul(x: jax.Array, node: Dict[str, jax.Array]) -> jax.Array:
     return y.reshape(*lead, d_out)
 
 
+def prefer_fused_int4(params: Params) -> Params:
+    """Rekey eligible int4 nodes kernel_q4 -> kernel_q4f so the dense
+    helpers dispatch them through the fused Pallas unpack-matmul
+    (ops/int4_pallas.py) instead of the XLA dual-plane dots.
+
+    OPT-IN ONLY, and measured SLOWER at B=1 decode (12.61 vs the XLA
+    path's 10.62 ms/tok at 3B — ops/int4_pallas.py docstring has the
+    breakdown); shipped as the recorded falsification of the fused-kernel
+    lever, not as a serving mode.
+
+    A DIFFERENT key (not a flag) keeps jit caches honest: the dispatch is
+    a trace-time pytree-structure decision, so toggling can never serve a
+    stale compiled path. Eligibility = the kernel's tiling contract
+    (half and d_out multiples of 128; grouped scales need the per-plane
+    block = d_in/G to be a multiple of 32 sublanes). Ineligible nodes
+    keep the XLA path. Structure-preserving otherwise; TPU-only (Mosaic
+    kernels do not lower on the CPU backend — keep the XLA keys there)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "kernel_q4" and getattr(v, "ndim", 0) == 2:
+                    half, d_out = v.shape
+                    G = node["scale4"].shape[0]
+                    bk_in = 128 if G == 1 else (2 * half) // G
+                    ok = (
+                        half % 128 == 0
+                        and d_out % 128 == 0
+                        and half % bk_in == 0
+                        and bk_in % 32 == 0
+                    )
+                    out["kernel_q4f" if ok else "kernel_q4"] = v
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
 def dequantize_kernel_int4(node: Dict[str, jax.Array], dtype=jnp.bfloat16):
     biased = "kernel_q4b" in node
-    q = node["kernel_q4b"] if biased else node["kernel_q4"]
+    q = node["kernel_q4b"] if biased else node.get("kernel_q4", node.get("kernel_q4f"))
     s = node["scale4"]
     half, d_out = q.shape
     lo, hi = unpack_int4(q, jnp.float32, biased=biased)
@@ -199,12 +278,21 @@ def quantize_params(
     bits: int = 8,
     group_size: int = 128,
     int4_biased: bool = False,
+    quantize_embed: bool = False,
 ) -> Params:
     """Replace each targeted dense node's 'kernel' with int8 (per-channel)
     or int4 (group-wise) + scales.
 
     Structure-preserving otherwise; nodes smaller than `min_size` elements
-    keep full precision (scales/overhead would dominate)."""
+    keep full precision (scales/overhead would dominate).
+
+    `quantize_embed` additionally converts the text `embed` table (and an
+    untied `lm_head`, when present) to row-wise int8 via
+    quantize_embed_rows — always int8, even at bits=4: the gather path
+    cannot use the half-split nibble packing (rows are split across the
+    two nibble planes). Serving-only: training steps (train/step.py) read
+    `params["embed"]` directly and there is no embed gradient path through
+    the quantized leaves."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
 
@@ -227,6 +315,25 @@ def quantize_params(
                     new = {kk: vv for kk, vv in v.items() if kk != "kernel"}
                     new.update(quant(v["kernel"]))
                     out[k] = new
+                elif (
+                    quantize_embed
+                    and k == "embed"
+                    and getattr(v, "ndim", 0) == 2
+                    and v.size >= min_size
+                ):
+                    out.update(quantize_embed_rows(v))
+                elif (
+                    quantize_embed
+                    and k == "lm_head"
+                    and getattr(v, "ndim", 0) == 2
+                    and v.size >= min_size
+                ):
+                    # untied head [hidden, vocab] is already in the
+                    # contraction-native layout: per-output-column int8
+                    # (same scheme as the projections)
+                    qn = quantize_kernel(v)
+                    out["lm_head_q"] = qn["kernel_q"]  # [hidden, vocab]
+                    out["lm_head_scale"] = qn["scale"].astype(v.dtype)
                 else:
                     out[k] = walk(v)
             return out

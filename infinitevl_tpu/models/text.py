@@ -33,6 +33,14 @@ def _dense(x: jax.Array, p: Params) -> jax.Array:
         # with the contraction, so this is exact dequant-then-matmul at
         # half the HBM bytes
         y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    elif "kernel_q4f" in p:
+        # fused Pallas unpack-matmul (ops/int4_pallas.py) — opt-in rekey
+        # (models/quant.prefer_fused_int4), measured SLOWER than the XLA
+        # dual-dot path at B=1 decode (12.61 vs 10.62 ms/tok; kernel
+        # docstring has the why). Never selected by default.
+        from ..ops.int4_pallas import int4_matmul_fused
+
+        y = int4_matmul_fused(x, p)
     elif "kernel_q4" in p or "kernel_q4b" in p:
         # weight-only int4, nibble-packed uint8 + group scales
         # (models/quant.int4_matmul): quarter the HBM bytes; the unpack is
@@ -892,13 +900,37 @@ def text_forward(
 
 
 def lm_head(params: Params, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
-    """Logits. Tied to the embedding when cfg.tie_word_embeddings."""
-    if "lm_head" in params:
+    """Logits. Tied to the embedding when cfg.tie_word_embeddings.
+
+    Quantized serving (models/quant.quantize_embed_rows): the head reads
+    the PRE-TRANSPOSED int8 copy `head_q` [hidden, vocab] — a plain
+    contraction whose int8->bf16 convert fuses into the operand read, so
+    the per-token head read is 311 MB instead of the bf16 table's 622.
+    (Contracting the gather-layout [vocab, hidden] int8 table instead
+    measured 10.89 ms/tok vs plain int8's 6.81 — the convert+transpose
+    does not fuse; scripts/probe_decode_matrix.py.) The row scales are
+    per-logit column scales and commute exactly."""
+    if "lm_head_q" in params:  # untied quantized head [hidden, vocab]
+        q, s = params["lm_head_q"], params["lm_head_scale"]
+    elif "lm_head" in params:
         w = params["lm_head"]
+        return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
+    elif "head_q" in params:  # tied quantized table, head copy
+        q, s = params["head_q"], params["embed_scale"]
     else:
+        # bf16 tied table: XLA streams the transposed dot operand
+        # natively (measured 10.45 vs 10.59 ms/tok for an explicit
+        # dot_general formulation — identical within noise)
         w = params["embed"].T
-    return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
+        return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
+    logits = (hidden @ q.astype(hidden.dtype)) * s.astype(hidden.dtype)
+    return logits.astype(jnp.float32)
 
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
+    if "embed_q" in params:
+        # int8 gather + per-row dequant; output dtype rides on the scale
+        # leaf (stored in the original table dtype — quantize_embed_rows)
+        s = params["embed_scale"][input_ids]
+        return params["embed_q"][input_ids].astype(s.dtype) * s[..., None]
     return params["embed"][input_ids]

@@ -140,6 +140,10 @@ def get_vision_plan(
 def _dense(x, p):
     if "kernel_q" in p:  # weight-only int8 (models/quant.py)
         y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    elif "kernel_q4f" in p:  # fused Pallas int4 (ops/int4_pallas.py)
+        from ..ops.int4_pallas import int4_matmul_fused
+
+        y = int4_matmul_fused(x, p)
     elif "kernel_q4" in p or "kernel_q4b" in p:  # int4 packed (models/quant.py)
         from .quant import int4_matmul
 

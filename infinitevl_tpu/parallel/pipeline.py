@@ -323,12 +323,15 @@ def pp_sft_loss_fn(
     )
     hidden = hidden.reshape((B, T, hidden.shape[-1]))
     hidden = rms_norm(hidden, pp_text_params["final_norm"], cfg.rms_norm_eps)
-    w = pp_text_params.get("lm_head", pp_text_params["embed"].T)
+    tied = "lm_head" not in pp_text_params
+    w = pp_text_params["embed"] if tied else pp_text_params["lm_head"]
     # same chunk rule as the plain SFT path (train/step.py:182): each fp32
     # logits chunk is chunk x V x 4 B — the 512-at-16K+ shrink is the
     # margin that decides whether long-context recipes fit one chip
     ce_chunk = 512 if T >= 16384 else 1024
-    return fused_linear_cross_entropy(hidden, w, labels, chunk=ce_chunk)
+    return fused_linear_cross_entropy(
+        hidden, w, labels, chunk=ce_chunk, w_is_vd=tied
+    )
 
 
 def make_pp_sft_train_step(

@@ -87,7 +87,9 @@ class BatchingEngine:
             # error only (measured on the MCQ fixture in tests/test_quant.py)
             from ..models.quant import quantize_params
 
-            params = quantize_params(params, bits=4 if quant == "int4" else 8)
+            params = quantize_params(
+                params, bits=4 if quant == "int4" else 8, quantize_embed=True
+            )
         elif quant is not None:
             raise ValueError(f"unknown quant mode {quant!r} (use 'int8'/'int4')")
         self.params = params

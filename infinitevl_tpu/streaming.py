@@ -277,8 +277,10 @@ class StreamingEngine:
         fuse: bool = False,
     ):
         if dtype is None:
-            # state dtype must match the activations' (see Generator)
-            emb = params["text"]["embed"] if "text" in params else params["embed"]
+            # state dtype must match the activations' (see Generator); a
+            # quantized embed carries its dtype on the scale leaf
+            tp = params["text"] if "text" in params else params
+            emb = tp["embed"] if "embed" in tp else tp["embed_scale"]
             dtype = emb.dtype
         if fuse:
             # opt-in: one matmul per projection group — measured SLOWER on

@@ -42,9 +42,13 @@ def cross_entropy_loss(
 
 def fused_linear_cross_entropy(
     hidden: jax.Array,  # [B, T, D]
-    lm_w: jax.Array,  # [D, V]
+    lm_w: jax.Array,  # [D, V], or [V, D] with w_is_vd (the tied embed
+    #                   table's native layout; layout-explicit so the dot
+    #                   never depends on XLA fusing an embed.T — measured
+    #                   equivalent for bf16, scripts/probe_decode_matrix.py)
     labels: jax.Array,  # [B, T]
     chunk: int = 1024,
+    w_is_vd: bool = False,
 ) -> jax.Array:
     """CE without ever materializing the [T, V] logits: scan over sequence
     chunks, each checkpointed so the backward recomputes its logits.
@@ -61,7 +65,14 @@ def fused_linear_cross_entropy(
 
     @jax.checkpoint
     def chunk_nll(h_c, lb_c):
-        logits = (h_c @ lm_w.astype(h_c.dtype)).astype(jnp.float32)
+        if w_is_vd:
+            logits = jax.lax.dot_general(
+                h_c,
+                lm_w.astype(h_c.dtype),
+                (((h_c.ndim - 1,), (1,)), ((), ())),
+            ).astype(jnp.float32)
+        else:
+            logits = (h_c @ lm_w.astype(h_c.dtype)).astype(jnp.float32)
         mask = lb_c != IGNORE_INDEX
         safe = jnp.where(mask, lb_c, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -181,9 +192,12 @@ def sft_loss_fn(
         # shrink the chunk further at very long T (each fp32 logits chunk
         # is chunk x V x 4 B = 0.62 GB at 1024 — the margin that decides
         # whether the 3B 16K LoRA recipe fits one 16 GB chip)
-        w = params.get("lm_head", params["embed"].T)
+        tied = "lm_head" not in params
+        w = params["embed"] if tied else params["lm_head"]
         ce_chunk = 512 if input_ids.shape[1] >= 16384 else 1024
-        return fused_linear_cross_entropy(hidden, w, labels, chunk=ce_chunk)
+        return fused_linear_cross_entropy(
+            hidden, w, labels, chunk=ce_chunk, w_is_vd=tied
+        )
     logits = lm_head(params, cfg, hidden)
     return cross_entropy_loss(logits, labels)
 
@@ -227,9 +241,12 @@ def mm_sft_loss_fn(
         scan_unroll=scan_unroll,
     )
     if remat:
-        w = tp.get("lm_head", tp["embed"].T)
+        tied = "lm_head" not in tp
+        w = tp["embed"] if tied else tp["lm_head"]
         ce_chunk = 512 if input_ids.shape[1] >= 16384 else 1024
-        return fused_linear_cross_entropy(hidden, w, labels, chunk=ce_chunk)
+        return fused_linear_cross_entropy(
+            hidden, w, labels, chunk=ce_chunk, w_is_vd=tied
+        )
     logits = lm_head(tp, cfg.text, hidden)
     return cross_entropy_loss(logits, labels)
 

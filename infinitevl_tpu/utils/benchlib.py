@@ -49,33 +49,38 @@ def device_time_ms_min(
     n1: int = 3,
     n2: int = 13,
     warmup: int = 1,
-    reps: int = 3,
+    reps: int = 5,
 ) -> float:
-    """Min over `reps` slope measurements, carry threaded across reps.
+    """MEDIAN over `reps` slope measurements, carry threaded across reps.
+    (Name kept for call-site stability; the statistic changed from min to
+    median — see below.)
 
     The relay's health varies on minute scales (observed: a window where
     per-step host cost inflated a 10.6 ms B=1 decode to a 'measured'
     19.1 ms while an 8-token verify of the SAME weights timed 11.9 ms —
-    physically impossible, so pure measurement pollution). A transient
-    stall can only ADD time to a chained slope, never remove it, so the
-    min across repeats is the honest device number.
+    physically impossible). The first fix took the MIN across reps on the
+    theory that stalls only ADD time — but a stall inside the FIRST
+    window (t1-t0) SUBTRACTS from the differential slope, so the min
+    prefers lying-LOW reps: probe_int4_pallas pair steps "measured"
+    0.009 ms for a 90 MB weight read (10+ TB/s), and an int8+embed decode
+    read 3.67 ms/tok against a 4.9 ms physical floor
+    (scripts/probe_timing_sanity.py shows the rep spread). The median is
+    robust to a stall in EITHER window as long as most reps are clean.
 
     The carry from one rep seeds the next (instead of re-passing `init`),
     so steps that DONATE their state (decode_step and friends) stay valid:
     `init`'s buffers are consumed exactly once, at warmup."""
     out = _run_chained(step, init, warmup)
-    best = None
-    last = None
+    slopes = []
     for _ in range(max(1, reps)):
         t0 = time.perf_counter()
         out = _run_chained(step, out, n1)
         t1 = time.perf_counter()
         out = _run_chained(step, out, n2)
         t2 = time.perf_counter()
-        last = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
-        if last > 0 and (best is None or last < best):
-            best = last
-    return best if best is not None else last
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
+    pos = sorted(s for s in slopes if s > 0) or sorted(slopes)
+    return pos[len(pos) // 2]
 
 
 def sync_overhead_ms() -> float:

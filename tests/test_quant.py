@@ -400,3 +400,100 @@ def test_generator_int4_generates():
     gen = Generator(params, cfg, quant="int4")
     out = gen.generate(jnp.asarray([[5, 6, 7]], jnp.int32), max_new_tokens=4)
     assert np.asarray(out).shape[1] >= 1
+
+
+# --- row-wise int8 embed / tied-lm_head table (quantize_embed_rows): the
+# tied head reads the FULL vocab x hidden bytes every decoded token, so
+# serving quantizes the table too (Generator quant_embed, default on) ---
+
+
+def test_quantize_embed_rows_roundtrip():
+    from infinitevl_tpu.models.quant import quantize_embed_rows
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 64), jnp.float32) * 0.02
+    node = quantize_embed_rows(w)
+    assert node["embed_q"].dtype == jnp.int8
+    assert node["embed_scale"].shape == (128,)
+    assert node["embed_scale"].dtype == w.dtype  # carries the model dtype
+    deq = node["embed_q"].astype(jnp.float32) * node[
+        "embed_scale"
+    ].astype(jnp.float32)[:, None]
+    # per-row relative error bounded by the int8 step
+    rel = jnp.abs(deq - w).max(1) / jnp.abs(w).max(1)
+    assert float(rel.max()) < 0.01
+
+
+def test_quantize_params_embed_replaces_table():
+    cfg = tiny_config().text
+    params = init_text_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    qp = quantize_params(params, min_size=1024, quantize_embed=True)
+    assert "embed" not in qp and "embed_q" in qp and "embed_scale" in qp
+    assert qp["embed_scale"].dtype == jnp.bfloat16
+    # default stays structure-preserving (training paths read params["embed"])
+    qp_default = quantize_params(params, min_size=1024)
+    assert "embed" in qp_default and "embed_q" not in qp_default
+
+
+def test_quantized_embed_lm_head_parity():
+    """Gather + tied logits through the quantized table track the bf16
+    table within the int8 step; argmax choice is preserved on the fixture."""
+    from infinitevl_tpu.models.text import lm_head
+
+    cfg = tiny_config().text
+    params = init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qp = quantize_params(params, min_size=1024, quantize_embed=True)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0, cfg.vocab_size)
+    e_ref = embed_tokens(params, ids)
+    e_q = embed_tokens(qp, ids)
+    assert e_q.dtype == e_ref.dtype
+    err = float(jnp.abs(e_q - e_ref).max() / (jnp.abs(e_ref).max() + 1e-9))
+    assert err < 0.01, err
+    hidden = jax.random.normal(jax.random.PRNGKey(2), (1, 4, cfg.hidden_size))
+    lg_ref = lm_head(params, cfg, hidden)
+    lg_q = lm_head(qp, cfg, hidden)
+    assert lg_q.dtype == jnp.float32
+    rel = float(
+        jnp.abs(lg_q - lg_ref).max() / (jnp.abs(lg_ref).max() + 1e-9)
+    )
+    assert rel < 0.02, rel
+    assert (jnp.argmax(lg_q, -1) == jnp.argmax(lg_ref, -1)).all()
+
+
+def test_quantized_untied_lm_head():
+    import dataclasses
+
+    from infinitevl_tpu.models.text import lm_head
+
+    cfg = dataclasses.replace(tiny_config().text, tie_word_embeddings=False)
+    params = init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    assert "lm_head" in params
+    qp = quantize_params(params, min_size=1024, quantize_embed=True)
+    assert "lm_head" not in qp and "lm_head_q" in qp
+    assert qp["lm_head_q"].shape == (cfg.hidden_size, cfg.vocab_size)
+    hidden = jax.random.normal(jax.random.PRNGKey(2), (1, 4, cfg.hidden_size))
+    lg_ref = lm_head(params, cfg, hidden)
+    lg_q = lm_head(qp, cfg, hidden)
+    rel = float(
+        jnp.abs(lg_q - lg_ref).max() / (jnp.abs(lg_ref).max() + 1e-9)
+    )
+    assert rel < 0.02, rel
+
+
+def test_generator_quant_embed_default_and_dtype_detection():
+    """Generator(quant='int8') quantizes the table by default; a generator
+    re-built from the already-quantized params must infer bf16 from the
+    scale leaf (state dtype must match activations)."""
+    from infinitevl_tpu.generation import Generator
+
+    # vocab large enough that the embed table passes the default min_size
+    # gate (tiny 512 x 64 = 32K elements sits under 65536 and stays bf16)
+    cfg = tiny_config(vocab_size=2048)
+    params = init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    gen = Generator(params, cfg, quant="int8")
+    assert "embed_q" in gen.params["text"]
+    out = gen.generate(np.array([[7, 11, 13]], np.int32), max_new_tokens=5)
+    assert out.shape == (1, 5)
+    gen2 = Generator(gen.params, cfg)  # dtype=None -> detect from scale
+    assert gen2.dtype == jnp.bfloat16
+    out2 = gen2.generate(np.array([[7, 11, 13]], np.int32), max_new_tokens=5)
+    assert np.array_equal(np.asarray(out), np.asarray(out2))
