@@ -67,9 +67,14 @@ def _swa_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0]
-    s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+    # native-dtype operands, fp32 accumulation: bf16 x bf16 -> fp32 runs
+    # at full MXU rate (fp32 x fp32 is emulated ~8x slower) and, since the
+    # inputs ARE bf16, the products are bit-identical either way — the
+    # scale moves onto the fp32 scores (same change as ops/vit_flash.py)
+    s = (
+        jnp.dot(q_ref[0, 0], k_ref[0, 0].T, preferred_element_type=jnp.float32)
+        * scale
+    )
 
     # positions factor into a row vector (query) and a column vector (key):
     # the expensive div/mod run on R + block_k elements, not R*block_k
@@ -236,9 +241,9 @@ def _swa_decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    s = jnp.dot(q, k_ref[0, 0].T.astype(jnp.float32),
-                preferred_element_type=jnp.float32)  # [G, block_k]
+    # native-dtype QK^T, fp32 accumulation (see the prefill kernel note)
+    s = jnp.dot(q_ref[0, 0], k_ref[0, 0].T,
+                preferred_element_type=jnp.float32) * scale  # [G, block_k]
 
     slot = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
     m0 = (cum_incl - 1) % cap
@@ -292,9 +297,9 @@ def _swa_decode_kernel_stacked(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    s = jnp.dot(q, k_ref[0, 0, 0].T.astype(jnp.float32),
-                preferred_element_type=jnp.float32)
+    # native-dtype QK^T, fp32 accumulation (see the prefill kernel note)
+    s = jnp.dot(q_ref[0, 0], k_ref[0, 0, 0].T,
+                preferred_element_type=jnp.float32) * scale
 
     slot = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     m0 = (cum_incl - 1) % cap

@@ -61,10 +61,16 @@ def _vit_flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    s = jnp.dot(
-        q, k_ref[0].T.astype(jnp.float32), preferred_element_type=jnp.float32
-    )  # [block_q, block_k]
+    # QK^T with NATIVE-dtype operands, fp32 accumulation: the MXU runs
+    # bf16 x bf16 -> fp32 at full rate but emulates fp32 x fp32 at ~1/8,
+    # and this dot is the kernel's FLOPs bulk (measured 10.5 ms per
+    # full-attention block at S=9216 with the fp32 formulation). The
+    # scale rides on the fp32 scores, so no precision is spent on it;
+    # softmax statistics stay fp32 throughout.
+    s = (
+        jnp.dot(q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32)
+        * scale
+    )  # [block_q, block_k] f32
 
     sq = segq_ref[:, :1]  # [block_q, 1]
     sk = segk_ref[:, :]  # [1, block_k]
