@@ -837,11 +837,16 @@ def main():
             f"InfiniteVL stays at {state_mb:.0f} MB"
         )
     if dense["ms_max"] is not None:
-        # prefer the same-window hybrid rungs (measured right after the
-        # dense ladder) so both ratio sides saw the same relay health;
-        # the late-window rungs are the fallback
-        hyb_max = dense.get("ms_hyb_max") or ms_dec_mc
-        int8_max = dense.get("ms_int8_max") or ms_dec_q_mc
+        # each hybrid rung is measured in TWO windows ~10 min apart (right
+        # after the dense ladder + in its own decode section). The step
+        # time is a physical constant and relay pollution is strictly
+        # ADDITIVE to a chained median (the subtractive min-estimator
+        # artifact is gone since benchlib medians reps), so the smaller
+        # of the two medians is the honest value (observed: a sick window
+        # read the int8 rung at 14.63 ms against a 5.3 ms floor while the
+        # same binary measured 5.80 in a healthy one)
+        hyb_max = min(v for v in (dense.get("ms_hyb_max"), ms_dec_mc) if v)
+        int8_max = min(v for v in (dense.get("ms_int8_max"), ms_dec_q_mc) if v)
         vs_dense_maxctx = dense["ms_max"] / hyb_max
         vs_dense_maxctx_int8 = dense["ms_max"] / int8_max
         log(
