@@ -108,6 +108,12 @@ class TrainArgs:
     # full finetuning (SFT/PT).
     pipeline_stages: int = 1
     n_microbatches: int = 1
+    # gpipe: jax.grad through the scanned forward (activation memory grows
+    # with n_microbatches). 1f1b: hand-scheduled forward+backward with a
+    # bounded 2S-1 saved-input ring per stage (O(S^2) activations,
+    # independent of M) — same numbers, same bubble; pick it when raising
+    # n_microbatches to shrink the bubble.
+    pipeline_schedule: str = "gpipe"
     # gradient checkpointing (reference model_utils/checkpointing.py role):
     # remat recomputes layer internals in the backward; remat_group > 1
     # checkpoints groups of layers (fewer live boundary activations) but

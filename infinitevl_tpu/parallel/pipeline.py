@@ -334,22 +334,289 @@ def pp_sft_loss_fn(
     )
 
 
+def pp_sft_value_and_grad_1f1b(
+    pp_text_params: Params,
+    cfg: TextConfig,
+    input_ids: jax.Array,  # [B, T]
+    labels: jax.Array,  # [B, T]
+    position_ids: jax.Array,  # [3, B, T]
+    n_microbatches: int,
+    segment_ids: Optional[jax.Array] = None,
+    mesh: Optional[Mesh] = None,
+    remat: bool = True,
+) -> Tuple[jax.Array, Params]:
+    """1F1B (PipeDream-flush) schedule: hand-written forward+backward in ONE
+    scan, returning (loss, grads) — numerically identical to jax.grad of the
+    GPipe schedule, but with bounded activation memory.
+
+    Why it exists: jax.grad of `pipeline_decoder_forward` IS the GPipe
+    backward, and reverse-of-scan saves every tick's carry — the boundary
+    activations grow O(M·S·act) with the microbatch count, which is exactly
+    the axis PP wants to scale (more microbatches = smaller bubble). Here
+    each stage keeps only a ring of its last 2S-1 microbatch INPUTS and
+    recomputes the stage forward inside the backward (the remat the GPipe
+    path already pays), so activation memory is O(S²·act), independent of M.
+
+    Schedule (lockstep double-ticks, u = 0..M+2S-3; every tick all stages
+    run one forward AND one backward, bubble slots masked):
+      fwd:  stage s runs microbatch  u - s            (GPipe timing)
+      head: loss + dL/dh for microbatch u - (S-1), the tick it exits
+      bwd:  stage s runs microbatch  u - (2S-2-s)     (cotangent ripples
+            back one stage per tick, via the reverse roll)
+    Stage s holds a forwarded microbatch for 2(S-1-s) ticks, hence the
+    2S-1 ring bound. Same bubble fraction as GPipe — 1F1B's win is memory,
+    which is what un-caps n_microbatches.
+
+    Gradient bookkeeping mirrors jax.grad exactly: per-tick stage vjps
+    accumulate stage-stacked param grads and emit dx/dcos/dsin cotangents;
+    dcos/dsin are scatter-added per microbatch and pulled back through one
+    prelude vjp (embed lookup + mrope_cos_sin) so embed/inv_freq grads
+    match the autodiff paths (inv_freq gets a real gradient there too).
+    Loss = sum-NLL / token-count over the full batch, so all cotangents run
+    at sum scale and every grad is divided by the count once at the end."""
+    from ..models.text import embed_tokens
+    from ..ops.norms import rms_norm
+    from ..ops.rope import mrope_cos_sin
+    from ..train.step import IGNORE_INDEX, fused_linear_cross_entropy
+
+    B, T = input_ids.shape
+    M = n_microbatches
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    mB = B // M
+    stage_stacks = pp_text_params["stage_stacks"]
+    S = jax.tree.leaves(stage_stacks[0])[0].shape[0]
+    pattern = tuple(cfg.layer_role(j) for j in range(len(stage_stacks)))
+    R = 2 * S - 1  # saved-input ring depth per stage
+    U = M + 2 * S - 2  # total double-ticks
+
+    def constrain(t, spec):
+        if mesh is None:
+            return t
+        return jax.lax.with_sharding_constraint(t, NamedSharding(mesh, spec))
+
+    # ---- prelude (run forward now; vjp'd once at the end) ----
+    tied = "lm_head" not in pp_text_params
+    w_key = "embed" if tied else "lm_head"
+    pre_p = {
+        "embed": pp_text_params["embed"],
+        "inv_freq": pp_text_params["inv_freq"],
+    }
+
+    def prelude(p):
+        e = embed_tokens(p, input_ids)
+        cos, sin = mrope_cos_sin(
+            position_ids, p["inv_freq"], cfg.mrope_section,
+            cfg.attention_scaling, dtype=e.dtype,
+        )
+        return e, cos, sin
+
+    (embeds, cos, sin), prelude_pull = jax.vjp(prelude, pre_p)
+    D = embeds.shape[-1]
+    hd = cos.shape[-1]
+    x_mb = embeds.reshape((M, mB, T, D))
+    cos_mb = cos.reshape((M, mB) + cos.shape[1:])
+    sin_mb = sin.reshape((M, mB) + sin.shape[1:])
+    seg_mb = (
+        segment_ids.reshape((M, mB, T)) if segment_ids is not None else None
+    )
+    labels_mb = labels.reshape((M, mB, T))
+
+    # ---- head: per-microbatch sum-NLL over (final_norm, lm weights) ----
+    head_p = {"final_norm": pp_text_params["final_norm"],
+              w_key: pp_text_params[w_key]}
+    ce_chunk = 512 if T >= 16384 else 1024
+
+    def head_nll_sum(hp, h_m, lb_m):
+        h = rms_norm(h_m, hp["final_norm"], cfg.rms_norm_eps)
+        cnt = jnp.maximum((lb_m != IGNORE_INDEX).sum(), 1)
+        mean = fused_linear_cross_entropy(
+            h, hp[w_key], lb_m, chunk=ce_chunk, w_is_vd=tied
+        )
+        return mean * cnt.astype(mean.dtype)
+
+    stage_ids = jnp.arange(S)
+
+    def gather_mb(buf, idx):
+        return jax.vmap(
+            lambda i: jax.lax.dynamic_index_in_dim(
+                buf, jnp.clip(i, 0, M - 1), 0, keepdims=False
+            )
+        )(idx)
+
+    seg_axis = 0 if seg_mb is not None else None
+    run_stages = jax.vmap(
+        lambda stk, x, c, s_, seg: _stage_fn(
+            stk, cfg, pattern, x, c, s_, seg, remat
+        ),
+        in_axes=(0, 0, 0, 0, seg_axis),
+    )
+
+    def stage_bwd(stk, x, c, s_, seg, ct_s):
+        f = lambda stk_, x_, c_, sn_: _stage_fn(
+            stk_, cfg, pattern, x_, c_, sn_, seg, remat
+        )
+        _, pull = jax.vjp(f, stk, x, c, s_)
+        return pull(ct_s)
+
+    run_stages_bwd = jax.vmap(
+        stage_bwd, in_axes=(0, 0, 0, 0, seg_axis, 0)
+    )
+
+    state0 = constrain(jnp.zeros((S, mB, T, D), embeds.dtype), P(PIPE, DATA))
+    saved0 = constrain(
+        jnp.zeros((S, R, mB, T, D), embeds.dtype), P(PIPE, None, DATA)
+    )
+    ct0 = constrain(jnp.zeros((S, mB, T, D), embeds.dtype), P(PIPE, DATA))
+    gstk0 = jax.tree.map(jnp.zeros_like, stage_stacks)
+    ghead0 = jax.tree.map(jnp.zeros_like, head_p)
+    d_emb0 = constrain(jnp.zeros((M, mB, T, D), embeds.dtype), P(None, DATA))
+    d_cos0 = jnp.zeros((M, mB, T, hd), cos.dtype)
+    d_sin0 = jnp.zeros((M, mB, T, hd), sin.dtype)
+    nll0 = jnp.float32(0.0)
+
+    def tick(carry, u):
+        state, saved, ct, gstk, ghead, d_emb, d_cos, d_sin, nll = carry
+        fm = u - stage_ids  # [S] fwd microbatch per stage
+        bm = u - (2 * S - 2 - stage_ids)  # [S] bwd microbatch per stage
+        fw_ok = (fm >= 0) & (fm < M)
+        bw_ok = (bm >= 0) & (bm < M)
+        hm = u - (S - 1)
+        head_ok = (hm >= 0) & (hm < M)
+
+        # ---- forward (GPipe timing) ----
+        inj = jax.lax.dynamic_index_in_dim(
+            x_mb, jnp.clip(u, 0, M - 1), 0, keepdims=False
+        )
+        first = jnp.where(u < M, inj.astype(state.dtype), state[0])
+        state = constrain(state.at[0].set(first), P(PIPE, DATA))
+        cos_f = gather_mb(cos_mb, fm)
+        sin_f = gather_mb(sin_mb, fm)
+        seg_f = gather_mb(seg_mb, fm) if seg_mb is not None else None
+        y = run_stages(stage_stacks, state, cos_f, sin_f, seg_f)
+        y = constrain(y, P(PIPE, DATA))
+
+        # save this tick's stage INPUTS into the per-stage ring (only
+        # valid forwards may write — a clipped write would clobber a
+        # live slot during drain)
+        slot_f = jnp.mod(jnp.clip(fm, 0, M - 1), R)
+
+        def wr(buf_s, x_s, i_s, ok_s):
+            old = jax.lax.dynamic_index_in_dim(buf_s, i_s, 0, keepdims=False)
+            new = jnp.where(ok_s, x_s, old)
+            return jax.lax.dynamic_update_index_in_dim(buf_s, new, i_s, 0)
+
+        saved = jax.vmap(wr)(saved, state, slot_f, fw_ok)
+        saved = constrain(saved, P(PIPE, None, DATA))
+
+        # ---- head: microbatch hm exits stage S-1 this tick ----
+        lb_m = jax.lax.dynamic_index_in_dim(
+            labels_mb, jnp.clip(hm, 0, M - 1), 0, keepdims=False
+        )
+        nll_m, head_pull = jax.vjp(
+            lambda hp, h: head_nll_sum(hp, h, lb_m), head_p, y[S - 1]
+        )
+        ct_scalar = jnp.where(head_ok, 1.0, 0.0).astype(nll_m.dtype)
+        dhp, ct_head = head_pull(ct_scalar)
+        nll = nll + jnp.where(head_ok, nll_m.astype(jnp.float32), 0.0)
+        ghead = jax.tree.map(jnp.add, ghead, dhp)
+        ct = ct.at[S - 1].set(ct_head.astype(ct.dtype))
+
+        # ---- backward (cotangent zeroed on bubble slots; vjp is linear
+        # in the cotangent, so masked slots contribute exactly zero) ----
+        slot_b = jnp.mod(jnp.clip(bm, 0, M - 1), R)
+        x_b = jax.vmap(
+            lambda buf_s, i_s: jax.lax.dynamic_index_in_dim(
+                buf_s, i_s, 0, keepdims=False
+            )
+        )(saved, slot_b)
+        cos_b = gather_mb(cos_mb, bm)
+        sin_b = gather_mb(sin_mb, bm)
+        seg_b = gather_mb(seg_mb, bm) if seg_mb is not None else None
+        ct_use = jnp.where(bw_ok[:, None, None, None], ct, 0)
+        dstk, dx, dcos, dsin = run_stages_bwd(
+            stage_stacks, x_b, cos_b, sin_b, seg_b, ct_use
+        )
+        gstk = jax.tree.map(jnp.add, gstk, dstk)
+        d_emb = d_emb.at[jnp.clip(bm[0], 0, M - 1)].add(
+            jnp.where(bw_ok[0], dx[0], 0)
+        )
+        d_emb = constrain(d_emb, P(None, DATA))
+        bmask = bw_ok[:, None, None, None]
+        idx_b = jnp.clip(bm, 0, M - 1)
+        d_cos = d_cos.at[idx_b].add(jnp.where(bmask, dcos, 0))
+        d_sin = d_sin.at[idx_b].add(jnp.where(bmask, dsin, 0))
+
+        # advance both pipelines: activations roll down, cotangents roll up
+        state = constrain(jnp.roll(y, 1, axis=0), P(PIPE, DATA))
+        ct = constrain(jnp.roll(dx, -1, axis=0), P(PIPE, DATA))
+        return (
+            state, saved, ct, gstk, ghead, d_emb, d_cos, d_sin, nll
+        ), None
+
+    carry = (
+        state0, saved0, ct0, gstk0, ghead0, d_emb0, d_cos0, d_sin0, nll0
+    )
+    carry, _ = jax.lax.scan(tick, carry, jnp.arange(U))
+    _, _, _, gstk, ghead, d_emb, d_cos, d_sin, nll = carry
+
+    (dpre,) = prelude_pull(
+        (
+            d_emb.reshape(B, T, D),
+            d_cos.reshape(B, T, hd),
+            d_sin.reshape(B, T, hd),
+        )
+    )
+
+    cnt = jnp.maximum((labels != IGNORE_INDEX).sum(), 1)
+    loss = nll / cnt.astype(jnp.float32)
+    scale = 1.0 / cnt.astype(jnp.float32)
+
+    def scaled(g):
+        return (g.astype(jnp.float32) * scale).astype(g.dtype)
+
+    grads: Params = {
+        k: jax.tree.map(jnp.zeros_like, v)
+        for k, v in pp_text_params.items()
+    }
+    grads["stage_stacks"] = jax.tree.map(scaled, gstk)
+    grads["final_norm"] = scaled(ghead["final_norm"])
+    grads["inv_freq"] = scaled(dpre["inv_freq"])
+    g_embed = dpre["embed"]
+    if tied:
+        g_embed = g_embed + ghead["embed"]
+    else:
+        grads["lm_head"] = scaled(ghead["lm_head"])
+    grads["embed"] = scaled(g_embed)
+    return loss, grads
+
+
 def make_pp_sft_train_step(
     cfg: TextConfig,
     tx,
     n_microbatches: int,
     mesh: Optional[Mesh] = None,
     remat: bool = True,
+    schedule: str = "gpipe",
 ):
     """Pipelined (params, opt_state, batch) -> (params, opt_state, loss).
-    params = {"text": stack_stage_params(...)}; jax.grad through the
-    schedule is the GPipe backward (reverse ticks, reverse collectives)."""
+    params = {"text": stack_stage_params(...)}.
+
+    schedule="gpipe": jax.grad through pipeline_decoder_forward — the GPipe
+    backward (reverse ticks, reverse collectives); activation memory grows
+    with n_microbatches. schedule="1f1b": the hand-scheduled
+    pp_sft_value_and_grad_1f1b — same numbers, O(S²) activation memory."""
     import optax
 
+    if schedule not in ("gpipe", "1f1b"):
+        raise ValueError(
+            f"unknown pipeline schedule {schedule!r} (gpipe | 1f1b)"
+        )
+
     def step(params, opt_state, batch):
-        def loss_fn(p):
-            return pp_sft_loss_fn(
-                p["text"],
+        if schedule == "1f1b":
+            loss, gtext = pp_sft_value_and_grad_1f1b(
+                params["text"],
                 cfg,
                 batch["input_ids"],
                 batch["labels"],
@@ -359,8 +626,23 @@ def make_pp_sft_train_step(
                 mesh=mesh,
                 remat=remat,
             )
+            grads = {"text": gtext}
+        else:
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            def loss_fn(p):
+                return pp_sft_loss_fn(
+                    p["text"],
+                    cfg,
+                    batch["input_ids"],
+                    batch["labels"],
+                    batch["position_ids"],
+                    n_microbatches,
+                    segment_ids=batch.get("segment_ids"),
+                    mesh=mesh,
+                    remat=remat,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

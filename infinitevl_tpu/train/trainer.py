@@ -886,7 +886,8 @@ def _run_sft_pipeline(args: AllArgs, cfg, data, tokenizer, mm: bool, dtype):
     opt_state = tx.init(pp)
     step_fn = jax.jit(
         make_pp_sft_train_step(
-            tcfg, tx, n_microbatches=M, mesh=mesh, remat=args.train.remat
+            tcfg, tx, n_microbatches=M, mesh=mesh, remat=args.train.remat,
+            schedule=args.train.pipeline_schedule,
         ),
         donate_argnums=(0, 1),
     )

@@ -156,6 +156,126 @@ def test_pp_segment_ids_packing():
     assert abs(float(loss) - float(ref)) < 1e-5
 
 
+@pytest.mark.parametrize("stages,micro", [(2, 2), (2, 4), (4, 2)])
+def test_1f1b_loss_matches_plain(stages, micro):
+    """Hand-scheduled 1F1B loss == plain-loop loss for several
+    (stages, microbatches) shapes."""
+    from infinitevl_tpu.parallel.pipeline import pp_sft_value_and_grad_1f1b
+
+    layers = 8 if stages == 2 else 16
+    cfg = tiny_config(num_hidden_layers=layers)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    batch = _batch(cfg)
+    ref = float(_plain_loss(params["text"], cfg, batch))
+
+    mesh = create_pp_mesh(pipe=stages, data=8 // stages // 2, model=2)
+    pp_text = stack_stage_params(params["text"], cfg.text, stages)
+    pp = shard_pp_params({"text": pp_text}, mesh)
+
+    loss, _ = jax.jit(
+        lambda p: pp_sft_value_and_grad_1f1b(
+            p["text"], cfg.text, batch["input_ids"], batch["labels"],
+            batch["position_ids"], n_microbatches=micro, mesh=mesh,
+        )
+    )(pp)
+    assert abs(float(loss) - ref) < 1e-5 * max(1.0, abs(ref)), (
+        float(loss), ref,
+    )
+
+
+def test_1f1b_grads_match_plain():
+    """1F1B hand-written backward == autodiff of the plain path, for every
+    checked leaf class: layer params (stage-stacked), embed (prelude+tied
+    head), inv_freq (through the cos/sin scatter-add), final_norm (head)."""
+    from infinitevl_tpu.parallel.pipeline import pp_sft_value_and_grad_1f1b
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    batch = _batch(cfg, seed=1)
+
+    g_ref = jax.grad(lambda tp: _plain_loss(tp, cfg, batch))(params["text"])
+
+    mesh = create_pp_mesh(pipe=2, data=2, model=2)
+    pp_text = stack_stage_params(params["text"], cfg.text, 2)
+    pp = shard_pp_params({"text": pp_text}, mesh)
+    _, g_pp = jax.jit(
+        lambda p: pp_sft_value_and_grad_1f1b(
+            p["text"], cfg.text, batch["input_ids"], batch["labels"],
+            batch["position_ids"], n_microbatches=2, mesh=mesh,
+        )
+    )(pp)
+
+    g_pp_layers = unstack_stage_params(g_pp)
+    for i in (0, 1, 5, 7):
+        for key in ("input_norm", "post_norm"):
+            a = np.asarray(g_pp_layers["layers"][i][key])
+            b = np.asarray(g_ref["layers"][i][key])
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_pp_layers["embed"]), np.asarray(g_ref["embed"]),
+        rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pp_layers["final_norm"]),
+        np.asarray(g_ref["final_norm"]), rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pp_layers["inv_freq"]), np.asarray(g_ref["inv_freq"]),
+        rtol=2e-4, atol=1e-7,
+    )
+
+
+def test_1f1b_segment_ids_and_train_step():
+    """Packed segments flow through 1F1B unchanged, and a full optimizer
+    step with schedule='1f1b' runs sharded and moves the params."""
+    from infinitevl_tpu.parallel.pipeline import pp_sft_value_and_grad_1f1b
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    batch = _batch(cfg, seed=3)
+    B, T = batch["input_ids"].shape
+    seg = jnp.asarray(
+        np.repeat([[1] * (T // 2) + [2] * (T - T // 2)], B, axis=0)
+    )
+    ref = sft_loss_fn(
+        params["text"], cfg.text, batch["input_ids"], batch["labels"],
+        batch["position_ids"], segment_ids=seg, remat=True,
+    )
+    mesh = create_pp_mesh(pipe=2, data=2, model=2)
+    pp_text = stack_stage_params(params["text"], cfg.text, 2)
+    pp = shard_pp_params({"text": pp_text}, mesh)
+    loss, _ = jax.jit(
+        lambda p: pp_sft_value_and_grad_1f1b(
+            p["text"], cfg.text, batch["input_ids"], batch["labels"],
+            batch["position_ids"], n_microbatches=2, segment_ids=seg,
+            mesh=mesh,
+        )
+    )(pp)
+    assert abs(float(loss) - float(ref)) < 1e-5
+
+    tx = make_optimizer(learning_rate=1e-3)
+    opt_state = tx.init(pp)
+    step = jax.jit(
+        make_pp_sft_train_step(
+            cfg.text, tx, n_microbatches=2, mesh=mesh, schedule="1f1b"
+        ),
+        donate_argnums=(0, 1),
+    )
+    leaf = jax.tree.leaves(pp["text"]["stage_stacks"][0])[0]
+    before = float(jnp.sum(jnp.abs(leaf)))
+    pp2, opt_state, loss = step(pp, opt_state, batch)
+    assert np.isfinite(float(loss))
+    leaf2 = jax.tree.leaves(pp2["text"]["stage_stacks"][0])[0]
+    assert float(jnp.sum(jnp.abs(leaf2))) != before
+
+
+def test_1f1b_schedule_validation():
+    cfg = tiny_config()
+    tx = make_optimizer()
+    with pytest.raises(ValueError, match="unknown pipeline schedule"):
+        make_pp_sft_train_step(cfg.text, tx, n_microbatches=2, schedule="x")
+
+
 def test_pp_stage_count_validation():
     cfg = tiny_config()  # 8 layers, period 4 -> 2 periods
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
