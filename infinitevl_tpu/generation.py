@@ -336,26 +336,29 @@ class Generator:
 
     def generate_speculative(
         self,
-        input_ids: np.ndarray,  # [1, T] text-only prompt
+        input_ids: np.ndarray,  # [1, T] prompt (text or multimodal)
         max_new_tokens: int = 128,
         draft_k: int = 8,
         eos_token_id: Optional[int] = None,
         stats=None,  # Optional[speculative.SpecStats]
+        **mm_kwargs,  # pixel_values / image_grid_thw / videos / ts
     ) -> np.ndarray:
         """Greedy generation with prompt-lookup speculative decoding
         (speculative.py): token-for-token identical output, several drafts
-        verified per weight read. Batch-1, greedy, text-only. Pass a
-        SpecStats to collect the request's measured acceptance."""
+        verified per weight read. Batch-1, greedy; multimodal prompts
+        prefill through prefill_prompt. Pass a SpecStats to collect the
+        request's measured acceptance."""
         from .speculative import generate_speculative
 
         return generate_speculative(
             self, input_ids, max_new_tokens=max_new_tokens,
             draft_k=draft_k, eos_token_id=eos_token_id, stats=stats,
+            **mm_kwargs,
         )
 
     def generate_speculative_sampled(
         self,
-        input_ids: np.ndarray,  # [1, T] text-only prompt
+        input_ids: np.ndarray,  # [1, T] prompt (text or multimodal)
         max_new_tokens: int = 128,
         draft_k: int = 8,
         temperature: float = 0.7,
@@ -364,6 +367,7 @@ class Generator:
         seed: int = 0,
         eos_token_id: Optional[int] = None,
         stats=None,
+        **mm_kwargs,  # pixel_values / image_grid_thw / videos / ts
     ) -> np.ndarray:
         """LOSSLESS sampled speculation (rejection sampling over prompt-
         lookup drafts, speculative.generate_speculative_sampled): the
@@ -374,7 +378,7 @@ class Generator:
         return generate_speculative_sampled(
             self, input_ids, max_new_tokens=max_new_tokens, draft_k=draft_k,
             temperature=temperature, top_k=top_k, top_p=top_p, seed=seed,
-            eos_token_id=eos_token_id, stats=stats,
+            eos_token_id=eos_token_id, stats=stats, **mm_kwargs,
         )
 
     def generate_beam(
@@ -419,7 +423,7 @@ class Generator:
         keep = int(np.argmax(pad_col)) if pad_col.any() else out.shape[1]
         return out[:, :keep]
 
-    def generate_stream(
+    def prefill_prompt(
         self,
         input_ids: np.ndarray,  # [B, T]
         pixel_values: Optional[np.ndarray] = None,
@@ -427,23 +431,16 @@ class Generator:
         pixel_values_videos: Optional[np.ndarray] = None,
         video_grid_thw: Optional[np.ndarray] = None,
         second_per_grid_ts=None,
-        max_new_tokens: int = 128,
-        temperature: float = 0.0,
-        top_k: int = 0,
-        top_p: float = 1.0,
-        repetition_penalty: float = 1.0,
-        seed: int = 0,
-        eos_token_id: Optional[int] = None,
         state: Optional[DecoderState] = None,
-    ):
-        """TRUE token streaming: yields np token chunks ([B, 1] for the first
-        sampled token, then [B, <=chunk_size] per jitted decode chunk) as
-        they are produced — the TPU counterpart of the reference's
-        TextIteratorStreamer (chat/hf_engine.py:45-415). One host sync per
-        chunk."""
+    ) -> Tuple[jax.Array, DecoderState, jax.Array]:
+        """Shared prompt prefill for every decode-loop entry point
+        (generate_stream, speculative, beam): computes mrope indices
+        (get_rope_index), validates vision placeholders against the grids
+        (reference get_placeholder_mask, modeling_infinitevl.py:1812-1827),
+        routes long TEXT prompts through the bounded-compile chunked
+        prefill, and returns (last-token logits, state, rope_delta)."""
         cfg = self.cfg
         B = input_ids.shape[0]
-        eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         pos, deltas = get_rope_index(
             cfg,
             input_ids,
@@ -453,8 +450,7 @@ class Generator:
         )
         if state is None:
             state = init_decoder_state(cfg.text, B, dtype=self.dtype)
-        # count check (reference get_placeholder_mask raises on mismatch,
-        # modeling_infinitevl.py:1812-1827); host-side, pre-jit
+        # count check: host-side, pre-jit
         merge2 = cfg.vision.spatial_merge_unit
 
         def _check(grids_arr, token_id, kind):
@@ -506,7 +502,42 @@ class Generator:
                 pixel_values=pv, grid_thw=grid,
                 pixel_values_videos=pvv, video_grid_thw=vgrid,
             )
-        rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
+        return logits, state, jnp.asarray(deltas, dtype=jnp.int32)
+
+    def generate_stream(
+        self,
+        input_ids: np.ndarray,  # [B, T]
+        pixel_values: Optional[np.ndarray] = None,
+        image_grid_thw: Optional[np.ndarray] = None,
+        pixel_values_videos: Optional[np.ndarray] = None,
+        video_grid_thw: Optional[np.ndarray] = None,
+        second_per_grid_ts=None,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
+        seed: int = 0,
+        eos_token_id: Optional[int] = None,
+        state: Optional[DecoderState] = None,
+    ):
+        """TRUE token streaming: yields np token chunks ([B, 1] for the first
+        sampled token, then [B, <=chunk_size] per jitted decode chunk) as
+        they are produced — the TPU counterpart of the reference's
+        TextIteratorStreamer (chat/hf_engine.py:45-415). One host sync per
+        chunk."""
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
+        logits, state, rope_delta = self.prefill_prompt(
+            input_ids,
+            pixel_values=pixel_values,
+            image_grid_thw=image_grid_thw,
+            pixel_values_videos=pixel_values_videos,
+            video_grid_thw=video_grid_thw,
+            second_per_grid_ts=second_per_grid_ts,
+            state=state,
+        )
         seen = None
         if repetition_penalty != 1.0:
             # HF RepetitionPenaltyLogitsProcessor semantics: penalize every

@@ -49,10 +49,12 @@ class ChatModel:
         self.generator = generator
         self.tokenizer = tokenizer
         self.template = get_template(template)
-        # draft_k > 0 opt-in routes GREEDY text-only requests through
-        # prompt-lookup speculative decoding (speculative.py) — lossless
-        # (token-for-token equal, tested), and a K=8 verify window costs
-        # only 1.14x one decode step on v5e, so accepted drafts are ~free.
+        # draft_k > 0 opt-in routes batch-1 requests (text AND multimodal;
+        # greedy or sampled) through prompt-lookup speculative decoding
+        # (speculative.py) — lossless (greedy: token-for-token equal;
+        # sampled: same distribution via rejection sampling, both tested),
+        # and a K=8 verify window costs only 1.14x one decode step on v5e,
+        # so accepted drafts are ~free.
         self.draft_k = int(draft_k)
         # measured acceptance of the most recent speculative request
         # (speculative.SpecStats); None until the first spec-routed chat
@@ -183,14 +185,19 @@ class ChatModel:
         spec_ok = (
             self.draft_k > 0
             and repetition_penalty == 1.0
-            and out.pixel_values is None
-            and out.pixel_values_videos is None
             and out.input_ids.shape[0] == 1
         )
         if spec_ok:
             from ..speculative import SpecStats
 
             stats = SpecStats()
+            mm = dict(
+                pixel_values=out.pixel_values,
+                image_grid_thw=out.image_grid_thw,
+                pixel_values_videos=out.pixel_values_videos,
+                video_grid_thw=out.video_grid_thw,
+                second_per_grid_ts=out.second_per_grid_ts,
+            )
             with self._lock:
                 if temperature == 0.0:
                     tokens = self.generator.generate_speculative(
@@ -198,6 +205,7 @@ class ChatModel:
                         max_new_tokens=max_new_tokens,
                         draft_k=self.draft_k,
                         stats=stats,
+                        **mm,
                     )
                 else:
                     # sampled requests: lossless rejection-sampled
@@ -212,6 +220,7 @@ class ChatModel:
                         top_p=top_p,
                         seed=seed,
                         stats=stats,
+                        **mm,
                     )
                 self.last_spec_stats = stats
             return self.tokenizer.decode(tokens[0], skip_special_tokens=True)

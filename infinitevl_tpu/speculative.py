@@ -120,24 +120,30 @@ def prompt_lookup_draft(
 
 def generate_speculative(
     gen,  # generation.Generator
-    input_ids: np.ndarray,  # [1, T] text-only prompt
+    input_ids: np.ndarray,  # [1, T] prompt (text or multimodal)
     max_new_tokens: int = 128,
     draft_k: int = 8,
     ngram_max: int = 3,
     eos_token_id: Optional[int] = None,
     stats: Optional[SpecStats] = None,
+    pixel_values: Optional[np.ndarray] = None,
+    image_grid_thw: Optional[np.ndarray] = None,
+    pixel_values_videos: Optional[np.ndarray] = None,
+    video_grid_thw: Optional[np.ndarray] = None,
+    second_per_grid_ts=None,
 ) -> np.ndarray:
     """Greedy generation with prompt-lookup speculation. Returns [1, <=N].
     Pass a `SpecStats` to collect measured acceptance for this request.
 
-    Restrictions (documented, loud): batch 1 (acceptance length diverges
-    per row, which would force per-row shapes) and greedy only (lossless
-    sampled speculation needs rejection sampling — not implemented).
-    Multimodal prompts prefill through Generator.generate's path; use it
-    for those (speculation helps long TEXT continuations)."""
-    from .models.infinitevl import get_rope_index
-    from .models.state import init_decoder_state
+    Multimodal prompts are first-class: the prefill runs the full
+    ViT-scatter path (Generator.prefill_prompt) and the decode loop is
+    text-only by construction — exactly where prompt lookup helps (long
+    text answers about an image/video). Draft candidates copied from the
+    vision-pad span of the prompt are verified like any other token: the
+    model's argmax never emits a pad id, so they are simply rejected.
 
+    Restriction (documented, loud): batch 1 — acceptance length diverges
+    per row; use generate_speculative_batched for synchronized batches."""
     cfg = gen.cfg
     ids = np.asarray(input_ids)
     if ids.ndim != 2 or ids.shape[0] != 1:
@@ -149,14 +155,14 @@ def generate_speculative(
         raise ValueError("draft_k must be >= 2 (one input slot + drafts)")
     eos = eos_token_id if eos_token_id is not None else cfg.eos_token_id
 
-    pos, deltas = get_rope_index(cfg, ids)
-    state = init_decoder_state(cfg.text, 1, dtype=gen.dtype)
-    from .generation import prefill
-
-    logits, state = prefill(
-        gen.params, cfg, jnp.asarray(ids), jnp.asarray(pos), state
+    logits, state, rope_delta = gen.prefill_prompt(
+        ids,
+        pixel_values=pixel_values,
+        image_grid_thw=image_grid_thw,
+        pixel_values_videos=pixel_values_videos,
+        video_grid_thw=video_grid_thw,
+        second_per_grid_ts=second_per_grid_ts,
     )
-    rope_delta = jnp.asarray(deltas, dtype=jnp.int32)
 
     last = int(np.argmax(np.asarray(logits), axis=-1)[0])
     out: List[int] = [last]
@@ -248,7 +254,7 @@ def processed_probs(
 
 def generate_speculative_sampled(
     gen,  # generation.Generator
-    input_ids: np.ndarray,  # [1, T] text-only prompt
+    input_ids: np.ndarray,  # [1, T] prompt (text or multimodal)
     max_new_tokens: int = 128,
     draft_k: int = 8,
     temperature: float = 0.7,
@@ -258,6 +264,11 @@ def generate_speculative_sampled(
     seed: int = 0,
     eos_token_id: Optional[int] = None,
     stats: Optional[SpecStats] = None,
+    pixel_values: Optional[np.ndarray] = None,
+    image_grid_thw: Optional[np.ndarray] = None,
+    pixel_values_videos: Optional[np.ndarray] = None,
+    video_grid_thw: Optional[np.ndarray] = None,
+    second_per_grid_ts=None,
 ) -> np.ndarray:
     """LOSSLESS sampled speculation: rejection sampling over prompt-lookup
     drafts, so draft_k composes with temperature/top-k/top-p.
@@ -270,13 +281,10 @@ def generate_speculative_sampled(
     tested statistically in tests/test_speculative.py.
 
     p_j is the post-processing distribution (temperature/top-k/top-p,
-    `processed_probs`), matching what Generator.generate samples. Batch-1
-    text-only like the greedy path (per-row acceptance lengths diverge)."""
+    `processed_probs`), matching what Generator.generate samples.
+    Multimodal prompts prefill through Generator.prefill_prompt like the
+    greedy path. Batch-1 (per-row acceptance lengths diverge)."""
     import jax.numpy as _jnp
-
-    from .generation import prefill
-    from .models.infinitevl import get_rope_index
-    from .models.state import init_decoder_state
 
     cfg = gen.cfg
     ids = np.asarray(input_ids)
@@ -299,12 +307,14 @@ def generate_speculative_sampled(
         p = processed_probs(logits_row, temperature, top_k, top_p)
         return int(rng.choice(len(p), p=p))
 
-    pos, deltas = get_rope_index(cfg, ids)
-    state = init_decoder_state(cfg.text, 1, dtype=gen.dtype)
-    logits, state = prefill(
-        gen.params, cfg, _jnp.asarray(ids), _jnp.asarray(pos), state
+    logits, state, rope_delta = gen.prefill_prompt(
+        ids,
+        pixel_values=pixel_values,
+        image_grid_thw=image_grid_thw,
+        pixel_values_videos=pixel_values_videos,
+        video_grid_thw=video_grid_thw,
+        second_per_grid_ts=second_per_grid_ts,
     )
-    rope_delta = _jnp.asarray(deltas, dtype=_jnp.int32)
 
     last = draw(np.asarray(logits, np.float32)[0])
     out: List[int] = [last]

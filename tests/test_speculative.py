@@ -192,6 +192,69 @@ def test_speculative_eos_stops(tiny_gen):
     assert spec[0][: stop + 1].tolist() == ref[0][: stop + 1].tolist()
 
 
+def _mm_prompt(cfg, seed=4):
+    """Tiny multimodal prompt: one (1,4,4) image grid + repetitive text
+    tail so prompt lookup fires during the continuation."""
+    rng = np.random.RandomState(seed)
+    grid = np.asarray([[1, 4, 4]])
+    in_feat = (
+        cfg.vision.in_channels
+        * cfg.vision.temporal_patch_size
+        * cfg.vision.patch_size**2
+    )
+    pv = rng.randn(16, in_feat).astype(np.float32)
+    ids = np.asarray(
+        [
+            [3, cfg.vision_start_token_id]
+            + [cfg.image_token_id] * 4
+            + [cfg.vision_end_token_id, 11, 12, 13, 11, 12, 13, 11, 12]
+        ],
+        dtype=np.int64,
+    )
+    return ids, pv, grid
+
+
+def test_speculative_multimodal_matches_greedy(tiny_gen):
+    """Multimodal prompts are first-class in the spec path: prefill runs
+    the ViT-scatter pipeline and the continuation is token-for-token equal
+    to Generator.generate with the same pixels."""
+    gen, cfg = tiny_gen
+    ids, pv, grid = _mm_prompt(cfg)
+    ref = np.asarray(
+        gen.generate(
+            ids, pixel_values=pv, image_grid_thw=grid,
+            max_new_tokens=20, eos_token_id=-1,
+        )
+    )
+    from infinitevl_tpu.speculative import SpecStats
+
+    stats = SpecStats()
+    spec = generate_speculative(
+        gen, ids, max_new_tokens=20, draft_k=5, eos_token_id=-1,
+        stats=stats, pixel_values=pv, image_grid_thw=grid,
+    )
+    assert spec[0].tolist() == ref[0].tolist()
+    assert stats.forwards > 0
+
+
+def test_chat_model_spec_routes_multimodal(tiny_gen):
+    """ChatModel with draft_k routes IMAGE requests through speculation
+    (the text-only gate is gone) and records the request's SpecStats."""
+    from infinitevl_tpu.data.loader import SimpleTokenizer
+    from infinitevl_tpu.serve.chat import ChatModel
+
+    gen, cfg = tiny_gen
+    tok = SimpleTokenizer(config=cfg)
+    chat = ChatModel(gen, tok, template="empty", draft_k=4)
+    chat.processor.min_pixels = 1
+    img = (np.random.RandomState(0).rand(28, 28, 3) * 255).astype(np.uint8)
+    msgs = [{"role": "user", "content": "<image>" + " what is this?" * 3}]
+    out = chat.chat(msgs, images=[img], max_new_tokens=8)
+    assert isinstance(out, str)
+    assert chat.last_spec_stats is not None
+    assert chat.last_spec_stats.forwards > 0
+
+
 def test_speculative_rejects_batch_and_bad_k(tiny_gen):
     gen, _ = tiny_gen
     with pytest.raises(ValueError):
