@@ -5,12 +5,29 @@ Headline metric mirrors the reference's demo summary
 (256 visual tokens + <vision_start>) at the deployed InfiniteVL-3B
 configuration. Baseline to beat: 24 FPS on an RTX 4090 (README.md:50).
 
-Timing notes for THIS container: the axon loopback relay charges ~70-110 ms
+DRIVER CONTRACT (CLAUDE.md: "bench.py must keep printing ONE JSON line"):
+the result dict is assembled INCREMENTALLY as sections complete and the
+single JSON line is guaranteed to print exactly once, whichever comes
+first:
+  - normal completion;
+  - SIGTERM/SIGINT (the driver timeout sends TERM first);
+  - atexit (any uncaught error path);
+  - a watchdog thread at IVL_BENCH_BUDGET_S + 40 s that emits and exits
+    even while the main thread sits inside a long XLA/Mosaic compile
+    (python signal handlers are deferred during C calls — the watchdog
+    is not).
+Sections are ordered north-star-first (vs-dense trio, streaming FPS,
+decode ladder, train steps) and est-gated against IVL_BENCH_BUDGET_S
+(default 800 s — under the observed ~900 s driver window; round 4's run
+was killed at rc=124 with the JSON unprinted, which this layout fixes).
+Skipped sections leave explicit nulls and are listed in sections_skipped.
+
+Timing notes for THIS container: the axon loopback relay charges ~30-110 ms
 per host<->device transfer regardless of size (measured), which no real TPU
 deployment pays (PCIe moves a 448x448 frame in <1 ms). The benchmark
 therefore times the device-side pipeline with frames pre-staged in a
-device-resident rotation and uses slope timing (t(n2)-t(n1))/(n2-n1) so the
-fixed sync cost cancels. Weight values are zeros — TPU runtime is
+device-resident rotation and uses chained slope timing (benchlib medians)
+so the fixed sync cost cancels. Weight values are zeros — TPU runtime is
 data-independent, so timing equals real checkpoints.
 
 Prints ONE JSON line; extra stats go to stderr.
@@ -18,18 +35,123 @@ Prints ONE JSON line; extra stats go to stderr.
 
 from __future__ import annotations
 
+import atexit
+import dataclasses
+import gc
 import json
 import os
+import signal
 import sys
+import threading
 import time
+import traceback
+import types
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+T_START = time.time()
+BUDGET_S = float(os.environ.get("IVL_BENCH_BUDGET_S", "800"))
+
+# every field the JSON can carry, pre-seeded so a partial emit has explicit
+# nulls for everything a killed/skipped section never measured
+R = {
+    "params_b": None, "state_mb": None,
+    "frame_ms": None, "fps": None, "fps_e2e": None, "frame_ms_e2e": None,
+    "fps_paired": None, "fps_e2e_paired": None,
+    "fps_clip4": None, "fps_clip4_paired": None,
+    "decode_tok_s": None, "decode_ms": None, "decode_ctx": 500_000,
+    "decode_tok_s_b8": None, "decode_tok_s_b16": None, "b16_ctx": None,
+    "decode_tok_s_int8": None, "decode_tok_s_int4": None,
+    "floor_ms_bf16": None, "floor_ms_int8": None, "floor_ms_int4": None,
+    "floor_violations": [],
+    "prefill_tok_s_32k": None, "pallas_parity_err": None,
+    "spec_verify_x_k8": None, "spec_ceiling_tok_s_k8": None,
+    "spec_e2e_tok_s_k8": None,
+    "spec_tok_s_at_acc30": None, "spec_tok_s_at_acc60": None,
+    "spec_tok_s_at_acc90": None,
+    "spec_proj_tok_s_at_acc30": None, "spec_proj_tok_s_at_acc60": None,
+    "spec_proj_tok_s_at_acc90": None, "spec_curve_detail": None,
+    "hires_prefill_ms_1344": None,
+    "train_tok_s": None, "train_mfu": None, "train_tok_s_64k_qlora": None,
+    "dense_max_ctx": None,
+    "vs_dense_measured_maxctx": None, "vs_dense_measured_maxctx_int8": None,
+    "vs_dense_measured_maxctx_int8_fair": None, "dense_int8_ms_maxctx": None,
+    "vs_dense_96k": None, "vs_dense_96k_int8": None,
+    "vs_dense_500k_extrapolated": None,
+    "dense_agg_tok_s_maxctx": None, "hyb_agg_tok_s_b16_maxctx": None,
+    "vs_dense_equal_hbm_batched": None, "dense_equal_hbm_batch": None,
+    "bench_budget_s": BUDGET_S, "bench_elapsed_s": None,
+    "bench_emit_reason": None, "sections_skipped": [],
+}
+
+_emit_lock = threading.Lock()
+_emitted = False
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit(reason: str = "end"):
+    """Print the ONE JSON line exactly once (idempotent, thread-safe)."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+    R["bench_elapsed_s"] = round(time.time() - T_START, 1)
+    R["bench_emit_reason"] = reason
+    fps = R.pop("fps")
+    out = {
+        "metric": "streaming_prefill_fps_448",
+        "value": round(fps, 2) if fps else None,
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 24.0, 3) if fps else None,
+    }
+    out.update(R)
+    print(json.dumps(out), flush=True)
+
+
+def _on_signal(sig, frame):  # noqa: ARG001 - signal API
+    log(f"signal {sig}: emitting partial JSON and exiting")
+    emit(f"signal{sig}")
+    os._exit(2)
+
+
+def _watchdog():
+    """Emit even if the main thread is wedged inside a compile past budget
+    (a TERM handler cannot run while python sits in a C call; this can)."""
+    deadline = T_START + BUDGET_S + 40.0
+    while not _emitted:
+        time.sleep(min(5.0, max(0.2, deadline - time.time())))
+        if time.time() >= deadline and not _emitted:
+            log("watchdog: budget+40s exceeded mid-section; emitting "
+                "partial JSON")
+            emit("watchdog")
+            os._exit(3)
+
+
+def section(name: str, est_s: float, fn, C) -> None:
+    """Run one bench section if the budget leaves room; never let it kill
+    the process. est_s is the honest expected wall cost (gate only —
+    overshoot is caught by the watchdog)."""
+    left = BUDGET_S - (time.time() - T_START)
+    if left < est_s:
+        log(f"SKIP {name}: est {est_s:.0f}s > {left:.0f}s budget left")
+        R["sections_skipped"].append(name)
+        return
+    t0 = time.time()
+    try:
+        fn(C)
+    except Exception as e:  # noqa: BLE001 - sections are best-effort
+        log(f"{name} FAILED: {type(e).__name__}: {str(e)[:300]}")
+        traceback.print_exc(file=sys.stderr)
+    finally:
+        gc.collect()
+        log(f"[{name}: {time.time()-t0:.0f}s; elapsed "
+            f"{time.time()-T_START:.0f}s / budget {BUDGET_S:.0f}s]")
 
 
 def log_live(label: str, top: int = 8):
@@ -55,26 +177,53 @@ def log_live(label: str, top: int = 8):
         log(f"[live {label}] audit failed: {type(e).__name__}: {e}")
 
 
-def measure_dense_baselines(cfg):
-    """FA2-dense-twin decode baselines (reference README.md:49 >3.6x
-    claim): same dims, every layer full attention over an L-entry KV ring.
+def ensure_params(C):
+    """(Re)allocate the full zero-valued bf16 param pytree (sections after
+    the 64K QLoRA step, which frees it for HBM headroom)."""
+    if C.params is not None:
+        return
+    from infinitevl_tpu.models.params import init_params
+
+    shapes = jax.eval_shape(
+        lambda k: init_params(k, C.cfg, jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    C.params = jax.block_until_ready(
+        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sections (priority order; each writes its fields into R as soon as they
+# exist so a kill between sections loses nothing already measured)
+# ---------------------------------------------------------------------------
+
+
+def s_dense_and_fair(C):
+    """FA2-dense-twin decode baselines + ALL vs-dense rungs, same process
+    window (reference README.md:49 >3.6x claim): same dims, every layer
+    full attention over an L-entry KV ring.
+
     MUST run FIRST in the process: the 240K twin needs two ~4.5 GB
     contiguous ring buffers next to 7.5 GB of weights, which fits a fresh
     arena (scripts/probe_dense_maxctx.py measured it) but not one
-    fragmented by 15 earlier bench sections (observed: the walk OOMed all
-    the way down to 160K mid-bench and then took the 64K QLoRA step with
-    it). Returns {ms_96k, kv_gb_96k, ms_32k, ms_max, L_max} (values None
-    where a measurement failed)."""
-    import dataclasses
-    import gc
-
+    fragmented by earlier sections. Relay health drifts on minute scales,
+    so BOTH sides of every ratio are measured back-to-back here:
+      - bf16 dense ladder (max-feasible ctx first, then 96K/32K slope pts)
+      - hybrid bf16 + int8-served rungs at L_max (same window)
+      - int8 DENSE twin at L_max (r4 verdict missing #2a: the int8 speedup
+        was previously quoted against a bf16 dense baseline; a deployment
+        that quantizes the hybrid quantizes the dense twin too)
+      - equal-HBM aggregate arithmetic (r4 verdict missing #2b): the
+        largest dense batch that fits at L_max (vs hybrid B=16, measured
+        in s_batched)."""
     from infinitevl_tpu.generation import decode_step
     from infinitevl_tpu.models.params import init_params
+    from infinitevl_tpu.models.quant import quantize_params
     from infinitevl_tpu.models.state import init_decoder_state, state_bytes
     from infinitevl_tpu.utils.benchlib import device_time_ms_min
 
-    res = {"ms_96k": None, "kv_gb_96k": None, "ms_32k": None,
-           "ms_max": None, "L_max": None}
+    cfg = C.cfg
+    res = C.dense
     tok = jnp.zeros((1, 1), jnp.int32)
     delta = jnp.zeros((1, 1), jnp.int32)
 
@@ -86,6 +235,7 @@ def measure_dense_baselines(cfg):
         )
         return dataclasses.replace(cfg, text=dt)
 
+    # --- bf16 dense ladder, max-feasible context first (fresh arena) ---
     dparams = None
     try:
         t0 = time.time()
@@ -96,8 +246,9 @@ def measure_dense_baselines(cfg):
         dparams = jax.block_until_ready(
             jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), dshapes)
         )
-        # largest-feasible context first (the fresh-arena allocation),
-        # then the 96K / 32K points for the slope
+        res["wbytes_dense"] = sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(dparams)
+        )
         ladder = [(245760, "max"), (212992, "max"), (163840, "max"),
                   (98304, "96k"), (32768, "32k")]
         for L, tag in ladder:
@@ -120,6 +271,8 @@ def measure_dense_baselines(cfg):
                     f"(KV {kv_gb:.2f} GB)")
                 if tag == "max":
                     res["ms_max"], res["L_max"] = ms, L
+                    res["kv_gb_max"] = kv_gb
+                    R["dense_max_ctx"] = L
                 elif tag == "96k":
                     res["ms_96k"], res["kv_gb_96k"] = ms, kv_gb
                 else:
@@ -132,84 +285,409 @@ def measure_dense_baselines(cfg):
             finally:
                 dstate = None
                 gc.collect()
-        log(f"dense baselines done ({time.time()-t0:.0f}s)")
+        log(f"dense bf16 ladder done ({time.time()-t0:.0f}s)")
     except Exception as e:  # noqa: BLE001 - baseline is best-effort
-        log(f"dense baselines skipped: {type(e).__name__}: {str(e)[:200]}")
+        log(f"dense bf16 ladder skipped: {type(e).__name__}: {str(e)[:200]}")
     finally:
         dparams = None
         gc.collect()
 
-    # --- same-window hybrid rungs at L_max: relay health drifts on minute
-    # scales, and a ratio whose sides were measured ~10 min apart lies
-    # (observed: one-process ladder 3.49x int8-served vs 2.52x when the
-    # int8 rung landed in a sick window). Measure the hybrid bf16 and
-    # int8-served steps IMMEDIATELY after the dense ladder so the
-    # vs-dense fields compare like-for-like windows. The compiled step is
+    if res["L_max"] is None:
+        return
+    L_max = res["L_max"]
+
+    # --- same-window hybrid rungs at L_max: both sides of the measured
+    # ratio land minutes apart at most. The compiled step is
     # shape-identical to the later decode sections' (cum_len is a traced
     # array), so this costs one compile that the later rungs then reuse.
-    res["ms_hyb_max"] = None
-    res["ms_int8_max"] = None
-    if res["L_max"] is not None:
-        from infinitevl_tpu.models.quant import quantize_params
+    hparams = qparams = hstate = qstate = None
+    try:
+        from infinitevl_tpu.models.params import init_params as _ip
 
+        hshapes = jax.eval_shape(
+            lambda k: _ip(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
+        )
+        hparams = jax.block_until_ready(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), hshapes)
+        )
+        hstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+        hstate["cum_len"] = jnp.asarray(L_max + 7, jnp.int32)
+
+        def hyb_step(carry):
+            t, s = carry
+            logits, s = decode_step(hparams, cfg, t, delta, s)
+            return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+        res["ms_hyb_max"] = device_time_ms_min(
+            hyb_step, (tok, hstate), n1=5, n2=25
+        )
+        log(f"hybrid bf16 @{L_max//1024}K (same window): "
+            f"{res['ms_hyb_max']:.2f} ms/tok")
+        qparams = jax.block_until_ready(
+            quantize_params(hparams, quantize_embed=True)
+        )
+        hparams = None
+        gc.collect()
+        qstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+        qstate["cum_len"] = jnp.asarray(L_max + 7, jnp.int32)
+
+        def q_step(carry):
+            t, s = carry
+            logits, s = decode_step(qparams, cfg, t, delta, s)
+            return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+        res["ms_int8_max"] = device_time_ms_min(
+            q_step, (tok, qstate), n1=5, n2=25
+        )
+        log(f"int8-served @{L_max//1024}K (same window): "
+            f"{res['ms_int8_max']:.2f} ms/tok")
+    except Exception as e:  # noqa: BLE001 - best-effort like the ladder
+        log(f"same-window hybrid rungs skipped: "
+            f"{type(e).__name__}: {str(e)[:200]}")
+    finally:
         hparams = qparams = hstate = qstate = None
-        try:
-            hshapes = jax.eval_shape(
-                lambda k: init_params(k, cfg, jnp.bfloat16),
-                jax.random.PRNGKey(0),
+        gc.collect()
+
+    # --- int8 DENSE twin at L_max (like-for-like int8 ratio) ---
+    dqp = dqs = None
+    try:
+        t0 = time.time()
+        dcfg = dense_cfg_at(L_max)
+        dshapes = jax.eval_shape(
+            lambda k: init_params(k, dcfg, jnp.bfloat16),
+            jax.random.PRNGKey(0),
+        )
+        dbf = jax.block_until_ready(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), dshapes)
+        )
+        dqp = jax.block_until_ready(quantize_params(dbf, quantize_embed=True))
+        dbf = None
+        gc.collect()
+        dqs = init_decoder_state(dcfg.text, 1, dtype=jnp.bfloat16)
+        dqs["cum_len"] = jnp.asarray(L_max + 7, jnp.int32)
+
+        def dq_step(carry):
+            t, s = carry
+            logits, s = decode_step(dqp, dcfg, t, delta, s)
+            return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+        ms_dq = device_time_ms_min(dq_step, (tok, dqs), n1=3, n2=13)
+        res["ms_dense_int8_max"] = ms_dq
+        R["dense_int8_ms_maxctx"] = round(ms_dq, 2)
+        log(f"dense twin int8 @{L_max//1024}K: {ms_dq:.2f} ms/tok "
+            f"(the fair baseline for the int8-served rung; "
+            f"{time.time()-t0:.0f}s)")
+    except Exception as e:  # noqa: BLE001
+        log(f"int8 dense twin skipped: {type(e).__name__}: {str(e)[:200]}")
+    finally:
+        dqp = dqs = None
+        gc.collect()
+
+    # --- assemble every vs-dense field NOW (hybrid steps are
+    # context-independent — cum_len is a scalar operand, measured flat
+    # 240K..500K across rounds — so the same-window rungs stand for the
+    # 500K hybrid too) ---
+    if res["ms_hyb_max"]:
+        R["vs_dense_measured_maxctx"] = round(res["ms_max"] / res["ms_hyb_max"], 2)
+    if res["ms_int8_max"]:
+        R["vs_dense_measured_maxctx_int8"] = round(
+            res["ms_max"] / res["ms_int8_max"], 2
+        )
+        if res["ms_dense_int8_max"]:
+            R["vs_dense_measured_maxctx_int8_fair"] = round(
+                res["ms_dense_int8_max"] / res["ms_int8_max"], 2
             )
-            hparams = jax.block_until_ready(
-                jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), hshapes)
+            log(
+                f"MEASURED @{L_max//1024}K same-window: bf16 "
+                f"{R['vs_dense_measured_maxctx']}x, int8-vs-bf16-dense "
+                f"{R['vs_dense_measured_maxctx_int8']}x, int8-vs-int8-dense "
+                f"(fair) {R['vs_dense_measured_maxctx_int8_fair']}x"
             )
-            hstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-            hstate["cum_len"] = jnp.asarray(res["L_max"] + 7, jnp.int32)
+    if res["ms_96k"] and res["ms_hyb_max"]:
+        R["vs_dense_96k"] = round(res["ms_96k"] / res["ms_hyb_max"], 2)
+        if res["ms_int8_max"]:
+            R["vs_dense_96k_int8"] = round(res["ms_96k"] / res["ms_int8_max"], 2)
+    if res["ms_32k"] and res["ms_hyb_max"]:
+        slope = (res["ms_max"] - res["ms_32k"]) / (L_max - 32768)
+        ms_dense_500k = res["ms_max"] + slope * (500_000 - L_max)
+        R["vs_dense_500k_extrapolated"] = round(
+            ms_dense_500k / res["ms_hyb_max"], 2
+        )
+        log(f"measured KV slope {slope*1e6:.2f} ns/ctx-token -> "
+            f"extrapolated dense @500K = {ms_dense_500k:.1f} ms/tok "
+            f"(if the HBM existed) -> {R['vs_dense_500k_extrapolated']}x")
 
-            def hyb_step(carry):
-                t, s = carry
-                logits, s = decode_step(hparams, cfg, t, delta, s)
-                return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+    # --- equal-HBM aggregate: largest dense batch that fits at L_max.
+    # v5e usable HBM ~16.6e9 B (probe_dense_maxctx: 240K + weights =
+    # 16.6 GB fit; 248K did not). Rows cost kv_gb_max each next to the
+    # dense weights; at 240K b_fit is 1 by arithmetic (2 rows = 18 GB of
+    # KV alone), so the B=1 ladder point IS the dense side. Measured
+    # hybrid B=16 lands in s_batched.
+    if res["kv_gb_max"] and res["wbytes_dense"]:
+        b_fit = max(
+            1,
+            int((16.6e9 - res["wbytes_dense"]) // (res["kv_gb_max"] * 1e9)),
+        )
+        R["dense_equal_hbm_batch"] = b_fit
+        R["dense_agg_tok_s_maxctx"] = round(b_fit * 1000.0 / res["ms_max"], 1)
+        log(
+            f"equal-HBM dense side @{L_max//1024}K: largest batch that fits "
+            f"= {b_fit} ({res['kv_gb_max']:.1f} GB KV/row + "
+            f"{res['wbytes_dense']/1e9:.1f} GB weights in 16.6 GB) -> "
+            f"{R['dense_agg_tok_s_maxctx']} tok/s aggregate"
+        )
 
-            res["ms_hyb_max"] = device_time_ms_min(
-                hyb_step, (tok, hstate), n1=5, n2=25
+
+def s_params(C):
+    ensure_params(C)
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(C.params)
+    )
+    C.n_params = n_params
+    R["params_b"] = round(n_params / 1e9, 2)
+    log(f"params: {n_params/1e9:.2f}B allocated")
+
+
+def s_streaming(C):
+    """Device-side streaming FPS + host-to-device e2e (the reference demo's
+    measurement semantics, demo_streaming_inference.py:470-510)."""
+    from infinitevl_tpu.models.state import init_decoder_state, state_bytes
+    from infinitevl_tpu.streaming import (
+        StreamingEngine,
+        stream_frame_step,
+        stream_frame_step_raw,
+    )
+    from infinitevl_tpu.utils.benchlib import device_time_ms_min
+
+    cfg, params = C.cfg, C.params
+    eng = StreamingEngine(params, cfg, frame_hw=(448, 448), dtype=jnp.bfloat16)
+    C.frame_input_ids = eng.frame_input_ids
+    C.grid_thw = eng.grid_thw
+    frame_dev = jnp.asarray(
+        np.random.RandomState(0).randn(C.n_patches, C.in_feat),
+        dtype=jnp.bfloat16,
+    )
+    pos_base = jnp.asarray(0, jnp.int32)
+    t_off = jnp.asarray(0, jnp.int32)
+    C.pos_base, C.t_off = pos_base, t_off
+
+    def frame_step(state):
+        return stream_frame_step(
+            params, cfg, frame_dev, eng.frame_input_ids, pos_base, t_off,
+            state, eng.grid_thw,
+        )
+
+    t0 = time.time()
+    ms_frame = device_time_ms_min(frame_step, eng.state, n1=5, n2=25)
+    C.ms_frame = ms_frame
+    R["frame_ms"] = round(ms_frame, 2)
+    R["fps"] = round(1000.0 / ms_frame, 2)
+    R["fps_paired"] = round(2000.0 / ms_frame, 2)
+    sb = state_bytes(init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)) / 1e6
+    R["state_mb"] = round(sb, 1)
+    log(f"frame step: {ms_frame:.1f} ms -> {R['fps']} FPS device-side "
+        f"({R['fps_paired']} paired); state {sb:.0f} MB flat "
+        f"(compile+measure {time.time()-t0:.0f}s)")
+
+    # e2e: raw uint8 host frames, H2D pipelined; relay floor inflates this
+    # vs any real deployment (reported as the lower bound)
+    rng = np.random.RandomState(1)
+    host_frames = [
+        rng.randint(0, 255, (448, 448, 3)).astype(np.uint8) for _ in range(3)
+    ]
+
+    def run_e2e(n, state):
+        for i in range(n):
+            fdev = jax.device_put(host_frames[i % 3])
+            state = stream_frame_step_raw(
+                params, cfg, fdev, eng.frame_input_ids, pos_base, t_off,
+                state, eng.grid_thw,
             )
-            log(f"hybrid bf16 @{res['L_max']//1024}K (same window): "
-                f"{res['ms_hyb_max']:.2f} ms/tok")
-            qparams = jax.block_until_ready(
-                quantize_params(hparams, quantize_embed=True)
+        jax.block_until_ready(state)
+        return state
+
+    t0 = time.time()
+    st = run_e2e(2, init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16))
+    t1 = time.time()
+    st = run_e2e(5, st)
+    t2 = time.time()
+    st = run_e2e(20, st)
+    t3 = time.time()
+    ms_e2e = ((t3 - t2) - (t2 - t1)) * 1000 / 15  # slope cancels fixed sync
+    R["frame_ms_e2e"] = round(ms_e2e, 2)
+    R["fps_e2e"] = round(1000.0 / ms_e2e, 2)
+    log(f"streaming e2e (host uint8 -> device): {ms_e2e:.1f} ms/frame = "
+        f"{R['fps_e2e']} FPS (compile+measure {time.time()-t0:.0f}s; relay "
+        f"H2D floor inflates this vs any real deployment)")
+    del st
+
+
+def s_decode(C):
+    """B=1 decode at 500K (state constant-size; context enters only through
+    the position masks) + the bf16 weight-read floor ledger."""
+    from infinitevl_tpu.generation import decode_step
+    from infinitevl_tpu.models.state import init_decoder_state
+    from infinitevl_tpu.utils.benchlib import device_time_ms_min
+    from infinitevl_tpu.utils.profiling import (
+        V5E_HBM_BW,
+        decode_weight_read_bytes,
+    )
+
+    cfg, params = C.cfg, C.params
+    state = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+    state["cum_len"] = jnp.asarray(500_000, jnp.int32)
+    tok = jnp.zeros((1, 1), jnp.int32)
+    delta = jnp.zeros((1, 1), jnp.int32)
+
+    def dstep(carry):
+        t, s = carry
+        logits, s = decode_step(params, cfg, t, delta, s)
+        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+    C.dstep = dstep
+    ms_dec = device_time_ms_min(dstep, (tok, state), n1=5, n2=25)
+    C.ms_dec = ms_dec
+    R["decode_ms"] = round(ms_dec, 2)
+    R["decode_tok_s"] = round(1000 / ms_dec, 1)
+    floor = decode_weight_read_bytes(params["text"]) / V5E_HBM_BW * 1e3
+    R["floor_ms_bf16"] = round(floor, 2)
+    if ms_dec < floor * 0.99:
+        R["floor_violations"].append("bf16")
+        log(f"FLOOR VIOLATION bf16: measured {ms_dec:.2f} < ledger "
+            f"{floor:.2f} ms — ledger or estimator wrong, investigate")
+    log(f"decode @500K ctx: {ms_dec:.2f} ms/tok = {1000/ms_dec:.1f} tok/s; "
+        f"weight-read floor {floor:.2f} ms "
+        f"(headroom {100*(ms_dec/floor-1):.0f}%)")
+
+
+def s_int8(C):
+    """int8 weight-only serving decode (models/quant.py): the B=1 floor is
+    the weight read; int8 halves the streamed bytes. quantize_embed=True is
+    the serving default (row-wise int8 embed + pre-transposed head copy,
+    ROUND4_NOTES item 9)."""
+    from infinitevl_tpu.generation import decode_step
+    from infinitevl_tpu.models.quant import quantize_params
+    from infinitevl_tpu.models.state import init_decoder_state
+    from infinitevl_tpu.utils.benchlib import device_time_ms_min
+    from infinitevl_tpu.utils.profiling import (
+        V5E_HBM_BW,
+        decode_weight_read_bytes,
+    )
+
+    cfg, params = C.cfg, C.params
+    tok = jnp.zeros((1, 1), jnp.int32)
+    delta = jnp.zeros((1, 1), jnp.int32)
+    qparams = jax.block_until_ready(
+        quantize_params(params, quantize_embed=True)
+    )
+    qstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+    qstate["cum_len"] = jnp.asarray(500_000, jnp.int32)
+
+    def dstep_q(carry):
+        t, s = carry
+        logits, s = decode_step(qparams, cfg, t, delta, s)
+        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+    ms_q = device_time_ms_min(dstep_q, (tok, qstate), n1=5, n2=25)
+    C.ms_dec_q = ms_q
+    R["decode_tok_s_int8"] = round(1000 / ms_q, 1)
+    floor = decode_weight_read_bytes(qparams["text"]) / V5E_HBM_BW * 1e3
+    R["floor_ms_int8"] = round(floor, 2)
+    if ms_q < floor * 0.99:
+        R["floor_violations"].append("int8")
+        log(f"FLOOR VIOLATION int8: measured {ms_q:.2f} < ledger "
+            f"{floor:.2f} ms")
+    log(f"decode int8 @500K ctx: {ms_q:.2f} ms/tok = {1000/ms_q:.1f} tok/s; "
+        f"floor {floor:.2f} ms (headroom {100*(ms_q/floor-1):.0f}%)")
+    # cross-window consistency for the vs-dense rungs: prefer the smaller
+    # of the two medians (relay pollution is strictly additive to a
+    # chained median; see r4 item 13)
+    d = C.dense
+    if d["ms_max"]:
+        hyb = [v for v in (d["ms_hyb_max"], C.ms_dec) if v]
+        if hyb:
+            R["vs_dense_measured_maxctx"] = round(d["ms_max"] / min(hyb), 2)
+        i8 = [v for v in (d["ms_int8_max"], ms_q) if v]
+        if i8:
+            R["vs_dense_measured_maxctx_int8"] = round(
+                d["ms_max"] / min(i8), 2
             )
-            hparams = None
-            gc.collect()
-            qstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-            qstate["cum_len"] = jnp.asarray(res["L_max"] + 7, jnp.int32)
-
-            def q_step(carry):
-                t, s = carry
-                logits, s = decode_step(qparams, cfg, t, delta, s)
-                return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-            res["ms_int8_max"] = device_time_ms_min(
-                q_step, (tok, qstate), n1=5, n2=25
-            )
-            log(f"int8-served @{res['L_max']//1024}K (same window): "
-                f"{res['ms_int8_max']:.2f} ms/tok")
-        except Exception as e:  # noqa: BLE001 - best-effort like the ladder
-            log(f"same-window hybrid rungs skipped: "
-                f"{type(e).__name__}: {str(e)[:200]}")
-        finally:
-            hparams = qparams = hstate = qstate = None
-            gc.collect()
-    return res
+            if d["ms_dense_int8_max"]:
+                R["vs_dense_measured_maxctx_int8_fair"] = round(
+                    d["ms_dense_int8_max"] / min(i8), 2
+                )
+    del qparams, qstate
 
 
-def measure_qlora_64k(cfg):
+def s_batched(C):
+    """Batched serving decode: the weight read amortizes over B rows
+    (serve/batching.py groups same-length requests into these steps).
+    B=16 is measured AT the dense-feasible context so the equal-HBM
+    aggregate ratio is same-context measured, no extrapolation."""
+    from infinitevl_tpu.generation import decode_step
+    from infinitevl_tpu.models.state import init_decoder_state
+    from infinitevl_tpu.utils.benchlib import device_time_ms_min
+
+    cfg, params = C.cfg, C.params
+    maxctx = C.dense["L_max"] or 245760
+    B16 = 16
+    state16 = init_decoder_state(cfg.text, B16, dtype=jnp.bfloat16)
+    state16["cum_len"] = jnp.asarray(maxctx + 7, jnp.int32)
+    tok16 = jnp.zeros((B16, 1), jnp.int32)
+    delta16 = jnp.zeros((B16, 1), jnp.int32)
+
+    def dstep16(carry):
+        t, s = carry
+        logits, s = decode_step(params, cfg, t, delta16, s)
+        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+    ms16 = device_time_ms_min(dstep16, (tok16, state16), n1=5, n2=25, reps=3)
+    tok_s_b16 = B16 * 1000 / ms16
+    R["decode_tok_s_b16"] = round(tok_s_b16, 0)
+    R["b16_ctx"] = maxctx
+    R["hyb_agg_tok_s_b16_maxctx"] = round(tok_s_b16, 1)
+    log(f"decode batch=16 @{maxctx//1024}K: {ms16:.2f} ms/step = "
+        f"{tok_s_b16:.0f} tok/s aggregate (state 16 x "
+        f"{R['state_mb'] or 134} MB = {16*(R['state_mb'] or 134)/1e3:.1f} GB)")
+    del state16
+    gc.collect()
+    if R["dense_agg_tok_s_maxctx"]:
+        R["vs_dense_equal_hbm_batched"] = round(
+            tok_s_b16 / R["dense_agg_tok_s_maxctx"], 2
+        )
+        log(
+            f"EQUAL-HBM aggregate @{maxctx//1024}K: hybrid B=16 "
+            f"{tok_s_b16:.0f} tok/s vs dense B="
+            f"{R['dense_equal_hbm_batch']} {R['dense_agg_tok_s_maxctx']} "
+            f"tok/s = {R['vs_dense_equal_hbm_batched']}x (same context, "
+            f"same chip, both sides measured)"
+        )
+
+    B8 = 8
+    state8 = init_decoder_state(cfg.text, B8, dtype=jnp.bfloat16)
+    state8["cum_len"] = jnp.asarray(500_000, jnp.int32)
+    tok8 = jnp.zeros((B8, 1), jnp.int32)
+    delta8 = jnp.zeros((B8, 1), jnp.int32)
+
+    def dstep8(carry):
+        t, s = carry
+        logits, s = decode_step(params, cfg, t, delta8, s)
+        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+    ms8 = device_time_ms_min(dstep8, (tok8, state8), n1=5, n2=25, reps=2)
+    R["decode_tok_s_b8"] = round(B8 * 1000 / ms8, 0)
+    log(f"decode batch=8 @500K: {ms8:.2f} ms/step = "
+        f"{R['decode_tok_s_b8']:.0f} tok/s aggregate")
+    del state8
+
+
+def s_qlora_64k(C):
     """64K QLoRA train step (int8 frozen base + scan-over-layers +
     seq-chunked layers): the reference's long-SFT stage tops out at 32K on
     an 8-GPU node (README.md:137, train.sh); this recipe trains DOUBLE that
-    context on ONE v5e (13.3 GB by the compiler's HBM accounting). Runs
-    right after the dense baselines, while the arena is still young: its
-    peak needs the chip nearly to itself."""
-    import gc
-
+    context on ONE v5e (13.3 GB by the compiler's HBM accounting). The full
+    bf16 param pytree is freed first for headroom and re-allocated after
+    (zeros alloc ~2 s)."""
     import optax
 
     from infinitevl_tpu.models.params import init_text_params
@@ -219,7 +697,10 @@ def measure_qlora_64k(cfg):
     from infinitevl_tpu.utils.benchlib import device_time_ms
     from infinitevl_tpu.utils.profiling import decoder_flops_per_token
 
-    train_tok_s_64k = None
+    cfg = C.cfg
+    C.params = None
+    C.dstep = None
+    gc.collect()
     try:
         t0 = time.time()
         T64 = 65536
@@ -257,533 +738,39 @@ def measure_qlora_64k(cfg):
             return (l, o)
 
         ms64 = device_time_ms(tstep64, (lora64, opt64), n1=1, n2=3)
-        train_tok_s_64k = T64 / ms64 * 1000
-        mfu64 = 3.0 * train_tok_s_64k * decoder_flops_per_token(cfg) / 197e12
-        log(
-            f"QLoRA 64K train step (int8 base, one chip): {ms64:.0f} ms = "
-            f"{train_tok_s_64k:.0f} tok/s, ~{100*mfu64:.0f}% MFU "
-            f"({time.time()-t0:.0f}s)"
-        )
+        tok_s = T64 / ms64 * 1000
+        R["train_tok_s_64k_qlora"] = round(tok_s, 0)
+        mfu64 = 3.0 * tok_s * decoder_flops_per_token(cfg) / 197e12
+        log(f"QLoRA 64K train step (int8 base, one chip): {ms64:.0f} ms = "
+            f"{tok_s:.0f} tok/s, ~{100*mfu64:.0f}% MFU "
+            f"({time.time()-t0:.0f}s)")
+        del base64, lora64, opt64, step64, batch64
     except Exception as e:  # noqa: BLE001 - guarded, single-chip-sized
         log(f"64K QLoRA train skipped: {type(e).__name__}: {str(e)[:200]}")
         log_live("qlora-fail")
     finally:
         gc.collect()
-    return train_tok_s_64k
+        ensure_params(C)
 
 
-def main():
-    from infinitevl_tpu.parallel.sharding import maybe_init_distributed
-
-    maybe_init_distributed()  # env-driven multi-host; no-op single-host
-    from infinitevl_tpu import infinitevl_3b
-    from infinitevl_tpu.generation import decode_step
-    from infinitevl_tpu.models.params import init_params
-    from infinitevl_tpu.models.state import init_decoder_state, state_bytes
-    from infinitevl_tpu.streaming import StreamingEngine, stream_frame_step
-    from infinitevl_tpu.utils.benchlib import (
-        device_time_ms,
-        device_time_ms_min,
-        sync_overhead_ms,
-    )
-
-    cfg = infinitevl_3b()
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    log(f"sync overhead: {sync_overhead_ms():.1f} ms per D2H (relay artifact)")
-
-    # the two big-contiguous-allocation measurements run FIRST, on a fresh
-    # arena (see their docstrings for the mid-bench fragmentation failure
-    # they dodge); their ratios/fields are assembled at JSON-emit time
-    dense = measure_dense_baselines(cfg)
-    train_tok_s_64k = measure_qlora_64k(cfg)
-
-    t0 = time.time()
-    shapes = jax.eval_shape(
-        lambda k: init_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
-    )
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    params = jax.block_until_ready(params)
-    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-    log(f"params: {n_params/1e9:.2f}B allocated in {time.time()-t0:.1f}s")
-
-    # --- streaming frame prefill (device-resident frame rotation) ---
-    eng = StreamingEngine(params, cfg, frame_hw=(448, 448), dtype=jnp.bfloat16)
-    in_feat = (
-        cfg.vision.in_channels
-        * cfg.vision.temporal_patch_size
-        * cfg.vision.patch_size**2
-    )
-    n_patches = (448 // cfg.vision.patch_size) ** 2
-    frame_dev = jnp.asarray(
-        np.random.RandomState(0).randn(n_patches, in_feat), dtype=jnp.bfloat16
-    )
-    t_off = jnp.asarray(0, jnp.int32)
-    pos_base = jnp.asarray(0, jnp.int32)
-
-    def frame_step(state):
-        return stream_frame_step(
-            params, cfg, frame_dev, eng.frame_input_ids, pos_base, t_off,
-            state, eng.grid_thw,
-        )
-
-    t0 = time.time()
-    ms_frame = device_time_ms_min(frame_step, eng.state, n1=5, n2=25)
-    log(f"frame step: {ms_frame:.1f} ms (compile+measure {time.time()-t0:.0f}s)")
-    fps = 1000.0 / ms_frame
-    log(f"streaming: {fps:.1f} FPS device-side")
-    log(f"state bytes: {state_bytes(eng.state)/1e6:.1f} MB (constant)")
-
-    # --- END-TO-END streaming FPS: raw uint8 host frames through
-    # stream_frame_step_raw (ship 3 B/px, normalize+patchify on device), the
-    # reference demo's measurement semantics (demo_streaming_inference.py:
-    # 470-510). H2D is pipelined (async device_put) as a real capture loop
-    # would; on this relay each transfer still costs ~30+ ms of fixed
-    # latency that no PCIe/DMA deployment pays, so fps_e2e here is a LOWER
-    # bound dominated by the relay, reported alongside the device-side rate.
-    from infinitevl_tpu.streaming import stream_frame_step_raw
-
-    rng = np.random.RandomState(1)
-    host_frames = [
-        rng.randint(0, 255, (448, 448, 3)).astype(np.uint8) for _ in range(3)
-    ]
-
-    def run_e2e(n, state):
-        for i in range(n):
-            fdev = jax.device_put(host_frames[i % 3])
-            state = stream_frame_step_raw(
-                params, cfg, fdev, eng.frame_input_ids, pos_base, t_off,
-                state, eng.grid_thw,
-            )
-        jax.block_until_ready(state)
-        return state
-
-    t0 = time.time()
-    # fresh state: the device-side measurement above donated eng.state
-    st = run_e2e(2, init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16))
-    t1 = time.time()
-    st = run_e2e(5, st)
-    t2 = time.time()
-    st = run_e2e(20, st)
-    t3 = time.time()
-    ms_e2e = ((t3 - t2) - (t2 - t1)) * 1000 / 15  # slope: cancels fixed sync
-    fps_e2e = 1000.0 / ms_e2e
-    log(
-        f"streaming e2e (host uint8 -> device): {ms_e2e:.1f} ms/frame = "
-        f"{fps_e2e:.1f} FPS (compile+measure {time.time()-t0:.0f}s; relay "
-        f"H2D floor inflates this vs any real deployment)"
-    )
-    del st
-
-    # --- PAIRED-frame mode: two real frames per temporal unit (the offline
-    # video processor's semantics; the reference demo instead DUPLICATES
-    # each frame to fill temporal_patch_size=2). Device-side shapes are
-    # identical, so each step ingests 2 frames of video: fps = 2000/ms. ---
-    fps_paired = 2000.0 / ms_frame
-    log(
-        f"streaming paired-frame mode: {fps_paired:.1f} FPS device-side "
-        f"({ms_frame:.1f} ms per 2-frame unit)"
-    )
-    pair_frames = [
-        rng.randint(0, 255, (2, 448, 448, 3)).astype(np.uint8) for _ in range(3)
-    ]
-
-    def run_e2e_pair(n, state):
-        for i in range(n):
-            fdev = jax.device_put(pair_frames[i % 3])
-            state = stream_frame_step_raw(
-                params, cfg, fdev, eng.frame_input_ids, pos_base, t_off,
-                state, eng.grid_thw,
-            )
-        jax.block_until_ready(state)
-        return state
-
-    t0 = time.time()
-    st = run_e2e_pair(2, init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16))
-    t1 = time.time()
-    st = run_e2e_pair(5, st)
-    t2 = time.time()
-    st = run_e2e_pair(40, st)
-    t3 = time.time()
-    # wide slope window: the relay's sporadic 100ms H2D spikes average out
-    ms_pair = ((t3 - t2) - (t2 - t1)) * 1000 / 35
-    fps_e2e_paired = 2000.0 / ms_pair
-    log(
-        f"streaming e2e paired: {ms_pair:.1f} ms per 2-frame unit = "
-        f"{fps_e2e_paired:.1f} FPS ({time.time()-t0:.0f}s)"
-    )
-    del st
-
-    # --- BATCHED clip ingestion: k=4 temporal units per jitted step
-    # (stream_clip_step, T = 4*257): the per-step decoder weight read
-    # amortizes over 4 units. Latency cost = 3 buffered units; per-unit
-    # semantics identical to sequential steps (tested). ---
-    from infinitevl_tpu.streaming import stream_clip_step
-
-    KCLIP = 4
-    clip_pix = jnp.asarray(
-        np.random.RandomState(2).randn(KCLIP * n_patches, in_feat),
-        dtype=jnp.bfloat16,
-    )
-    clip_ids = jnp.tile(eng.frame_input_ids, (1, KCLIP))
-    t_offs = jnp.arange(KCLIP, dtype=jnp.int32) * 2
-    clip_grid = eng.grid_thw * KCLIP
-
-    def clip_step(state):
-        return stream_clip_step(
-            params, cfg, clip_pix, clip_ids, pos_base, t_offs, state,
-            clip_grid,
-        )
-
-    t0 = time.time()
-    ms_clip = device_time_ms(
-        clip_step, init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16),
-        n1=3, n2=13,
-    )
-    fps_clip = KCLIP * 1000.0 / ms_clip
-    log(
-        f"batched clip x{KCLIP}: {ms_clip:.1f} ms/step = {fps_clip:.1f} FPS "
-        f"device-side duplicate mode ({2*fps_clip:.1f} paired) "
-        f"({time.time()-t0:.0f}s)"
-    )
-
-    # --- Pallas real-compile parity: guard against Mosaic-vs-interpret
-    # divergence (CI tests the kernels in interpret mode only). One decode
-    # and one prefill check at deployed dims vs the XLA dense reference. ---
-    pallas_err = None
-    if os.environ.get("IVL_BENCH_PARITY", "1") != "0":
-        from infinitevl_tpu.ops.swa import swa_cached_attention
-        from infinitevl_tpu.ops.swa_pallas import (
-            swa_ring_flash_attention,
-            swa_ring_flash_decode_stacked,
-        )
-
-        t0 = time.time()
-        tc = cfg.text
-        cap, W = tc.swa_capacity, tc.sliding_window
-        Hq, Hkv, D = tc.num_attention_heads, tc.num_key_value_heads, tc.head_dim
-        key = jax.random.PRNGKey(7)
-        ks = jax.random.split(key, 8)
-        mk = lambda k, shape: (jax.random.normal(k, shape) * 0.5).astype(jnp.bfloat16)
-        rk, rv = mk(ks[0], (1, Hkv, cap, D)), mk(ks[1], (1, Hkv, cap, D))
-        cum = jnp.asarray(cap + 37, jnp.int32)
-        errs = []
-        for T, kq in ((1, ks[2]), (257, ks[3])):
-            q = mk(jax.random.fold_in(kq, 0), (1, T, Hq, D))
-            nk = mk(jax.random.fold_in(kq, 1), (1, T, Hkv, D))
-            nv = mk(jax.random.fold_in(kq, 2), (1, T, Hkv, D))
-            ref, _, _ = swa_cached_attention(q, nk, nv, rk, rv, cum, W)
-            if T == 1:
-                # the model's decode path: stacked rings + static layer index
-                out, _, _ = swa_ring_flash_decode_stacked(
-                    q, nk, nv, rk[None], rv[None], 0, cum, W
-                )
-            else:
-                out = swa_ring_flash_attention(q, nk, nv, rk, rv, cum, W)
-            e = float(
-                jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
-                / (jnp.abs(ref.astype(jnp.float32)).max() + 1e-9)
-            )
-            errs.append(e)
-            assert e < 5e-2, f"pallas/XLA divergence at T={T}: err-ratio {e}"
-        pallas_err = max(errs)
-        log(
-            f"pallas real-compile parity OK: decode err {errs[0]:.2e}, "
-            f"prefill err {errs[1]:.2e} ({time.time()-t0:.0f}s)"
-        )
-
-    # --- decode throughput at 500K context (state is constant-size, so the
-    # context length enters only through the position masks) ---
-    state = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-    state["cum_len"] = jnp.asarray(500_000, jnp.int32)
-    state_mb = state_bytes(state) / 1e6
-    tok = jnp.zeros((1, 1), dtype=jnp.int32)
-    delta = jnp.zeros((1, 1), dtype=jnp.int32)
-
-    def dstep(carry):
-        t, s = carry
-        logits, s = decode_step(params, cfg, t, delta, s)
-        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-    t0 = time.time()
-    ms_dec = device_time_ms_min(dstep, (tok, state), n1=5, n2=25)
-    log(f"decode @500K ctx: {ms_dec:.2f} ms/tok = {1000/ms_dec:.1f} tok/s "
-        f"(measure {time.time()-t0:.0f}s); state {state_mb:.0f} MB flat")
-    hbm_bound = n_params * 2 / 819e9 * 1e3
-    log(f"  (weights-bound floor on v5e: {hbm_bound:.1f} ms/tok)")
-
-    # --- same decode at MAXCTX, the largest context where the bf16 dense
-    # twin fit this chip (discovered by measure_dense_baselines at process
-    # start; 240K on a fresh arena) — the SAME-context hybrid side of the
-    # measured vs-dense ratio. The compiled program is identical (cum_len
-    # is a scalar operand), so this re-times it with the max-ctx value for
-    # an extrapolation-free claim.
-    MAXCTX = dense["L_max"] or 245760
-    state_mc = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-    state_mc["cum_len"] = jnp.asarray(MAXCTX + 7, jnp.int32)
-    ms_dec_mc = device_time_ms_min(dstep, (tok, state_mc), n1=5, n2=25)
-    del state_mc
-    log(f"decode @{MAXCTX//1024}K ctx: {ms_dec_mc:.2f} ms/tok (bf16)")
-
-    # --- batched decode (serving): the weight read amortizes over B rows
-    # (serve/batching.py groups same-length requests into these steps) ---
-    B8 = 8
-    state8 = init_decoder_state(cfg.text, B8, dtype=jnp.bfloat16)
-    state8["cum_len"] = jnp.asarray(500_000, jnp.int32)
-    tok8 = jnp.zeros((B8, 1), dtype=jnp.int32)
-    delta8 = jnp.zeros((B8, 1), dtype=jnp.int32)
-
-    def dstep8(carry):
-        t, s = carry
-        logits, s = decode_step(params, cfg, t, delta8, s)
-        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-    t0 = time.time()
-    ms_dec8 = device_time_ms_min(dstep8, (tok8, state8), n1=5, n2=25, reps=2)
-    tok_s_b8 = B8 * 1000 / ms_dec8
-    log(
-        f"decode batch=8 @500K: {ms_dec8:.2f} ms/step = {tok_s_b8:.0f} tok/s "
-        f"aggregate ({time.time()-t0:.0f}s)"
-    )
-    del state8
-
-    B16 = 16
-    state16 = init_decoder_state(cfg.text, B16, dtype=jnp.bfloat16)
-    state16["cum_len"] = jnp.asarray(500_000, jnp.int32)
-    tok16 = jnp.zeros((B16, 1), dtype=jnp.int32)
-    delta16 = jnp.zeros((B16, 1), dtype=jnp.int32)
-
-    def dstep16(carry):
-        t, s = carry
-        logits, s = decode_step(params, cfg, t, delta16, s)
-        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-    t0 = time.time()
-    ms_dec16 = device_time_ms_min(dstep16, (tok16, state16), n1=5, n2=25, reps=2)
-    tok_s_b16 = B16 * 1000 / ms_dec16
-    log(
-        f"decode batch=16 @500K: {ms_dec16:.2f} ms/step = {tok_s_b16:.0f} "
-        f"tok/s aggregate ({time.time()-t0:.0f}s)"
-    )
-    del state16
-
-    # --- long-context text prefill via chunked ingestion (bounded compile
-    # set: ONE 4096-chunk program regardless of prompt length) ---
-    from infinitevl_tpu.generation import prefill_chunked
-
-    Tlong = 32768
-    ids_long = jnp.zeros((1, Tlong), jnp.int32)
-    pos_long = jnp.broadcast_to(
-        jnp.arange(Tlong)[None, None], (3, 1, Tlong)
-    ).astype(jnp.int32)
-
-    def long_prefill():
-        st = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-        lg, st = prefill_chunked(params, cfg, ids_long, pos_long, st, chunk=2048)
-        return jax.block_until_ready(lg)
-
-    t0 = time.time()
-    long_prefill()  # compile (one chunk shape)
-    t1 = time.time()
-    long_prefill()
-    long_prefill()
-    ms_long = (time.time() - t1) * 1000 / 2
-    prefill_tok_s = Tlong / ms_long * 1000
-    log(
-        f"chunked text prefill 32K: {ms_long:.0f} ms = {prefill_tok_s:.0f} "
-        f"tok/s (compile {t1-t0:.0f}s, one 2048-token program)"
-    )
-
-    # --- int8 weight-only decode (models/quant.py): the B=1 floor is the
-    # weight read; int8 halves the bytes the step streams. Quality bound is
-    # the per-channel quantization error (parity-tested in test_quant.py).
-    # quantize_embed=True is the serving default (Generator quant_embed):
-    # row-wise int8 embed + pre-transposed head copy — measured +2% at B=1
-    # (5.92 -> 5.80 ms/tok, ROUND4_NOTES item 9), never slower.
-    from infinitevl_tpu.models.quant import quantize_params
-
-    t0 = time.time()
-    qparams = jax.block_until_ready(quantize_params(params, quantize_embed=True))
-    qstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-    qstate["cum_len"] = jnp.asarray(500_000, jnp.int32)
-
-    def dstep_q(carry):
-        t, s = carry
-        logits, s = decode_step(qparams, cfg, t, delta, s)
-        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-    ms_dec_q = device_time_ms_min(dstep_q, (tok, qstate), n1=5, n2=25)
-    tok_s_int8 = 1000 / ms_dec_q
-    log(
-        f"decode int8 @500K ctx: {ms_dec_q:.2f} ms/tok = {tok_s_int8:.1f} "
-        f"tok/s ({time.time()-t0:.0f}s; bf16 was {1000/ms_dec:.1f})"
-    )
-    qstate_mc = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-    qstate_mc["cum_len"] = jnp.asarray(MAXCTX + 7, jnp.int32)
-    ms_dec_q_mc = device_time_ms_min(dstep_q, (tok, qstate_mc), n1=5, n2=25)
-    del qstate_mc
-    log(f"decode int8 @{MAXCTX//1024}K ctx: {ms_dec_q_mc:.2f} ms/tok")
-    del qparams, qstate
-
-    # --- int4 decode: bit-packed s4 quarters the weight bytes the step
-    # streams (models/quant.py quantize_params(bits=4)). G=1 (per-column
-    # scales) is the measured-fastest int4 serving variant (10.62 ms/tok
-    # vs grouped's 13.4 and the fused-Pallas 12.61, ROUND4_NOTES item 9);
-    # int4 stays a memory-only option — int8 wins latency at every batch.
-    t0 = time.time()
-    q4params = jax.block_until_ready(
-        quantize_params(params, bits=4, group_size=1 << 30, quantize_embed=True)
-    )
-    q4state = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-    q4state["cum_len"] = jnp.asarray(500_000, jnp.int32)
-
-    def dstep_q4(carry):
-        t, s = carry
-        logits, s = decode_step(q4params, cfg, t, delta, s)
-        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
-
-    tok_s_int4 = None
-    try:
-        ms_dec_q4 = device_time_ms_min(dstep_q4, (tok, q4state), n1=5, n2=25)
-        tok_s_int4 = 1000 / ms_dec_q4
-        log(
-            f"decode int4 @500K ctx: {ms_dec_q4:.2f} ms/tok = "
-            f"{tok_s_int4:.1f} tok/s ({time.time()-t0:.0f}s)"
-        )
-    except Exception as e:  # noqa: BLE001 - s4 support varies by backend
-        log(f"decode int4: skipped ({type(e).__name__}: {str(e)[:160]})")
-    del q4params, q4state
-
-    # --- speculative decoding mechanics (speculative.py): decode is
-    # weight-read-bound, so a K-token verify window should cost ~one step.
-    # Acceptance is workload-dependent; what the hardware fixes is the
-    # verify/step ratio, reported as the full-acceptance ceiling
-    # (probed 1.14x at K=8 -> 671 tok/s ceiling, ROUND3_NOTES).
-    from infinitevl_tpu.generation import spec_verify
-
-    spec_x_k8 = spec_ceiling_k8 = None
-    try:
-        t0 = time.time()
-        win8 = jnp.zeros((1, 8), jnp.int32)
-        sstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
-        sstate["cum_len"] = jnp.asarray(500_000, jnp.int32)
-
-        def vstep(carry):
-            (s,) = carry
-            spec_verify(params, cfg, win8, delta, s)
-            return (s,)
-
-        ms_v8 = device_time_ms_min(vstep, (sstate,), n1=3, n2=23)
-        spec_x_k8 = ms_v8 / ms_dec
-        spec_ceiling_k8 = 8 * 1000 / ms_v8
-        log(
-            f"spec verify K=8 @500K ctx: {ms_v8:.2f} ms = {spec_x_k8:.2f}x a "
-            f"decode step -> {spec_ceiling_k8:.0f} tok/s full-acceptance "
-            f"ceiling ({time.time()-t0:.0f}s)"
-        )
-        del sstate
-    except Exception as e:  # noqa: BLE001 - keep bench alive
-        log(f"spec verify: skipped ({type(e).__name__}: {str(e)[:160]})")
-
-    # --- speculative decoding END-TO-END (host loop included): with
-    # zero-valued weights the argmax is constant, so prompt-lookup drafts
-    # hit full acceptance — this measures the complete spec path
-    # (prefill + verify + host compare + commit) at its acceptance
-    # ceiling. The relay's ~35 ms D2H floor lands once per window, so
-    # this number is a LOWER bound on any real deployment (a local host
-    # syncs in ~1 ms); the device-only ceiling above is the upper bound.
-    spec_e2e_tok_s = None
-    try:
-        from infinitevl_tpu.generation import Generator as _Gen
-        from infinitevl_tpu.speculative import SpecStats, generate_speculative
-
-        t0 = time.time()
-        sgen = _Gen(params, cfg, dtype=jnp.bfloat16)
-        # zero weights -> argmax is token 0 every step, so an all-zero
-        # prompt makes every prompt-lookup ngram hit (full acceptance);
-        # any other prompt would never match the generated 0s and the
-        # loop would fall back to plain per-token decode
-        sprompt = np.zeros((1, 64), np.int64)
-        _ = generate_speculative(  # warm: prefill+verify+commit compiles
-            sgen, sprompt, max_new_tokens=32, draft_k=8, eos_token_id=-1
-        )
-        t1 = time.time()
-        sstats = SpecStats()
-        N_E2E = 256
-        out_sp = generate_speculative(
-            sgen, sprompt, max_new_tokens=N_E2E, draft_k=8,
-            eos_token_id=-1, stats=sstats,
-        )
-        dt = time.time() - t1
-        n_out = int(out_sp.shape[1])
-        spec_e2e_tok_s = n_out / dt
-        log(
-            f"spec decode e2e K=8: {n_out} tokens in {dt*1000:.0f} ms = "
-            f"{spec_e2e_tok_s:.0f} tok/s at acceptance "
-            f"{sstats.acceptance_rate:.2f} ({sstats.forwards} forwards; "
-            f"warm {t1-t0:.0f}s; relay D2H floor included — deployment "
-            f"sits between this and the {spec_ceiling_k8 or 0:.0f} tok/s "
-            f"device ceiling)"
-        )
-        del sgen, out_sp
-    except Exception as e:  # noqa: BLE001 - keep bench alive
-        log(f"spec e2e: skipped ({type(e).__name__}: {str(e)[:160]})")
-
-    # --- high-resolution image prefill: one 1344x1344 image (9216 patch
-    # tokens) through the ViT. The dense path needs 5.4 GB of scores PER
-    # full-attention block at this size; the segment-aware flash kernel
-    # (ops/vit_flash.py) streams KV instead. ---
-    from infinitevl_tpu.models.vision import get_vision_plan, vision_forward
-
-    grid_hr = ((1, 96, 96),)
-    plan_hr = get_vision_plan(grid_hr, cfg.vision)
-    pix_hr = jnp.asarray(
-        np.random.RandomState(3).randn(plan_hr.seq, in_feat), jnp.bfloat16
-    )
-    vparams = params["visual"]
-
-    t0 = time.time()
-
-    # CHAINED step (iteration i+1's input depends on iteration i's output,
-    # so dispatches cannot overlap): unchained repeats of vit_hr(pix_hr)
-    # measured dispatch noise, not device time — observed -27 ms under
-    # host contention. The 1e-24-scaled feedback term keeps the pixels
-    # numerically unchanged while forcing the data dependency (a *0 term
-    # could be folded away; float x*0 usually survives XLA, but don't bet
-    # a bench line on it).
-    def vit_step_hr(px):
-        out = vision_forward(vparams, cfg.vision, px, plan_hr)
-        return px + (out[0, 0] * 1e-24).astype(px.dtype)
-
-    vit_hr = jax.jit(vit_step_hr)
-    jax.block_until_ready(vit_hr(pix_hr))
-    t1 = time.time()
-    ms_hr = device_time_ms_min(vit_hr, pix_hr, n1=2, n2=8)
-    log(
-        f"high-res image prefill (1344x1344, {plan_hr.seq} patches): "
-        f"{ms_hr:.0f} ms ViT forward (compile {t1-t0:.0f}s)"
-    )
-    del vparams, pix_hr
-
-    # --- LoRA train-step throughput @8K (3B, remat, side-path LoRA): the
-    # driver-visible training perf metric (VERDICT r2 weak #2). ---
+def s_train8k(C):
+    """LoRA train-step throughput @8K (3B, remat, side-path LoRA): the
+    driver-visible training perf metric. 8K rides the python layer loop
+    (the auto default below 16K; 16K+ train via scan_layers)."""
     import optax
 
     from infinitevl_tpu.train.lora import init_lora, make_lora_sft_step
+    from infinitevl_tpu.utils.benchlib import device_time_ms
     from infinitevl_tpu.utils.profiling import decoder_flops_per_token
 
-    # 8K rides the python layer loop (the auto default below 16K: measured
-    # ~13% faster than scan-over-layers; 16K+ train via scan_layers, see
-    # examples/sft_32k_lora_yarn.yaml)
+    cfg, params = C.cfg, C.params
     Ttr = 8192
     t0 = time.time()
     lora = init_lora(params["text"], jax.random.PRNGKey(1))
-    base_tr = params["text"]
     tx = optax.adamw(1e-4)
     opt_state = tx.init(lora)
     # remat_group=1: nested group remat (rg>1) costs an EXTRA recompute
-    # pass (group recompute + per-layer recompute ~= 4.85x fwd vs rg=1's
-    # 4.0x, probed 3060 vs 3706 ms at 8K) — use rg>1 only when per-layer
-    # remat doesn't fit, which 8K does.
+    # pass — use rg>1 only when per-layer remat doesn't fit, which 8K does
     step_fn = jax.jit(
         make_lora_sft_step(cfg.text, tx, remat=True, remat_group=1),
         donate_argnums=(0, 1),
@@ -800,150 +787,382 @@ def main():
 
     def tstep(carry):
         l, o = carry
-        l, o, _ = step_fn(l, o, base_tr, batch_tr)
+        l, o, _ = step_fn(l, o, params["text"], batch_tr)
         return (l, o)
 
     ms_train = device_time_ms(tstep, (lora, opt_state), n1=2, n2=6)
     train_tok_s = Ttr / ms_train * 1000
+    R["train_tok_s"] = round(train_tok_s, 0)
     # useful FLOPs = 3x forward (fwd + ~2x bwd; remat recompute excluded)
-    train_mfu = 3.0 * train_tok_s * decoder_flops_per_token(cfg) / 197e12
-    log(
-        f"LoRA train step @8K: {ms_train:.0f} ms = {train_tok_s:.0f} tok/s, "
-        f"~{100*train_mfu:.0f}% MFU ({time.time()-t0:.0f}s)"
+    R["train_mfu"] = round(
+        3.0 * train_tok_s * decoder_flops_per_token(cfg) / 197e12, 3
     )
-    del lora, opt_state, base_tr
+    log(f"LoRA train step @8K: {ms_train:.0f} ms = {train_tok_s:.0f} tok/s, "
+        f"~{100*R['train_mfu']:.0f}% MFU ({time.time()-t0:.0f}s)")
+    del lora, opt_state
 
-    # --- vs-dense ratios: baselines were measured at process start on a
-    # fresh arena (measure_dense_baselines); combined here with the hybrid
-    # decode numbers above. The hybrid step is context-independent
-    # (cum_len is a scalar operand; measured flat 240K..500K), and its
-    # max-ctx timing above used the ladder context discovered at start,
-    # so both sides of the measured ratio share the context. ---
-    dense_speedup = None
-    dense_speedup_500k = None
-    dense_speedup_int8 = None
-    dense_max_ctx = dense["L_max"]
-    vs_dense_maxctx = None
-    vs_dense_maxctx_int8 = None
-    if dense["ms_96k"] is not None:
-        dense_speedup = dense["ms_96k"] / ms_dec
-        dense_speedup_int8 = dense["ms_96k"] / ms_dec_q
-        kv_gb = dense["kv_gb_96k"]
-        log(
-            f"dense-transformer baseline @96K: {dense['ms_96k']:.2f} ms/tok "
-            f"(KV {kv_gb:.1f} GB) -> InfiniteVL speedup {dense_speedup:.2f}x "
-            f"bf16, {dense_speedup_int8:.2f}x int8-served; at 500K the "
-            f"dense KV would need {kv_gb*500/96:.0f} GB (OOM) while "
-            f"InfiniteVL stays at {state_mb:.0f} MB"
+
+def s_spec(C):
+    """Speculation: (a) the K=8 verify/step ratio (the hardware constant);
+    (b) the acceptance -> tok/s curve at CONTROLLED acceptance (r4 verdict
+    missing #5: the old e2e point only existed at acceptance 1.0).
+
+    Acceptance control: with zero weights the model argmax is token 0
+    every step, so a draft_fn emitting m zeros then ones yields exactly
+    m accepted drafts per window — deterministic acceptance m/(K-1)
+    through the REAL code path (verify + host compare + partial-acceptance
+    commit). e2e numbers include the relay's ~35 ms D2H per window that no
+    real deployment pays; the projection divides tokens-per-forward by the
+    measured device verify time (commit/fallback forwards are weight-bound
+    like verify) — deployment sits between the two."""
+    from infinitevl_tpu.generation import Generator, spec_verify
+    from infinitevl_tpu.models.state import init_decoder_state
+    from infinitevl_tpu.speculative import SpecStats, generate_speculative
+    from infinitevl_tpu.utils.benchlib import device_time_ms_min
+
+    cfg, params = C.cfg, C.params
+    delta = jnp.zeros((1, 1), jnp.int32)
+    t0 = time.time()
+    win8 = jnp.zeros((1, 8), jnp.int32)
+    sstate = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+    sstate["cum_len"] = jnp.asarray(500_000, jnp.int32)
+
+    def vstep(carry):
+        (s,) = carry
+        spec_verify(params, cfg, win8, delta, s)
+        return (s,)
+
+    ms_v8 = device_time_ms_min(vstep, (sstate,), n1=3, n2=23)
+    del sstate
+    if C.ms_dec:
+        R["spec_verify_x_k8"] = round(ms_v8 / C.ms_dec, 2)
+    R["spec_ceiling_tok_s_k8"] = round(8 * 1000 / ms_v8, 0)
+    log(f"spec verify K=8 @500K ctx: {ms_v8:.2f} ms = "
+        f"{R['spec_verify_x_k8']}x a decode step -> "
+        f"{R['spec_ceiling_tok_s_k8']:.0f} tok/s full-acceptance ceiling "
+        f"({time.time()-t0:.0f}s)")
+
+    # acceptance-controlled curve, K=8 (m accepted of 7 drafts/window)
+    gen = Generator(params, cfg, dtype=jnp.bfloat16)
+    prompt = np.zeros((1, 64), np.int64)
+    detail = {}
+    for label, m in (("acc30", 2), ("acc60", 4), ("acc90", 6), ("acc100", 7)):
+        def draft_fn(ctx, k, _m=m):  # noqa: ARG001 - fixed-pattern drafts
+            d = np.zeros(k, np.int64)
+            d[_m:] = 1
+            return d
+
+        t0 = time.time()
+        generate_speculative(  # warm: compiles prefill/verify/commit(T=m+1)
+            gen, prompt, max_new_tokens=12, draft_k=8, eos_token_id=-1,
+            draft_fn=draft_fn,
         )
-    if dense["ms_max"] is not None:
-        # each hybrid rung is measured in TWO windows ~10 min apart (right
-        # after the dense ladder + in its own decode section). The step
-        # time is a physical constant and relay pollution is strictly
-        # ADDITIVE to a chained median (the subtractive min-estimator
-        # artifact is gone since benchlib medians reps), so the smaller
-        # of the two medians is the honest value (observed: a sick window
-        # read the int8 rung at 14.63 ms against a 5.3 ms floor while the
-        # same binary measured 5.80 in a healthy one)
-        hyb_max = min(v for v in (dense.get("ms_hyb_max"), ms_dec_mc) if v)
-        int8_max = min(v for v in (dense.get("ms_int8_max"), ms_dec_q_mc) if v)
-        vs_dense_maxctx = dense["ms_max"] / hyb_max
-        vs_dense_maxctx_int8 = dense["ms_max"] / int8_max
-        log(
-            f"dense @{dense_max_ctx//1024}K (max feasible, KV "
-            f"{dense_max_ctx*36864/1e9:.1f} GB): {dense['ms_max']:.2f} "
-            f"ms/tok -> MEASURED speedup {vs_dense_maxctx:.2f}x bf16, "
-            f"{vs_dense_maxctx_int8:.2f}x int8-served (same context AND "
-            f"same measurement window, no extrapolation)"
+        st = SpecStats()
+        t1 = time.time()
+        out = generate_speculative(
+            gen, prompt, max_new_tokens=96, draft_k=8, eos_token_id=-1,
+            stats=st, draft_fn=draft_fn,
         )
-    if dense["ms_32k"] is not None:
-        slope = ms_dense_500k = None
-        if dense["ms_max"] is not None:
-            # widest measured interval (32K..max) for the best-fit slope
-            slope = (dense["ms_max"] - dense["ms_32k"]) / (dense_max_ctx - 32768)
-            ms_dense_500k = dense["ms_max"] + slope * (500_000 - dense_max_ctx)
-        elif dense["ms_96k"] is not None:
-            slope = (dense["ms_96k"] - dense["ms_32k"]) / (98304 - 32768)
-            ms_dense_500k = dense["ms_96k"] + slope * (500_000 - 98304)
-        if ms_dense_500k is not None:
-            dense_speedup_500k = ms_dense_500k / ms_dec
-            log(
-                f"measured KV slope {slope*1e6:.2f} ns/ctx-token -> "
-                f"extrapolated dense @500K = {ms_dense_500k:.1f} ms/tok "
-                f"(if the HBM existed) -> speedup {dense_speedup_500k:.2f}x, "
-                f"growing linearly with context while InfiniteVL stays flat"
+        dt = time.time() - t1
+        tok_s = out.shape[1] / dt
+        proj = st.tokens_per_forward * 1000.0 / ms_v8
+        detail[label] = {
+            "acc_realized": round(st.acceptance_rate, 3),
+            "tok_per_fwd": round(st.tokens_per_forward, 2),
+            "e2e_tok_s": round(tok_s, 1),
+            "proj_tok_s": round(proj, 1),
+        }
+        if label != "acc100":
+            R[f"spec_tok_s_at_{label[:3]}{label[3:]}"] = round(tok_s, 1)
+            R[f"spec_proj_tok_s_at_{label[:3]}{label[3:]}"] = round(proj, 1)
+        else:
+            R["spec_e2e_tok_s_k8"] = round(tok_s, 0)
+        log(f"spec K=8 {label} (realized {st.acceptance_rate:.2f}): "
+            f"{st.tokens_per_forward:.2f} tok/fwd, e2e {tok_s:.0f} tok/s "
+            f"(relay floor incl), device-projected {proj:.0f} tok/s "
+            f"(warm+run {time.time()-t0:.0f}s)")
+    R["spec_curve_detail"] = detail
+    del gen
+
+
+def s_prefill_32k(C):
+    """Long-context text prefill via chunked ingestion (bounded compile
+    set: ONE 2048-chunk program regardless of prompt length)."""
+    from infinitevl_tpu.generation import prefill_chunked
+    from infinitevl_tpu.models.state import init_decoder_state
+
+    cfg, params = C.cfg, C.params
+    Tlong = 32768
+    ids_long = jnp.zeros((1, Tlong), jnp.int32)
+    pos_long = jnp.broadcast_to(
+        jnp.arange(Tlong)[None, None], (3, 1, Tlong)
+    ).astype(jnp.int32)
+
+    def long_prefill():
+        st = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+        lg, st = prefill_chunked(params, cfg, ids_long, pos_long, st,
+                                 chunk=2048)
+        return jax.block_until_ready(lg)
+
+    t0 = time.time()
+    long_prefill()  # compile (one chunk shape)
+    t1 = time.time()
+    long_prefill()
+    long_prefill()
+    ms_long = (time.time() - t1) * 1000 / 2
+    R["prefill_tok_s_32k"] = round(Tlong / ms_long * 1000, 0)
+    log(f"chunked text prefill 32K: {ms_long:.0f} ms = "
+        f"{R['prefill_tok_s_32k']:.0f} tok/s (compile {t1-t0:.0f}s, one "
+        f"2048-token program)")
+
+
+def s_hires(C):
+    """High-resolution image prefill: one 1344x1344 image (9216 patch
+    tokens) through the ViT. The dense path needs 5.4 GB of scores PER
+    full-attention block at this size; the segment-aware flash kernel
+    (ops/vit_flash.py) streams KV instead. Chained step (1e-24 feedback
+    term) — unchained repeats measured dispatch noise, r4 item 10."""
+    from infinitevl_tpu.models.vision import get_vision_plan, vision_forward
+    from infinitevl_tpu.utils.benchlib import device_time_ms_min
+
+    cfg, params = C.cfg, C.params
+    grid_hr = ((1, 96, 96),)
+    plan_hr = get_vision_plan(grid_hr, cfg.vision)
+    pix_hr = jnp.asarray(
+        np.random.RandomState(3).randn(plan_hr.seq, C.in_feat), jnp.bfloat16
+    )
+    vparams = params["visual"]
+    t0 = time.time()
+
+    def vit_step_hr(px):
+        out = vision_forward(vparams, cfg.vision, px, plan_hr)
+        return px + (out[0, 0] * 1e-24).astype(px.dtype)
+
+    vit_hr = jax.jit(vit_step_hr)
+    jax.block_until_ready(vit_hr(pix_hr))
+    t1 = time.time()
+    ms_hr = device_time_ms_min(vit_hr, pix_hr, n1=2, n2=8)
+    R["hires_prefill_ms_1344"] = round(ms_hr, 1)
+    log(f"high-res image prefill (1344x1344, {plan_hr.seq} patches): "
+        f"{ms_hr:.0f} ms ViT forward (compile {t1-t0:.0f}s)")
+    del pix_hr
+
+
+def s_parity(C):
+    """Pallas real-compile parity: guard against Mosaic-vs-interpret
+    divergence (CI tests the kernels in interpret mode only). One decode
+    and one prefill check at deployed dims vs the XLA dense reference."""
+    if os.environ.get("IVL_BENCH_PARITY", "1") == "0":
+        return
+    from infinitevl_tpu.ops.swa import swa_cached_attention
+    from infinitevl_tpu.ops.swa_pallas import (
+        swa_ring_flash_attention,
+        swa_ring_flash_decode_stacked,
+    )
+
+    t0 = time.time()
+    tc = C.cfg.text
+    cap, W = tc.swa_capacity, tc.sliding_window
+    Hq, Hkv, D = tc.num_attention_heads, tc.num_key_value_heads, tc.head_dim
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    mk = lambda k, shape: (jax.random.normal(k, shape) * 0.5).astype(jnp.bfloat16)  # noqa: E731
+    rk, rv = mk(ks[0], (1, Hkv, cap, D)), mk(ks[1], (1, Hkv, cap, D))
+    cum = jnp.asarray(cap + 37, jnp.int32)
+    errs = []
+    for T, kq in ((1, ks[2]), (257, ks[3])):
+        q = mk(jax.random.fold_in(kq, 0), (1, T, Hq, D))
+        nk = mk(jax.random.fold_in(kq, 1), (1, T, Hkv, D))
+        nv = mk(jax.random.fold_in(kq, 2), (1, T, Hkv, D))
+        ref, _, _ = swa_cached_attention(q, nk, nv, rk, rv, cum, W)
+        if T == 1:
+            out, _, _ = swa_ring_flash_decode_stacked(
+                q, nk, nv, rk[None], rv[None], 0, cum, W
             )
-
-
-    print(
-        json.dumps(
-            {
-                "metric": "streaming_prefill_fps_448",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 24.0, 3),
-                "decode_tok_s": round(1000 / ms_dec, 1),
-                "decode_tok_s_b8": round(tok_s_b8, 0),
-                "decode_tok_s_b16": round(tok_s_b16, 0),
-                "prefill_tok_s_32k": round(prefill_tok_s, 0),
-                "decode_ctx": 500_000,
-                "frame_ms": round(ms_frame, 2),
-                "fps_e2e": round(fps_e2e, 2),
-                "frame_ms_e2e": round(ms_e2e, 2),
-                "fps_paired": round(fps_paired, 2),
-                "fps_e2e_paired": round(fps_e2e_paired, 2),
-                "fps_clip4": round(fps_clip, 2),
-                "fps_clip4_paired": round(2 * fps_clip, 2),
-                "pallas_parity_err": pallas_err,
-                "decode_tok_s_int8": round(tok_s_int8, 1),
-                "decode_tok_s_int4": (
-                    round(tok_s_int4, 1) if tok_s_int4 else None
-                ),
-                "spec_verify_x_k8": (
-                    round(spec_x_k8, 2) if spec_x_k8 else None
-                ),
-                "spec_ceiling_tok_s_k8": (
-                    round(spec_ceiling_k8, 0) if spec_ceiling_k8 else None
-                ),
-                "spec_e2e_tok_s_k8": (
-                    round(spec_e2e_tok_s, 0) if spec_e2e_tok_s else None
-                ),
-                "hires_prefill_ms_1344": round(ms_hr, 1),
-                "train_tok_s": round(train_tok_s, 0),
-                "train_mfu": round(train_mfu, 3),
-                "train_tok_s_64k_qlora": (
-                    round(train_tok_s_64k, 0) if train_tok_s_64k else None
-                ),
-                "params_b": round(n_params / 1e9, 2),
-                "state_mb": round(state_mb, 1),
-                "dense_max_ctx": dense_max_ctx,
-                "vs_dense_measured_maxctx": (
-                    round(vs_dense_maxctx, 2) if vs_dense_maxctx else None
-                ),
-                "vs_dense_measured_maxctx_int8": (
-                    round(vs_dense_maxctx_int8, 2)
-                    if vs_dense_maxctx_int8
-                    else None
-                ),
-                "vs_dense_96k": round(dense_speedup, 2) if dense_speedup else None,
-                "vs_dense_96k_int8": (
-                    round(dense_speedup_int8, 2) if dense_speedup_int8 else None
-                ),
-                "vs_dense_500k_extrapolated": (
-                    round(dense_speedup_500k, 2) if dense_speedup_500k else None
-                ),
-            }
+        else:
+            out = swa_ring_flash_attention(q, nk, nv, rk, rv, cum, W)
+        e = float(
+            jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+            / (jnp.abs(ref.astype(jnp.float32)).max() + 1e-9)
         )
+        errs.append(e)
+        assert e < 5e-2, f"pallas/XLA divergence at T={T}: err-ratio {e}"
+    R["pallas_parity_err"] = max(errs)
+    log(f"pallas real-compile parity OK: decode err {errs[0]:.2e}, "
+        f"prefill err {errs[1]:.2e} ({time.time()-t0:.0f}s)")
+
+
+def s_stream_modes(C):
+    """Extra streaming modes: paired-frame e2e (two real frames per
+    temporal unit — the offline video processor's semantics; the reference
+    demo DUPLICATES frames to fill temporal_patch_size=2) and batched clip
+    ingestion (k=4 temporal units per jitted step)."""
+    from infinitevl_tpu.models.state import init_decoder_state
+    from infinitevl_tpu.streaming import stream_clip_step, stream_frame_step_raw
+    from infinitevl_tpu.utils.benchlib import device_time_ms
+
+    cfg, params = C.cfg, C.params
+    if C.frame_input_ids is None or C.ms_frame is None:
+        log("stream modes: streaming section never ran; skipping")
+        return
+    rng = np.random.RandomState(5)
+    pair_frames = [
+        rng.randint(0, 255, (2, 448, 448, 3)).astype(np.uint8)
+        for _ in range(3)
+    ]
+
+    def run_e2e_pair(n, state):
+        for i in range(n):
+            fdev = jax.device_put(pair_frames[i % 3])
+            state = stream_frame_step_raw(
+                params, cfg, fdev, C.frame_input_ids, C.pos_base, C.t_off,
+                state, C.grid_thw,
+            )
+        jax.block_until_ready(state)
+        return state
+
+    t0 = time.time()
+    st = run_e2e_pair(2, init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16))
+    t1 = time.time()
+    st = run_e2e_pair(5, st)
+    t2 = time.time()
+    st = run_e2e_pair(40, st)
+    t3 = time.time()
+    # wide slope window: the relay's sporadic 100ms H2D spikes average out
+    ms_pair = ((t3 - t2) - (t2 - t1)) * 1000 / 35
+    R["fps_e2e_paired"] = round(2000.0 / ms_pair, 2)
+    log(f"streaming e2e paired: {ms_pair:.1f} ms per 2-frame unit = "
+        f"{R['fps_e2e_paired']} FPS ({time.time()-t0:.0f}s)")
+    del st
+
+    KCLIP = 4
+    clip_pix = jnp.asarray(
+        np.random.RandomState(2).randn(KCLIP * C.n_patches, C.in_feat),
+        dtype=jnp.bfloat16,
+    )
+    clip_ids = jnp.tile(C.frame_input_ids, (1, KCLIP))
+    t_offs = jnp.arange(KCLIP, dtype=jnp.int32) * 2
+    clip_grid = C.grid_thw * KCLIP
+
+    def clip_step(state):
+        return stream_clip_step(
+            params, cfg, clip_pix, clip_ids, C.pos_base, t_offs, state,
+            clip_grid,
+        )
+
+    t0 = time.time()
+    ms_clip = device_time_ms(
+        clip_step, init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16),
+        n1=3, n2=13,
+    )
+    R["fps_clip4"] = round(KCLIP * 1000.0 / ms_clip, 2)
+    R["fps_clip4_paired"] = round(2 * KCLIP * 1000.0 / ms_clip, 2)
+    log(f"batched clip x{KCLIP}: {ms_clip:.1f} ms/step = {R['fps_clip4']} "
+        f"FPS device-side duplicate mode ({R['fps_clip4_paired']} paired) "
+        f"({time.time()-t0:.0f}s)")
+
+
+def s_int4(C):
+    """int4 decode: bit-packed s4 quarters the streamed weight bytes. G=1
+    (per-column scales) is the measured-fastest int4 serving variant
+    (ROUND4_NOTES item 9); int4 stays a memory-only option — int8 wins
+    latency at every batch."""
+    from infinitevl_tpu.generation import decode_step
+    from infinitevl_tpu.models.quant import quantize_params
+    from infinitevl_tpu.models.state import init_decoder_state
+    from infinitevl_tpu.utils.benchlib import device_time_ms_min
+    from infinitevl_tpu.utils.profiling import (
+        V5E_HBM_BW,
+        decode_weight_read_bytes,
     )
 
+    cfg, params = C.cfg, C.params
+    tok = jnp.zeros((1, 1), jnp.int32)
+    delta = jnp.zeros((1, 1), jnp.int32)
+    t0 = time.time()
+    q4 = jax.block_until_ready(
+        quantize_params(params, bits=4, group_size=1 << 30,
+                        quantize_embed=True)
+    )
+    q4state = init_decoder_state(cfg.text, 1, dtype=jnp.bfloat16)
+    q4state["cum_len"] = jnp.asarray(500_000, jnp.int32)
 
-def _require_device(timeout_s: float = 900.0) -> bool:
+    def dstep_q4(carry):
+        t, s = carry
+        logits, s = decode_step(q4, cfg, t, delta, s)
+        return (jnp.argmax(logits, -1).astype(jnp.int32)[:, None], s)
+
+    ms4 = device_time_ms_min(dstep_q4, (tok, q4state), n1=5, n2=25)
+    R["decode_tok_s_int4"] = round(1000 / ms4, 1)
+    floor = decode_weight_read_bytes(q4["text"]) / V5E_HBM_BW * 1e3
+    R["floor_ms_int4"] = round(floor, 2)
+    if ms4 < floor * 0.99:
+        R["floor_violations"].append("int4")
+    log(f"decode int4 @500K ctx: {ms4:.2f} ms/tok = {1000/ms4:.1f} tok/s; "
+        f"floor {floor:.2f} ms ({time.time()-t0:.0f}s)")
+    del q4, q4state
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    from infinitevl_tpu.parallel.sharding import maybe_init_distributed
+
+    maybe_init_distributed()  # env-driven multi-host; no-op single-host
+    from infinitevl_tpu import infinitevl_3b
+    from infinitevl_tpu.utils.benchlib import sync_overhead_ms
+
+    cfg = infinitevl_3b()
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    log(f"sync overhead: {sync_overhead_ms():.1f} ms per D2H (relay "
+        f"artifact); budget {BUDGET_S:.0f}s")
+
+    C = types.SimpleNamespace(
+        cfg=cfg,
+        params=None,
+        n_params=None,
+        dense={
+            "ms_96k": None, "kv_gb_96k": None, "ms_32k": None,
+            "ms_max": None, "L_max": None, "kv_gb_max": None,
+            "ms_hyb_max": None, "ms_int8_max": None,
+            "ms_dense_int8_max": None, "wbytes_dense": None,
+        },
+        ms_dec=None, ms_dec_q=None, ms_frame=None, dstep=None,
+        frame_input_ids=None, grid_thw=None, pos_base=None, t_off=None,
+        in_feat=(cfg.vision.in_channels * cfg.vision.temporal_patch_size
+                 * cfg.vision.patch_size**2),
+        n_patches=(448 // cfg.vision.patch_size) ** 2,
+    )
+
+    # priority order: north-star fields first (vs-dense trio ~min 4,
+    # streaming FPS ~min 6, decode ladder ~min 7, train ~min 12);
+    # everything below the budget line leaves explicit nulls
+    plan = [
+        ("dense_and_fair", 230, s_dense_and_fair),
+        ("params", 10, s_params),
+        ("streaming", 75, s_streaming),
+        ("decode", 42, s_decode),
+        ("int8", 35, s_int8),
+        ("batched", 50, s_batched),
+        ("qlora_64k", 195, s_qlora_64k),
+        ("train_8k", 50, s_train8k),
+        ("spec", 85, s_spec),
+        ("prefill_32k", 45, s_prefill_32k),
+        ("hires_vit", 50, s_hires),
+        ("pallas_parity", 65, s_parity),
+        ("stream_modes", 62, s_stream_modes),
+        ("int4", 140, s_int4),
+    ]
+    for name, est, fn in plan:
+        section(name, est, fn, C)
+    emit("end")
+
+
+def _require_device(timeout_s: float = 600.0) -> bool:
     """Backend init watchdog: jax.devices() blocks FOREVER when the axon
     relay is down (observed: >600 s hangs), which would wedge the driver's
-    bench step. Probe it on a daemon thread; on timeout exit non-zero with
-    a diagnostic instead of hanging."""
-    import threading
-
+    bench step. Probe it on a daemon thread; on timeout emit the all-null
+    JSON (driver contract) and exit non-zero."""
     box = {}
 
     def probe():
@@ -954,17 +1173,21 @@ def _require_device(timeout_s: float = 900.0) -> bool:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    t.join(min(timeout_s, max(60.0, BUDGET_S * 0.7)))
     if "devices" in box:
         return True
-    log(
-        f"FATAL: jax backend init did not answer within {timeout_s:.0f}s "
-        f"({box.get('error', 'relay unreachable')}); no measurement possible"
-    )
+    log(f"FATAL: jax backend init did not answer "
+        f"({box.get('error', 'relay unreachable')}); no measurement "
+        f"possible — emitting null JSON")
+    emit("no-device")
     return False
 
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    atexit.register(emit)
+    threading.Thread(target=_watchdog, daemon=True).start()
     if not _require_device():
         sys.exit(1)
     main()

@@ -131,9 +131,17 @@ def generate_speculative(
     pixel_values_videos: Optional[np.ndarray] = None,
     video_grid_thw: Optional[np.ndarray] = None,
     second_per_grid_ts=None,
+    draft_fn=None,
 ) -> np.ndarray:
     """Greedy generation with prompt-lookup speculation. Returns [1, <=N].
     Pass a `SpecStats` to collect measured acceptance for this request.
+
+    `draft_fn(ctx, k) -> np.ndarray[<=k]` overrides the draft source
+    (default: prompt lookup). Losslessness is draft-source independent —
+    every draft is verified against the model's own argmax — so this is
+    both the hook for alternative drafters (a small draft model, a
+    retrieval cache) and the bench's acceptance-control knob
+    (bench.py forces deterministic partial acceptance through it).
 
     Multimodal prompts are first-class: the prefill runs the full
     ViT-scatter path (Generator.prefill_prompt) and the decode loop is
@@ -168,11 +176,15 @@ def generate_speculative(
     out: List[int] = [last]
     ctx = np.concatenate([ids[0], [last]])
 
+    if draft_fn is None:
+        def draft_fn(c, k):
+            return prompt_lookup_draft(c, k, ngram_max=ngram_max)
     if stats is None:
         stats = SpecStats()  # local collection; caller's object if given
     emitted0 = stats.emitted  # accumulative across requests; see return
     while len(out) < max_new_tokens and last != eos:
-        drafts = prompt_lookup_draft(ctx, draft_k - 1, ngram_max=ngram_max)
+        drafts = np.asarray(draft_fn(ctx, draft_k - 1)).astype(ctx.dtype)
+        drafts = drafts[: draft_k - 1]  # over-long custom drafts: trim
         if len(drafts) == 0:
             # no lookup hit: ordinary single decode step (donating)
             logits, state = decode_step(

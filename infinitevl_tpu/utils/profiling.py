@@ -92,3 +92,37 @@ def decode_hbm_floor_ms(n_params: int, dtype_bytes: int = 2,
                         bw: float = V5E_HBM_BW) -> float:
     """Weights-read lower bound per decode step."""
     return n_params * dtype_bytes / bw * 1e3
+
+
+def decode_weight_read_bytes(text_params) -> int:
+    """Bytes a B=1 text decode step actually streams from HBM for weights.
+
+    Reconciles the bench's floor ledger with what the step reads (r4
+    verdict weak #7: a floor computed from ALL params — vision tower plus
+    the gather-only embed copy — sat ABOVE the measured decode time):
+
+    - vision params are never touched at decode: pass ``params["text"]``;
+    - the embedding GATHER reads ~one row (negligible), so the
+      [vocab, hidden] table only counts when the tied head matmul reads it
+      in full. Tied bf16: ``embed`` counts once (the head read). Untied:
+      ``embed`` is gather-only (excluded) and ``lm_head``/``lm_head_q``
+      counts. quantize_embed serving: ``embed_q`` is the gather copy
+      (excluded), ``head_q`` the pre-transposed head operand (counted).
+
+    Activations/state reads (the 134 MB ring+delta state, KV window) are
+    NOT weights and are excluded — this ledger bounds the weight stream
+    only, so ``measured >= floor`` must hold with real headroom."""
+    import jax
+
+    untied = "lm_head" in text_params or "lm_head_q" in text_params
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(text_params)[0]:
+        key = ""
+        for p in reversed(path):
+            key = getattr(p, "key", getattr(p, "name", None))
+            if key is not None:
+                break
+        if key == "embed_q" or (key == "embed" and untied):
+            continue  # gather-only table: ~one row per token, not a stream
+        total += leaf.size * leaf.dtype.itemsize
+    return int(total)

@@ -204,10 +204,10 @@ def test_load_video_mp4_container_and_encode(tmp_path):
 
 
 def test_mm_encode_rejects_foreign_template(cfg):
-    """Vision data + a non-Qwen2VL-family template must fail loudly: the
-    other families' mm_plugins (reference mm_plugin.py:1378 registry) are
-    scope-noted out, and silently emitting Qwen pad ids into a gemma3/
-    paligemma recipe would be a data bug, not a feature."""
+    """Vision data + a template whose family has NO mm_plugin here must
+    fail loudly: silently emitting Qwen pad ids into a yi_vl/llava recipe
+    would be a data bug, not a feature (reference backs each family with
+    its own plugin, mm_plugin.py:1378)."""
     import pytest as _pytest
 
     from infinitevl_tpu.data.loader import load_dataset_info, load_examples
@@ -216,6 +216,95 @@ def test_mm_encode_rejects_foreign_template(cfg):
     raw = load_examples(registry["mllm_demo"], DATA_DIR)
     with _pytest.raises(ValueError, match="out of scope"):
         encode_supervised_mm(
-            raw, SimpleTokenizer(config=cfg), cfg, template="gemma3",
+            raw, SimpleTokenizer(config=cfg), cfg, template="yi_vl",
             cutoff_len=128, dataset_dir=DATA_DIR,
+        )
+
+
+def _mllm_raw():
+    """Image-only slice of mllm_demo (the family plugins are image-only
+    like their reference counterparts)."""
+    from infinitevl_tpu.data.loader import load_dataset_info, load_examples
+
+    registry = load_dataset_info(f"{DATA_DIR}/dataset_info.json")
+    raw = load_examples(registry["mllm_demo"], DATA_DIR)
+    return [ex for ex in raw if not ex.get("videos")]
+
+
+def test_mm_encode_paligemma_plugin(cfg):
+    """PaliGemma family plugin (data/mm_plugin.py): placeholders stripped
+    from text, image_seq_length=256 <image> tokens PREPENDED with IGNORE
+    labels, pixels fixed-resized to 224 SigLIP-normalized [N, 3, S, S]
+    (reference PaliGemmaPlugin, mm_plugin.py:913-958)."""
+    from infinitevl_tpu.data.template import IGNORE_INDEX
+
+    tok = SimpleTokenizer()
+    enc = encode_supervised_mm(
+        _mllm_raw(), tok, cfg, template="paligemma", cutoff_len=1024,
+        dataset_dir=DATA_DIR,
+    )
+    img_id = tok.encode("<image>")[0]
+    for e in enc:
+        n_img = 0 if e["pixel_values"] is None else e["pixel_values"].shape[0]
+        if n_img == 0:
+            continue
+        assert e["pixel_values"].shape == (n_img, 3, 224, 224)
+        assert e["pixel_values"].dtype == np.float32
+        # SigLIP normalization: uint8/255 rescale then (x-.5)/.5 -> [-1, 1]
+        assert -1.0001 <= e["pixel_values"].min() <= e["pixel_values"].max() <= 1.0001
+        k = 256 * n_img
+        assert (e["input_ids"][:k] == img_id).all()
+        assert (e["labels"][:k] == IGNORE_INDEX).all()
+        # placeholder stripped: no image token in the body
+        assert (e["input_ids"][k:] != img_id).all()
+        # supervision still lands on the assistant reply
+        assert (e["labels"] != IGNORE_INDEX).any()
+
+
+def test_mm_encode_gemma3_plugin(cfg):
+    """Gemma3 family plugin: each <image> placeholder becomes
+    boi + 256 <image_soft_token> + eoi IN PLACE (reference Gemma3Plugin
+    full_image_sequence, mm_plugin.py:407-446); pixels resize to 896."""
+    tok = SimpleTokenizer()
+    enc = encode_supervised_mm(
+        _mllm_raw(), tok, cfg, template="gemma3", cutoff_len=1024,
+        dataset_dir=DATA_DIR,
+    )
+    soft = tok.encode("<image_soft_token>")[0]
+    boi = tok.encode("<start_of_image>")[0]
+    eoi = tok.encode("<end_of_image>")[0]
+    for e in enc:
+        n_img = 0 if e["pixel_values"] is None else e["pixel_values"].shape[0]
+        if n_img == 0:
+            continue
+        assert e["pixel_values"].shape == (n_img, 3, 896, 896)
+        ids = e["input_ids"]
+        assert (ids == soft).sum() == 256 * n_img
+        assert (ids == boi).sum() == n_img and (ids == eoi).sum() == n_img
+        # boi sits immediately before the soft-token run
+        (first_soft,) = np.nonzero(ids == soft)[0][:1]
+        assert ids[first_soft - 1] == boi
+
+
+def test_mm_encode_family_plugin_guards(cfg):
+    """Family plugins refuse videos and placeholder/image count
+    mismatches loudly."""
+    import pytest as _pytest
+
+    tok = SimpleTokenizer()
+    with _pytest.raises(ValueError, match="video"):
+        encode_supervised_mm(
+            [{"messages": [{"role": "user", "content": "hi"},
+                           {"role": "assistant", "content": "ok"}],
+              "videos": ["images/clip0.npy"]}],
+            tok, cfg, template="gemma3", cutoff_len=512,
+            dataset_dir=DATA_DIR,
+        )
+    with _pytest.raises(ValueError, match="placeholders"):
+        encode_supervised_mm(
+            [{"messages": [{"role": "user", "content": "no placeholder"},
+                           {"role": "assistant", "content": "ok"}],
+              "images": ["images/red_square.png"]}],
+            tok, cfg, template="paligemma", cutoff_len=1024,
+            dataset_dir=DATA_DIR,
         )
