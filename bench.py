@@ -1108,6 +1108,17 @@ def s_int4(C):
 def main():
     from infinitevl_tpu.parallel.sharding import maybe_init_distributed
 
+    # persistent compilation cache: if the axon PJRT backend supports
+    # executable serialization, a warm cache (the builder's validation run
+    # on this same machine) removes most of the driver run's ~300s of
+    # recompiles; if not, jax logs one warning and compiles as before
+    if os.environ.get("IVL_COMPILE_CACHE", "1") != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:  # noqa: BLE001 - cache is best-effort
+            log(f"compile cache unavailable: {e}")
+
     maybe_init_distributed()  # env-driven multi-host; no-op single-host
     from infinitevl_tpu import infinitevl_3b
     from infinitevl_tpu.utils.benchlib import sync_overhead_ms
