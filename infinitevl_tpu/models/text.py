@@ -690,8 +690,31 @@ def text_forward(
     remat_group: int = 1,
     remat_barrier: bool = False,
     scan_unroll: int = 1,
+    remat_mode: str = "scan",
 ):
     """Run the decoder stack.
+
+    remat_mode (layer_stacks path only) picks where jax.checkpoint wraps
+    inside the scan-over-layers; the seq-chunked layer internals keep
+    their own chunk-level checkpoint in every mode
+    (scripts/probe_remat_mode.py measures the three on-chip):
+    - "scan" (default): checkpoint the scan BODY only (one boundary per
+      period step). The backward replays the body once, then
+      differentiates straight through to the chunk-level checkpoints.
+    - "nested": checkpoint the body AND each layer inside it (round-4
+      recipe). The layer replay is a THIRD recompute of every body flop
+      — probe_mfu_attrib measured its B-4A residual at ~1x the whole
+      forward (19% of the step at both 16K and 32K) — but the backward
+      holds only one LAYER's internals at a time where "scan" holds a
+      period's. Fallback for chips where a period does not fit.
+    - "layer": checkpoint each layer only; the scan saves every layer
+      boundary (period x per step): same recompute count as "scan" at
+      strictly more boundary memory; kept for measurement symmetry.
+    - "none": no body/layer checkpoint at all — only the chunk-level
+      checkpoints inside the seq-chunked delta/swa/mlp paths bound the
+      backward. Cheapest recompute (the chunk replay is the only one)
+      but the scan saves every sub-part input at full T; fits shorter
+      contexts only.
 
     scan_unroll (layer_stacks path only) partially unrolls the HLO layer
     loop: k bodies inline per iteration at ~k bodies' residual memory.
@@ -742,12 +765,20 @@ def text_forward(
         period = len(stacks)
         pattern = tuple(cfg.layer_role(j) for j in range(period))
 
+        if remat_mode not in ("scan", "nested", "layer", "none"):
+            raise ValueError(
+                f"unknown remat_mode {remat_mode!r} "
+                "(scan/nested/layer/none)"
+            )
+        ckpt_layer = remat and remat_mode in ("nested", "layer")
+        ckpt_body = remat and remat_mode in ("nested", "scan")
+
         def body(x, slices):
             for j, role in enumerate(pattern):
                 layer_fn = functools.partial(
                     decoder_layer_forward, cfg=cfg, role=role
                 )
-                if remat:
+                if ckpt_layer:
                     layer_fn = jax.checkpoint(
                         lambda lp, x, _f=layer_fn: _f(
                             lp, x=x, cos=cos, sin=sin, layer_state=None,
@@ -762,7 +793,7 @@ def text_forward(
                     )
             return x, None
 
-        scan_body = jax.checkpoint(body) if remat else body
+        scan_body = jax.checkpoint(body) if ckpt_body else body
         x, _ = jax.lax.scan(
             scan_body, x, tuple(stacks), unroll=max(1, scan_unroll)
         )

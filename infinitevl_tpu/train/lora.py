@@ -355,7 +355,8 @@ def merge_lora(params: Params, lora: Params, alpha: float = 16.0,
 def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                        rank: int = 8, remat: bool = False,
                        remat_group: int = 1, remat_barrier: bool = False,
-                       use_rslora: bool = False, scan_unroll: int = 1):
+                       use_rslora: bool = False, scan_unroll: int = 1,
+                       remat_mode: str = "scan"):
     """Only the adapter tree is optimized; base weights stay frozen.
     remat=True enables per-layer gradient checkpointing (the stage-3
     32K-context recipe).
@@ -399,7 +400,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                     remat=remat,
                     remat_group=remat_group,
                     remat_barrier=remat_barrier,
-                    scan_unroll=scan_unroll,
+                    scan_unroll=scan_unroll, remat_mode=remat_mode,
                 )
             text = merged["text"] if "text" in merged else merged
             return sft_loss_fn(
@@ -412,7 +413,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                 remat=remat,
                 remat_group=remat_group,
                 remat_barrier=remat_barrier,
-                scan_unroll=scan_unroll,
+                scan_unroll=scan_unroll, remat_mode=remat_mode,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(lora)

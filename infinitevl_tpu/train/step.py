@@ -180,12 +180,13 @@ def sft_loss_fn(
     remat_group: int = 1,
     remat_barrier: bool = False,
     scan_unroll: int = 1,
+    remat_mode: str = "scan",
 ) -> jax.Array:
     embeds = inputs_embeds if inputs_embeds is not None else embed_tokens(params, input_ids)
     hidden, _, _ = text_forward(
         params, cfg, embeds, position_ids, state=None, segment_ids=segment_ids,
         remat=remat, remat_group=remat_group, remat_barrier=remat_barrier,
-        scan_unroll=scan_unroll,
+        scan_unroll=scan_unroll, remat_mode=remat_mode,
     )
     if remat:
         # long-context path: chunked CE avoids the [T, V] logits tensor;
@@ -217,6 +218,7 @@ def mm_sft_loss_fn(
     remat_group: int = 1,
     remat_barrier: bool = False,
     scan_unroll: int = 1,
+    remat_mode: str = "scan",
 ) -> jax.Array:
     """Multimodal SFT loss: ViT features scattered into the token embeds
     (the reference trains the full VLM on image batches — collator emits
@@ -238,7 +240,7 @@ def mm_sft_loss_fn(
     hidden, _, _ = text_forward(
         tp, cfg.text, embeds, position_ids, state=None, segment_ids=segment_ids,
         remat=remat, remat_group=remat_group, remat_barrier=remat_barrier,
-        scan_unroll=scan_unroll,
+        scan_unroll=scan_unroll, remat_mode=remat_mode,
     )
     if remat:
         tied = "lm_head" not in tp
@@ -254,6 +256,7 @@ def mm_sft_loss_fn(
 def make_mm_sft_train_step(
     cfg: InfiniteVLConfig, tx: optax.GradientTransformation, remat: bool = False,
     remat_group: int = 1, remat_barrier: bool = False, scan_unroll: int = 1,
+    remat_mode: str = "scan",
 ):
     """Multimodal train step. Returns (params, opt_state, batch, grid_thw,
     video_grid_thw) -> (params, opt_state, loss); jit with static_argnums for
@@ -276,7 +279,7 @@ def make_mm_sft_train_step(
                 remat=remat,
                 remat_group=remat_group,
                 remat_barrier=remat_barrier,
-                scan_unroll=scan_unroll,
+                scan_unroll=scan_unroll, remat_mode=remat_mode,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -309,6 +312,7 @@ def make_sft_eval_fn(cfg: TextConfig):
 def make_sft_train_step(
     cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False,
     remat_group: int = 1, remat_barrier: bool = False, scan_unroll: int = 1,
+    remat_mode: str = "scan",
 ):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, loss).
     params: full pytree with a "text" subtree (so sharding-rule paths match);
@@ -327,7 +331,7 @@ def make_sft_train_step(
                 remat=remat,
                 remat_group=remat_group,
                 remat_barrier=remat_barrier,
-                scan_unroll=scan_unroll,
+                scan_unroll=scan_unroll, remat_mode=remat_mode,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -24,6 +24,7 @@ cheaper recompute (e.g. selective checkpointing), not kernel work.
 Run on the real chip: python scripts/probe_mfu_attrib.py [T ...]
 """
 
+import gc
 import sys
 import time
 
@@ -75,6 +76,10 @@ def main():
     period = detect_period(cfg.text.layer_types)
     base_s = stack_layer_params(base, period)
     lora_s = stack_layer_params(lora, period)
+    # the unstacked twins pin a second full copy of the 6.2 GB text tree —
+    # the first run of this probe OOMed stage B exactly because of it
+    del base, lora
+    gc.collect()
     tx = optax.adamw(1e-4)
 
     for T in [int(a) for a in sys.argv[1:]] or (16384, 32768):
@@ -110,6 +115,10 @@ def main():
             f"-> fwd efficiency {100*fwd_eff:.1f}% "
             f"(compile+measure {time.time()-t0:.0f}s)")
 
+        # free A's executable and chained carry before B (HBM headroom)
+        del fwd_j, astep
+        gc.collect()
+
         # --- B: full remat step (bench-identical recipe) ---
         step = jax.jit(
             make_lora_sft_step(cfg.text, tx, remat=True, remat_group=1),
@@ -124,7 +133,14 @@ def main():
             return (l, o)
 
         t0 = time.time()
-        ms_b = device_time_ms(bstep, (lcur, opt), n1=1, n2=4)
+        try:
+            ms_b = device_time_ms(bstep, (lcur, opt), n1=1, n2=4)
+        except Exception as e:  # noqa: BLE001 - likely OOM
+            log(f"[T={T}] B full step: FAILED "
+                f"({type(e).__name__}: {str(e)[:160]})")
+            del step, lcur, opt
+            gc.collect()
+            continue
         tok_s = T / ms_b * 1e3
         mfu = 3.0 * tok_s * F_tok / PEAK
         ceiling = 0.75 * fwd_eff
@@ -161,6 +177,8 @@ def main():
             except Exception as e:  # noqa: BLE001 - likely OOM
                 log(f"[T={T}] C no-remat: skipped "
                     f"({type(e).__name__}: {str(e)[:160]})")
+        del step, lcur, opt
+        gc.collect()
 
 
 if __name__ == "__main__":

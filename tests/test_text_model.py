@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from infinitevl_tpu import tiny_config
 from infinitevl_tpu.models.params import init_text_params, param_count
@@ -418,3 +419,37 @@ def test_scan_layers_parity():
     for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_scan)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() < 1e-4 * (1.0 + np.abs(b).max())
+
+
+def test_remat_mode_variants():
+    """Every remat_mode is a scheduling choice only: values and grads match
+    the per-layer-loop reference exactly (models/text.py remat_mode)."""
+    from infinitevl_tpu import tiny_config
+    from infinitevl_tpu.models.stacked import detect_period, stack_layer_params
+
+    cfg = tiny_config().text
+    params = init_text_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    stacked = stack_layer_params(params, detect_period(cfg.layer_types))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 24), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(24)[None, None], (3, 1, 24))
+    emb = embed_tokens(params, ids)
+
+    def loss(p, **kw):
+        h, _, _ = text_forward(p, cfg, emb, pos, **kw)
+        return jnp.sum(h**2)
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params)
+    for mode in ("nested", "scan", "layer", "none"):
+        l_m, g_m = jax.value_and_grad(loss)(
+            stacked, remat=True, remat_mode=mode
+        )
+        assert abs(float(l_m) - float(l_ref)) < 1e-3 * (1.0 + abs(float(l_ref))), mode
+        from infinitevl_tpu.models.stacked import unstack_layer_params
+
+        g_un = unstack_layer_params(g_m, 4, cfg.num_hidden_layers)
+        for a, b in zip(jax.tree.leaves(g_un), jax.tree.leaves(g_ref)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.abs(a - b).max() < 1e-4 * (1.0 + np.abs(b).max()), mode
+
+    with pytest.raises(ValueError, match="remat_mode"):
+        text_forward(stacked, cfg, emb, pos, remat=True, remat_mode="bogus")
