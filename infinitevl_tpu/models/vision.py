@@ -102,6 +102,17 @@ class VisionPlan:
         inv[flat[flat >= 0]] = np.nonzero(flat >= 0)[0].astype(np.int32)
         self.merged_inverse = inv  # [seq_merged] index into padded window order
 
+        # window-attention segment ids in window order: real tokens of
+        # window w carry id w, pad slots -2-w (same partition as the
+        # valid==valid mask: reals attend reals, pads attend pads, never
+        # across windows) — lets the diagonal flash kernel
+        # (ops/vit_flash.window_flash_attention) express window attention
+        # as a segment compare
+        wi = np.repeat(
+            np.arange(self.num_windows, dtype=np.int32), self.win_len
+        )
+        self.win_seg = np.where(self.token_valid, wi, -2 - wi)  # [pad_seq]
+
         # full-attention segment ids in *window order*, padded slots get -1
         seg_full = np.asarray(seg_full_merged, dtype=np.int32)
         seg_win_order = np.where(
@@ -170,9 +181,21 @@ def _vision_mlp(p: Params, x: jax.Array) -> jax.Array:
 def _window_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, plan: VisionPlan, valid: jax.Array
 ) -> jax.Array:
-    """Batched per-window dense attention. q/k/v: [S, H, D] in window order."""
+    """Batched per-window dense attention. q/k/v: [S, H, D] in window order.
+
+    Long packed sequences (high-res images) route through the diagonal
+    Pallas flash kernel: the XLA batched path materializes [nW, H, L, L]
+    fp32 scores through HBM — 151 MB/layer at 1344x1344, measured
+    2.63 ms/layer for 0.004 TF across the 28 window blocks
+    (scripts/probe_vit_attrib.py) — while the kernel keeps score tiles
+    in VMEM. Same numerics (fp32 softmax), tested in
+    tests/test_pallas_kernels.py."""
     S, H, D = q.shape
     nW, L = plan.num_windows, plan.win_len
+    if S >= FLASH_FULL_ATTN_MIN_SEQ and L % 8 == 0 and L <= 1536:
+        from ..ops.vit_flash import vit_window_attention
+
+        return vit_window_attention(q, k, v, jnp.asarray(plan.win_seg), L)
     qw = q.reshape(nW, L, H, D)
     kw = k.reshape(nW, L, H, D)
     vw = v.reshape(nW, L, H, D)

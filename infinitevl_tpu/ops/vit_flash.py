@@ -162,6 +162,150 @@ def segment_flash_attention(
     return out[:, :S, :D].transpose(1, 0, 2)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_len", "scale", "block", "interpret"),
+)
+def window_flash_attention(
+    q: jax.Array,  # [S, H, D] window-ordered packed sequence
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,  # [S] int32 window ids (pads -2-w), windows contiguous
+    win_len: int,
+    scale: Optional[float] = None,
+    block: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Diagonal-block flash attention for the ViT *window* layers.
+
+    Window attention over the window-ordered layout is segment-masked
+    attention whose segments are contiguous equal-length runs of
+    `win_len` tokens — so with a block size that is a multiple of
+    win_len, a query block's keys all live in the SAME block index and
+    the kv loop collapses to the diagonal: grid (H, S/block) with one
+    kv block per query block (`_vit_flash_kernel` with nk == 1 — the
+    one-pass case of its online softmax). HBM traffic is O(S*D) per
+    head and score tiles never leave VMEM, vs the XLA batched-dense
+    path's [nW, H, L, L] fp32 scores (151 MB/layer at 1344x1344 —
+    measured 2.63 ms/layer for 0.004 TF, pure memory-bound;
+    scripts/probe_vit_attrib.py). The reference runs its window layers
+    through the same FA2 varlen kernel as the full layers
+    (modeling_infinitevl.py:623-667) — this is the TPU shape of that.
+    """
+    S, H, D = q.shape
+    if scale is None:
+        scale = D**-0.5
+    if block is None:
+        # largest multiple of win_len <= 1024 (the tuned flash block);
+        # windows longer than 1024 run one window per block (fp32 score
+        # tile win_len^2 x4 must stay under the 9 MB Mosaic scoped-stack
+        # edge — callers gate on win_len <= 1536)
+        block = win_len * max(1, 1024 // win_len)
+    assert block % win_len == 0, (block, win_len)
+    Dp = -(-D // 128) * 128
+    Sp = -(-S // block) * block
+
+    def prep(x):
+        x = jnp.pad(x, ((0, Sp - S), (0, 0), (0, Dp - D)))
+        return x.transpose(1, 0, 2)  # [H, Sp, Dp]
+
+    qh, kh, vh = prep(q), prep(k), prep(v)
+    segp = jnp.pad(seg.astype(jnp.int32), (0, Sp - S), constant_values=-1)
+    seg_col = jnp.broadcast_to(segp[:, None], (Sp, 128))
+    seg_row = segp[None, :]
+
+    NQ = Sp // block
+    out = pl.pallas_call(
+        functools.partial(_vit_flash_kernel, scale=scale),
+        grid=(H, NQ, 1),
+        in_specs=[
+            pl.BlockSpec((block, 128), lambda h, i, j: (i, 0)),
+            pl.BlockSpec((1, block), lambda h, i, j: (0, i)),
+            pl.BlockSpec((1, block, Dp), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block, Dp), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block, Dp), lambda h, i, j: (h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block, Dp), lambda h, i, j: (h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block, Dp), jnp.float32),
+            pltpu.VMEM((block, 128), jnp.float32),
+            pltpu.VMEM((block, 128), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((H, Sp, Dp), q.dtype),
+        interpret=interpret,
+    )(seg_col, seg_row, qh, kh, vh)
+    return out[:, :S, :D].transpose(1, 0, 2)
+
+
+def window_attention_reference(
+    q: jax.Array,  # [S, H, D] window order, S = nW * win_len
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,  # [S] int32
+    win_len: int,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Exact XLA twin of window_flash_attention: batched dense attention
+    over [nW, win_len] with the segment mask. Scores live as
+    [nW, H, L, L] fp32 — fine for training (the custom-vjp backward
+    differentiates this) and for non-TPU backends."""
+    from .swa import attention_dense
+
+    S, H, D = q.shape
+    nW = S // win_len
+    sw = seg.reshape(nW, win_len)
+    mask = sw[:, :, None] == sw[:, None, :]
+    out = attention_dense(
+        q.reshape(nW, win_len, H, D),
+        k.reshape(nW, win_len, H, D),
+        v.reshape(nW, win_len, H, D),
+        mask,
+        scale=scale,
+    )
+    return out.reshape(S, H, D)
+
+
+def vit_window_attention(
+    q: jax.Array,  # [S, H, D] window order
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,  # [S] int32 window ids (pads -2-w)
+    win_len: int,
+    scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatcher for ViT window-attention blocks: Pallas diagonal flash
+    forward on TPU, batched-dense XLA twin for the backward and for
+    other backends (same split as vit_full_attention)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" or interpret
+    if not use_pallas:
+        return window_attention_reference(q, k, v, seg, win_len, scale)
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return window_flash_attention(
+            q, k, v, seg, win_len, scale, interpret=interpret
+        )
+
+    def f_fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def f_bwd(res, ct):
+        qr, kr, vr = res
+        _, vjp = jax.vjp(
+            lambda a, b, c: window_attention_reference(
+                a, b, c, seg, win_len, scale
+            ),
+            qr, kr, vr,
+        )
+        return vjp(ct)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(q, k, v)
+
+
 def attention_segment_chunked(
     q: jax.Array,  # [S, H, D]
     k: jax.Array,

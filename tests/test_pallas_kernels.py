@@ -287,3 +287,108 @@ def test_vision_forward_flash_threshold_parity():
     finally:
         vision.FLASH_FULL_ATTN_MIN_SEQ = old
     assert err_ratio(out, ref) < 1e-5
+
+
+def _window_inputs(key, nW=5, L=32, H=2, D=24, n_pad_windows=1):
+    """Window-order layout: nW contiguous windows of L tokens; the last
+    few tokens of some windows are pads (seg -2-w), like a VisionPlan."""
+    ks = jax.random.split(key, 3)
+    S = nW * L
+    q = jax.random.normal(ks[0], (S, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (S, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (S, H, D), jnp.float32)
+    wi = np.repeat(np.arange(nW, dtype=np.int32), L)
+    valid = np.ones(S, bool)
+    rng = np.random.RandomState(1)
+    for w in rng.choice(nW, n_pad_windows, replace=False):
+        valid[w * L + L - rng.randint(1, L // 2) : (w + 1) * L] = False
+    seg = np.where(valid, wi, -2 - wi).astype(np.int32)
+    return q, k, v, jnp.asarray(seg)
+
+
+def _window_dense_ref(q, k, v, seg, L):
+    """The pre-kernel batched path: valid==valid mask within each window."""
+    from infinitevl_tpu.ops.swa import attention_dense
+
+    S, H, D = q.shape
+    nW = S // L
+    vm = (np.asarray(seg) >= 0).reshape(nW, L)
+    mask = jnp.asarray(vm[:, :, None] == vm[:, None, :])
+    out = attention_dense(
+        q.reshape(nW, L, H, D), k.reshape(nW, L, H, D),
+        v.reshape(nW, L, H, D), mask,
+    )
+    return out.reshape(S, H, D)
+
+
+def test_window_flash_parity_vs_batched_dense():
+    """Diagonal-block kernel == the batched per-window dense path, incl.
+    pad slots and an S that needs padding up to the block size."""
+    from infinitevl_tpu.ops.vit_flash import (
+        window_attention_reference,
+        window_flash_attention,
+    )
+
+    L = 32
+    q, k, v, seg = _window_inputs(jax.random.PRNGKey(8), nW=5, L=L)
+    ref = _window_dense_ref(q, k, v, seg, L)
+    tw = window_attention_reference(q, k, v, seg, L)
+    assert err_ratio(tw, ref) < 1e-6  # twin == old path exactly
+    for block in (64, 128):  # 160 % 128 != 0 exercises the Sp pad
+        out = window_flash_attention(
+            q, k, v, seg, L, block=block, interpret=True
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert err_ratio(out, ref) < 1e-5, block
+
+
+def test_vit_window_attention_grads_match_dense():
+    from infinitevl_tpu.ops.vit_flash import vit_window_attention
+
+    L = 16
+    q, k, v, seg = _window_inputs(
+        jax.random.PRNGKey(9), nW=4, L=L, n_pad_windows=0
+    )
+
+    def loss_flash(q, k, v):
+        out = vit_window_attention(
+            q, k, v, seg, L, use_pallas=True, interpret=True
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(_window_dense_ref(q, k, v, seg, L)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        assert err_ratio(a, b) < 1e-4
+
+
+def test_window_attention_kernel_route_matches_dense():
+    """_window_attention's kernel route (threshold forced down) must equal
+    its batched-dense route on a real VisionPlan with pad windows."""
+    import infinitevl_tpu.models.vision as vision
+    from infinitevl_tpu.config import tiny_config
+    from infinitevl_tpu.models.params import init_params
+
+    cfg = tiny_config(vision_depth=2)
+    # 14x18 grid: not a multiple of the window edge -> real pad slots
+    grid = ((1, 14, 18),)
+    plan = vision.get_vision_plan(grid, cfg.vision)
+    assert not bool(np.all(plan.token_valid))  # pads present
+    params = init_params(jax.random.PRNGKey(10), cfg)["visual"]
+    px = jax.random.normal(
+        jax.random.PRNGKey(11),
+        (plan.seq, cfg.vision.in_channels * cfg.vision.temporal_patch_size
+         * cfg.vision.patch_size**2),
+        jnp.float32,
+    )
+    ref = vision.vision_forward(params, cfg.vision, px, plan)
+    old = vision.FLASH_FULL_ATTN_MIN_SEQ
+    try:
+        vision.FLASH_FULL_ATTN_MIN_SEQ = 1
+        out = vision.vision_forward(params, cfg.vision, px, plan)
+    finally:
+        vision.FLASH_FULL_ATTN_MIN_SEQ = old
+    assert err_ratio(out, ref) < 1e-5
