@@ -1000,9 +1000,32 @@ def s_parity(C):
         )
         errs.append(e)
         assert e < 5e-2, f"pallas/XLA divergence at T={T}: err-ratio {e}"
+    # ViT window kernel: diagonal-block flash vs the batched-dense twin at
+    # a dispatch-size shape (16 windows x 256, pads in the last window)
+    from infinitevl_tpu.ops.vit_flash import (
+        window_attention_reference,
+        window_flash_attention,
+    )
+
+    S, L, Hv, Dv = 4096, 256, 16, 80
+    kw = jax.random.split(ks[4], 3)
+    qv, kv, vv = (mk(k, (S, Hv, Dv)) for k in kw)
+    wi = np.repeat(np.arange(S // L, dtype=np.int32), L)
+    valid = np.ones(S, bool)
+    valid[-40:] = False
+    seg = jnp.asarray(np.where(valid, wi, -2 - wi))
+    ref_w = window_attention_reference(qv, kv, vv, seg, L)
+    out_w = window_flash_attention(qv, kv, vv, seg, L)
+    e_w = float(
+        jnp.abs(out_w.astype(jnp.float32) - ref_w.astype(jnp.float32)).max()
+        / (jnp.abs(ref_w.astype(jnp.float32)).max() + 1e-9)
+    )
+    errs.append(e_w)
+    assert e_w < 5e-2, f"window kernel divergence: err-ratio {e_w}"
     R["pallas_parity_err"] = max(errs)
     log(f"pallas real-compile parity OK: decode err {errs[0]:.2e}, "
-        f"prefill err {errs[1]:.2e} ({time.time()-t0:.0f}s)")
+        f"prefill err {errs[1]:.2e}, vit-window err {errs[2]:.2e} "
+        f"({time.time()-t0:.0f}s)")
 
 
 def s_stream_modes(C):

@@ -141,6 +141,15 @@ class TrainArgs:
     # 32K unroll=3 overflows at 15.6 GB — scripts/probe_scan_unroll.py);
     # kept as a dial for other chips/shapes. 1 = strict scan.
     scan_unroll: int = 1
+    # checkpoint placement inside the scan-over-layers (models/text.py
+    # text_forward remat_mode): "scan" (default) checkpoints the scan body
+    # only — one replay of the body in the backward, then straight through
+    # to the seq-chunk checkpoints; "nested" (round-4 behavior) also
+    # checkpoints each layer inside the body, a THIRD recompute of every
+    # body flop (probe_mfu_attrib: +19% of the step at 16K/32K) in
+    # exchange for holding one LAYER's internals instead of a period's;
+    # "layer"/"none" for measurement (scripts/probe_remat_mode.py).
+    remat_mode: str = "scan"
     # predict_with_generate analogue: after training, greedy-generate the
     # first predict_samples examples' prompts and score BLEU-4/ROUGE vs the
     # gold completions (reference train/sft/workflow.py predict path)

@@ -1008,6 +1008,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                 remat_barrier=args.train.remat_barrier,
                 use_rslora=args.finetune.use_rslora,
                 scan_unroll=args.train.scan_unroll,
+                remat_mode=args.train.remat_mode,
             ),
             static_argnums=(4, 5),
             donate_argnums=(0, 1),
@@ -1072,6 +1073,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                 remat_group=args.train.remat_group,
                 remat_barrier=args.train.remat_barrier,
                 scan_unroll=args.train.scan_unroll,
+                remat_mode=args.train.remat_mode,
             ),
             static_argnums=(3, 4),
             donate_argnums=(0, 1),
@@ -1083,6 +1085,7 @@ def run_sft(args: AllArgs, tokenizer=None):
                 remat_group=args.train.remat_group,
                 remat_barrier=args.train.remat_barrier,
                 scan_unroll=args.train.scan_unroll,
+                remat_mode=args.train.remat_mode,
             ),
             donate_argnums=(0, 1),
         )
