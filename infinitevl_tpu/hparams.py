@@ -142,14 +142,15 @@ class TrainArgs:
     # kept as a dial for other chips/shapes. 1 = strict scan.
     scan_unroll: int = 1
     # checkpoint placement inside the scan-over-layers (models/text.py
-    # text_forward remat_mode): "scan" (default) checkpoints the scan body
-    # only — one replay of the body in the backward, then straight through
-    # to the seq-chunk checkpoints; "nested" (round-4 behavior) also
-    # checkpoints each layer inside the body, a THIRD recompute of every
-    # body flop (probe_mfu_attrib: +19% of the step at 16K/32K) in
-    # exchange for holding one LAYER's internals instead of a period's;
-    # "layer"/"none" for measurement (scripts/probe_remat_mode.py).
-    remat_mode: str = "scan"
+    # text_forward remat_mode). "auto" (default) resolves at trace time:
+    # "layer" (checkpoint each layer only — measured fastest, 35.9% MFU
+    # vs the round-4 nested recipe's 31.0%) up to B*T=32K where its saved
+    # layer boundaries fit, "scan" (checkpoint the scan body only) above.
+    # "nested" (round-4 behavior: body + layer) costs a THIRD recompute
+    # of every body flop (probe_mfu_attrib: +19% of the step) but holds
+    # the least backward memory; "none" for measurement. Ladder:
+    # scripts/probe_remat_mode.py.
+    remat_mode: str = "auto"
     # predict_with_generate analogue: after training, greedy-generate the
     # first predict_samples examples' prompts and score BLEU-4/ROUGE vs the
     # gold completions (reference train/sft/workflow.py predict path)

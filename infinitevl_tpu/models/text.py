@@ -690,31 +690,45 @@ def text_forward(
     remat_group: int = 1,
     remat_barrier: bool = False,
     scan_unroll: int = 1,
-    remat_mode: str = "scan",
+    remat_mode: str = "auto",
 ):
     """Run the decoder stack.
 
     remat_mode (layer_stacks path only) picks where jax.checkpoint wraps
     inside the scan-over-layers; the seq-chunked layer internals keep
-    their own chunk-level checkpoint in every mode
-    (scripts/probe_remat_mode.py measures the three on-chip):
-    - "scan" (default): checkpoint the scan BODY only (one boundary per
-      period step). The backward replays the body once, then
-      differentiates straight through to the chunk-level checkpoints.
+    their own chunk-level checkpoint in every mode. Measured on v5e
+    (scripts/probe_remat_mode.py, 3B LoRA step, B=1; tok/s):
+
+        mode    ckpts           16K   32K   64K(int8 base)
+        nested  body+layer+chunk 2959  2951  ~2998 (bench r5)
+        layer   layer+chunk      3434  3432  OOM
+        scan    body+chunk       3223  3202  (see auto rule)
+        none    chunk only       blocked: remote-compiler HTTP 500
+
+    - "auto" (default): resolved at trace time from B*T — "layer" when
+      B*T <= 32768, else "scan". layer wins +16% over the r4 nested
+      recipe (35.9% vs 31.0% MFU) but its saved layer boundaries grow
+      num_layers*B*T*D bytes (9.7 GB at 64K) and OOM one v5e past 32K.
+    - "scan": checkpoint the scan BODY only (one boundary per period
+      step). The backward replays the body once, then differentiates
+      straight through to the chunk-level checkpoints, holding one
+      PERIOD's chunk checkpoints at a time.
     - "nested": checkpoint the body AND each layer inside it (round-4
       recipe). The layer replay is a THIRD recompute of every body flop
       — probe_mfu_attrib measured its B-4A residual at ~1x the whole
       forward (19% of the step at both 16K and 32K) — but the backward
-      holds only one LAYER's internals at a time where "scan" holds a
-      period's. Fallback for chips where a period does not fit.
+      holds only one LAYER's internals at a time. Fallback for shapes
+      where "scan" does not fit.
     - "layer": checkpoint each layer only; the scan saves every layer
-      boundary (period x per step): same recompute count as "scan" at
-      strictly more boundary memory; kept for measurement symmetry.
+      boundary. Same recompute count as "scan" (each layer replayed
+      once) but the backward holds one LAYER's chunk checkpoints at a
+      time — the fastest mode wherever its boundary memory fits.
     - "none": no body/layer checkpoint at all — only the chunk-level
       checkpoints inside the seq-chunked delta/swa/mlp paths bound the
       backward. Cheapest recompute (the chunk replay is the only one)
       but the scan saves every sub-part input at full T; fits shorter
-      contexts only.
+      contexts only. (Unmeasurable today: the relay's remote compiler
+      crashes HTTP 500 on it at 16K/32K/64K.)
 
     scan_unroll (layer_stacks path only) partially unrolls the HLO layer
     loop: k bodies inline per iteration at ~k bodies' residual memory.
@@ -765,10 +779,17 @@ def text_forward(
         period = len(stacks)
         pattern = tuple(cfg.layer_role(j) for j in range(period))
 
+        if remat_mode == "auto":
+            # trace-time resolution (shapes are static under jit): "layer"
+            # is the measured-fastest mode but saves num_layers * B*T * D
+            # boundary bytes — 4.8 GB at B*T=32K, 9.7 GB at 64K (OOM on
+            # one v5e with the 3B model); "scan" saves period boundaries
+            # only. Probe table in the docstring.
+            remat_mode = "layer" if x.shape[0] * x.shape[1] <= 32768 else "scan"
         if remat_mode not in ("scan", "nested", "layer", "none"):
             raise ValueError(
                 f"unknown remat_mode {remat_mode!r} "
-                "(scan/nested/layer/none)"
+                "(scan/nested/layer/none/auto)"
             )
         ckpt_layer = remat and remat_mode in ("nested", "layer")
         ckpt_body = remat and remat_mode in ("nested", "scan")

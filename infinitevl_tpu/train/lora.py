@@ -356,7 +356,7 @@ def make_lora_sft_step(cfg, tx, base_params=None, alpha: float = 16.0,
                        rank: int = 8, remat: bool = False,
                        remat_group: int = 1, remat_barrier: bool = False,
                        use_rslora: bool = False, scan_unroll: int = 1,
-                       remat_mode: str = "scan"):
+                       remat_mode: str = "auto"):
     """Only the adapter tree is optimized; base weights stay frozen.
     remat=True enables per-layer gradient checkpointing (the stage-3
     32K-context recipe).

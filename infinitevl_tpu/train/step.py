@@ -180,7 +180,7 @@ def sft_loss_fn(
     remat_group: int = 1,
     remat_barrier: bool = False,
     scan_unroll: int = 1,
-    remat_mode: str = "scan",
+    remat_mode: str = "auto",
 ) -> jax.Array:
     embeds = inputs_embeds if inputs_embeds is not None else embed_tokens(params, input_ids)
     hidden, _, _ = text_forward(
@@ -218,7 +218,7 @@ def mm_sft_loss_fn(
     remat_group: int = 1,
     remat_barrier: bool = False,
     scan_unroll: int = 1,
-    remat_mode: str = "scan",
+    remat_mode: str = "auto",
 ) -> jax.Array:
     """Multimodal SFT loss: ViT features scattered into the token embeds
     (the reference trains the full VLM on image batches — collator emits
@@ -256,7 +256,7 @@ def mm_sft_loss_fn(
 def make_mm_sft_train_step(
     cfg: InfiniteVLConfig, tx: optax.GradientTransformation, remat: bool = False,
     remat_group: int = 1, remat_barrier: bool = False, scan_unroll: int = 1,
-    remat_mode: str = "scan",
+    remat_mode: str = "auto",
 ):
     """Multimodal train step. Returns (params, opt_state, batch, grid_thw,
     video_grid_thw) -> (params, opt_state, loss); jit with static_argnums for
@@ -312,7 +312,7 @@ def make_sft_eval_fn(cfg: TextConfig):
 def make_sft_train_step(
     cfg: TextConfig, tx: optax.GradientTransformation, remat: bool = False,
     remat_group: int = 1, remat_barrier: bool = False, scan_unroll: int = 1,
-    remat_mode: str = "scan",
+    remat_mode: str = "auto",
 ):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, loss).
     params: full pytree with a "text" subtree (so sharding-rule paths match);

@@ -19,6 +19,7 @@ Run: python scripts/probe_remat_mode.py [T ...]
 """
 
 import gc
+import os
 import sys
 import time
 
@@ -66,6 +67,12 @@ def main():
         jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tshapes)
     )
     lora = init_lora(base, jax.random.PRNGKey(1))
+    if os.environ.get("IVL_PROBE_INT8", "0") == "1":
+        # the bench 64K QLoRA recipe: int8 frozen base frees ~3.1 GB
+        from infinitevl_tpu.models.quant import quantize_params
+
+        base = jax.block_until_ready(quantize_params(base))
+        log("int8 frozen base")
     period = detect_period(cfg.text.layer_types)
     base_s = stack_layer_params(base, period)
     lora_s = stack_layer_params(lora, period)
@@ -75,7 +82,12 @@ def main():
 
     for T in [int(a) for a in sys.argv[1:]] or (16384, 32768):
         batch = make_batch(T)
-        for mode in ("nested", "scan", "layer", "none"):
+        modes = tuple(
+            m for m in os.environ.get(
+                "IVL_PROBE_MODES", "nested,scan,layer,none"
+            ).split(",") if m
+        )
+        for mode in modes:
             step = jax.jit(
                 make_lora_sft_step(
                     cfg.text, tx, remat=True, remat_group=1, remat_mode=mode
@@ -91,6 +103,7 @@ def main():
                 return (l, o)
 
             t0 = time.time()
+            log(f"[T={T}] {mode}: compile+first-step...")
             try:
                 ms = device_time_ms(bstep, (lcur, opt), n1=1, n2=4)
             except Exception as e:  # noqa: BLE001 - OOM expected for some
