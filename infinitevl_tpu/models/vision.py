@@ -38,6 +38,18 @@ Params = Dict[str, Any]
 # Streaming frames (S=1024+pads at 448x448) stay dense: measured faster at
 # that size and Mosaic compiles through the relay cost 30-250 s each.
 FLASH_FULL_ATTN_MIN_SEQ = 4096
+# window layers switch to the diagonal flash kernel from this packed length
+# AND window length (see _window_attention: at the deployed L=64 the
+# batched-dense path WINS — measured in-model at 1344x1344: dense 136.3 ms
+# total vs kernel 160.8/164.7/165.4 at block 512/1024/256, because dense
+# scores are only [144,16,64,64]=38 MB while the kernel pays D-pad 80->128,
+# [H,S,Dp] transposes, and >=8x wasted score columns; standalone layer:
+# dense 0.58 ms vs kernel-b512 0.89). From L=256 the dense score tensor is
+# 151 MB/layer and the kernel's waste is <=4x — the crossover regime.
+# block override for probes (None = kernel default)
+WINDOW_FLASH_MIN_SEQ = 4096
+WINDOW_FLASH_MIN_WIN_LEN = 256
+WINDOW_FLASH_BLOCK: "int | None" = None
 
 
 class VisionPlan:
@@ -183,19 +195,28 @@ def _window_attention(
 ) -> jax.Array:
     """Batched per-window dense attention. q/k/v: [S, H, D] in window order.
 
-    Long packed sequences (high-res images) route through the diagonal
-    Pallas flash kernel: the XLA batched path materializes [nW, H, L, L]
-    fp32 scores through HBM — 151 MB/layer at 1344x1344, measured
-    2.63 ms/layer for 0.004 TF across the 28 window blocks
-    (scripts/probe_vit_attrib.py) — while the kernel keeps score tiles
-    in VMEM. Same numerics (fp32 softmax), tested in
-    tests/test_pallas_kernels.py."""
+    Long packed sequences with LARGE windows route through the diagonal
+    Pallas flash kernel (ops/vit_flash.window_flash_attention), which
+    keeps score tiles in VMEM. At the deployed InfiniteVL window length
+    (L=64) the XLA batched path is FASTER and stays the default — its
+    [nW, H, 64, 64] fp32 scores are only 38 MB at 1344x1344 and XLA
+    fuses mask+softmax well, while the kernel pays head-dim padding
+    (80->128), layout transposes, and wasted score columns (measured
+    in-model: 136.3 ms full forward dense vs 160.8 best-kernel; see
+    WINDOW_FLASH_* constants above and ROUND5_NOTES #6). Same numerics
+    either way (fp32 softmax), tested in tests/test_pallas_kernels.py."""
     S, H, D = q.shape
     nW, L = plan.num_windows, plan.win_len
-    if S >= FLASH_FULL_ATTN_MIN_SEQ and L % 8 == 0 and L <= 1536:
+    if (
+        S >= WINDOW_FLASH_MIN_SEQ
+        and L % 8 == 0
+        and WINDOW_FLASH_MIN_WIN_LEN <= L <= 1536
+    ):
         from ..ops.vit_flash import vit_window_attention
 
-        return vit_window_attention(q, k, v, jnp.asarray(plan.win_seg), L)
+        return vit_window_attention(
+            q, k, v, jnp.asarray(plan.win_seg), L, block=WINDOW_FLASH_BLOCK
+        )
     qw = q.reshape(nW, L, H, D)
     kw = k.reshape(nW, L, H, D)
     vw = v.reshape(nW, L, H, D)

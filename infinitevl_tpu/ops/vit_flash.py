@@ -186,9 +186,13 @@ def window_flash_attention(
     kv block per query block (`_vit_flash_kernel` with nk == 1 — the
     one-pass case of its online softmax). HBM traffic is O(S*D) per
     head and score tiles never leave VMEM, vs the XLA batched-dense
-    path's [nW, H, L, L] fp32 scores (151 MB/layer at 1344x1344 —
-    measured 2.63 ms/layer for 0.004 TF, pure memory-bound;
-    scripts/probe_vit_attrib.py). The reference runs its window layers
+    path's [nW, H, L, L] fp32 scores. MEASURED VERDICT (v5e, 1344x1344):
+    at the deployed InfiniteVL window length L=64 the batched-dense path
+    WINS (38 MB scores, XLA fuses well; in-model 136.3 ms vs 160.8 here
+    — the kernel's D-pad 80->128, transposes, and >=8x wasted score
+    columns cost more than the dense scores) — models/vision gates this
+    kernel to win_len >= 256, where dense scores reach 151 MB/layer and
+    the waste ratio drops to <=4x. The reference runs its window layers
     through the same FA2 varlen kernel as the full layers
     (modeling_infinitevl.py:623-667) — this is the TPU shape of that.
     """
@@ -274,6 +278,7 @@ def vit_window_attention(
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    block: Optional[int] = None,
 ) -> jax.Array:
     """Dispatcher for ViT window-attention blocks: Pallas diagonal flash
     forward on TPU, batched-dense XLA twin for the backward and for
@@ -286,7 +291,7 @@ def vit_window_attention(
     @jax.custom_vjp
     def f(q, k, v):
         return window_flash_attention(
-            q, k, v, seg, win_len, scale, interpret=interpret
+            q, k, v, seg, win_len, scale, block=block, interpret=interpret
         )
 
     def f_fwd(q, k, v):

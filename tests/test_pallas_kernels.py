@@ -385,10 +385,14 @@ def test_window_attention_kernel_route_matches_dense():
         jnp.float32,
     )
     ref = vision.vision_forward(params, cfg.vision, px, plan)
-    old = vision.FLASH_FULL_ATTN_MIN_SEQ
+    old = (vision.FLASH_FULL_ATTN_MIN_SEQ, vision.WINDOW_FLASH_MIN_SEQ,
+           vision.WINDOW_FLASH_MIN_WIN_LEN)
     try:
         vision.FLASH_FULL_ATTN_MIN_SEQ = 1
+        vision.WINDOW_FLASH_MIN_SEQ = 1
+        vision.WINDOW_FLASH_MIN_WIN_LEN = 1
         out = vision.vision_forward(params, cfg.vision, px, plan)
     finally:
-        vision.FLASH_FULL_ATTN_MIN_SEQ = old
+        (vision.FLASH_FULL_ATTN_MIN_SEQ, vision.WINDOW_FLASH_MIN_SEQ,
+         vision.WINDOW_FLASH_MIN_WIN_LEN) = old
     assert err_ratio(out, ref) < 1e-5
