@@ -968,14 +968,14 @@ def run_sft(args: AllArgs, tokenizer=None):
         scan_period = None
         use_scan = args.train.scan_layers
         if use_scan is None:
-            # auto: the python loop is ~16% faster per step but holds every
-            # layer's hoisted remat recompute at once; it OOMs one v5e from
-            # 16K with a bf16 base (18.8 GB). An int8 frozen base (QLoRA)
-            # frees ~3.4 GB and the loop fits 16K again — probed 15.7 GB,
-            # 3474 vs scan's 2994 tok/s (scripts/probe_16k_int8_loop.py) —
-            # so the scan threshold moves to 32K under quantization_bit: 8.
-            thresh = 32768 if args.model.quantization_bit == 8 else 16384
-            use_scan = args.data.cutoff_len >= thresh
+            # auto: the python loop holds every layer's hoisted remat
+            # recompute at once and OOMs one v5e from 16K with a bf16 base
+            # (18.8 GB); below 16K it is ~13-16% faster than the scan.
+            # (An earlier int8-base exception — the loop fits 16K again
+            # under QLoRA and beat the then-nested scan 3474 vs 2994
+            # tok/s — died with remat_mode=auto: the layer-checkpointed
+            # scan measures 3495 tok/s at 16K int8, probe_remat_mode.py.)
+            use_scan = args.data.cutoff_len >= 16384
         if args.train.remat and use_scan and not args.finetune.use_dora:
             from ..models.stacked import detect_period, stack_layer_params
 
