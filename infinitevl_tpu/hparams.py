@@ -114,6 +114,13 @@ class TrainArgs:
     # independent of M) — same numbers, same bubble; pick it when raising
     # n_microbatches to shrink the bubble.
     pipeline_schedule: str = "gpipe"
+    # which axis n_microbatches splits: "batch" (GPipe/1F1B over batch
+    # rows, B % M == 0) or "sequence" (TeraPipe-style wavefront over
+    # contiguous T/M-token chunks with the recurrent layer carries as
+    # pipeline state, parallel/pipeline_seq.py — the B=1 long-context
+    # case batch microbatching cannot serve; requires (cutoff_len/M) %
+    # sliding_window == 0 and schedule gpipe)
+    pp_microbatch_axis: str = "batch"
     # gradient checkpointing (reference model_utils/checkpointing.py role):
     # remat recomputes layer internals in the backward; remat_group > 1
     # checkpoints groups of layers (fewer live boundary activations) but

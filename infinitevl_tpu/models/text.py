@@ -362,7 +362,9 @@ def swa_forward_seq_chunked(
     sin: jax.Array,
     segment_ids: Optional[jax.Array],
     window: int,
-) -> jax.Array:
+    carry: Optional[Tuple] = None,
+    return_carry: bool = False,
+) -> Any:
     """Stateless (training) sliding-window attention layer evaluated in
     window-sized sequence chunks inside a checkpointed scan.
 
@@ -374,7 +376,13 @@ def swa_forward_seq_chunked(
     path (tested); attention FLOPs roughly double for these layers, but
     the backward never holds full-T projections or the Hq-repeated KV
     ([16, 32K, 128] tensors were the top allocations at 32K after the
-    delta layers were streamed). GQA K/V carried at Hkv=2 is 16 MB."""
+    delta layers were streamed). GQA K/V carried at Hkv=2 is 16 MB.
+
+    carry / return_carry thread the (k, v, seg) chunk-boundary state
+    across CALLS — the sequence-axis pipeline (parallel/pipeline_seq.py)
+    feeds T/M-token chunks through stages with the carry as explicit
+    pipeline state. Requires T % window == 0 (no pad) when used; the
+    default call (carry=None, return_carry=False) is unchanged."""
     B, T, _ = x.shape
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     C = window
@@ -385,6 +393,10 @@ def swa_forward_seq_chunked(
     ).astype(jnp.int32)
     pad = (-T) % C
     if pad:
+        if carry is not None or return_carry:
+            raise ValueError(
+                f"carry threading requires T % window == 0 (T={T}, W={C})"
+            )
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         cos = jnp.pad(cos, ((0, 0), (0, pad), (0, 0)))
         sin = jnp.pad(sin, ((0, 0), (0, pad), (0, 0)))
@@ -420,8 +432,10 @@ def swa_forward_seq_chunked(
         y_c = _dense(out[:, C:].reshape(B, C, Hq * Dh), p["o_proj"])
         return (k, v, seg_c), y_c
 
-    _, ys = jax.lax.scan(jax.checkpoint(body), (pk0, pv0, pseg0), xs)
-    return jnp.moveaxis(ys, 0, 1).reshape(B, Tp, D)[:, :T]
+    init = carry if carry is not None else (pk0, pv0, pseg0)
+    carry_out, ys = jax.lax.scan(jax.checkpoint(body), init, xs)
+    y = jnp.moveaxis(ys, 0, 1).reshape(B, Tp, D)[:, :T]
+    return (y, carry_out) if return_carry else y
 
 
 def delta_forward_seq_chunked(
@@ -430,7 +444,9 @@ def delta_forward_seq_chunked(
     x: jax.Array,  # [B, T, D]
     segment_ids: Optional[jax.Array],
     seq_chunk: int,
-) -> jax.Array:
+    carry: Optional[Tuple] = None,
+    return_carry: bool = False,
+) -> Any:
     """Stateless (training) DeltaNet layer evaluated in SEQUENCE chunks
     inside a checkpointed scan: projections, short conv, chunkwise delta,
     gated norm and o_proj all run per seq_chunk tokens, so the layer's
@@ -449,7 +465,11 @@ def delta_forward_seq_chunked(
       decay on a zero state is a no-op and within-chunk decay ratios
       cancel the un-zeroed g).
     Scan-carry residuals per layer backward: T/seq_chunk states (~17 MB at
-    32K/4096) instead of multi-GB."""
+    32K/4096) instead of multi-GB.
+
+    carry / return_carry thread the (delta state, conv tails, tail segs)
+    across CALLS for the sequence-axis pipeline
+    (parallel/pipeline_seq.py); requires T % seq_chunk == 0 when used."""
     from ..ops.short_conv import causal_conv1d
 
     B, T, D = x.shape
@@ -465,6 +485,11 @@ def delta_forward_seq_chunked(
     ).astype(jnp.int32)
     pad = (-T) % C
     if pad:
+        if carry is not None or return_carry:
+            raise ValueError(
+                f"carry threading requires T % seq_chunk == 0 "
+                f"(T={T}, chunk={C})"
+            )
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         # pad tokens get segment -2: they never interact with real tokens
         seg = jnp.pad(seg, ((0, 0), (0, pad)), constant_values=-2)
@@ -530,10 +555,10 @@ def delta_forward_seq_chunked(
         )
         return new_carry, y_c
 
-    _, ys = jax.lax.scan(
-        jax.checkpoint(body), (s0, *tails0, tseg0), xs
-    )
-    return jnp.moveaxis(ys, 0, 1).reshape(B, Tp, D)[:, :T]
+    init = carry if carry is not None else (s0, *tails0, tseg0)
+    carry_out, ys = jax.lax.scan(jax.checkpoint(body), init, xs)
+    y = jnp.moveaxis(ys, 0, 1).reshape(B, Tp, D)[:, :T]
+    return (y, carry_out) if return_carry else y
 
 
 def mamba2_forward(
@@ -676,6 +701,92 @@ def decoder_layer_forward(
     else:
         x = resid + mlp_forward(p["mlp"], h)
     return x, new_state
+
+
+def init_layer_seq_carry(p: Params, cfg: TextConfig, role: str, B: int,
+                         dtype) -> Tuple:
+    """Zero chunk-boundary carry for decoder_layer_chunk_forward.
+
+    SLIDING: previous window-sized chunk's post-RoPE (k, v) with segment
+    ids -1 (zero history invisible to every real token). LINEAR: fp32
+    delta state + the conv tails (last W-1 raw projections) with tail
+    segment ids -1. Shapes mirror the in-scan carries of
+    swa_forward_seq_chunked / delta_forward_seq_chunked."""
+    if role == SLIDING:
+        W = cfg.sliding_window
+        Hkv, Dh = cfg.num_key_value_heads, cfg.head_dim
+        return (
+            jnp.zeros((B, W, Hkv, Dh), dtype),
+            jnp.zeros((B, W, Hkv, Dh), dtype),
+            jnp.full((B, W), -1, jnp.int32),
+        )
+    if role == LINEAR:
+        H, K, V = cfg.num_linear_heads, cfg.linear_head_dim, cfg.head_v_dim
+        W = p["conv_q_w"].shape[0]
+        tails = tuple(
+            jnp.zeros((B, W - 1, p[f"conv_{n}_w"].shape[1]), dtype)
+            for n in ("q", "k", "v")
+        )
+        return (
+            jnp.zeros((B, H, K, V), jnp.float32),
+            *tails,
+            jnp.full((B, W - 1), -1, jnp.int32),
+        )
+    raise NotImplementedError(
+        f"sequence-axis pipeline supports sliding/linear layers only "
+        f"(got {role!r}); full_attention needs cross-chunk global KV and "
+        f"the deployed InfiniteVL config has none"
+    )
+
+
+def decoder_layer_chunk_forward(
+    p: Params,
+    cfg: TextConfig,
+    role: str,
+    x: jax.Array,  # [B, Tc, D] one sequence chunk
+    cos: jax.Array,
+    sin: jax.Array,
+    segment_ids: Optional[jax.Array],
+    carry: Tuple,
+) -> Tuple[jax.Array, Tuple]:
+    """Carry-form pre-norm residual block: one TRAINING forward over a
+    sequence CHUNK with the cross-chunk state explicit — the unit the
+    sequence-axis pipeline schedules (parallel/pipeline_seq.py). Exactly
+    the decoder_layer_forward math: feeding chunks left-to-right and
+    threading the carry reproduces the full-T stateless forward (tested
+    in tests/test_pipeline_seq.py). Requires Tc % sliding_window == 0
+    for SWA layers (the chunked-attention carry contract)."""
+    resid = x
+    h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+    if role == SLIDING:
+        attn, new_carry = swa_forward_seq_chunked(
+            p, cfg, h, cos, sin, segment_ids, cfg.sliding_window,
+            carry=carry, return_carry=True,
+        )
+    elif role == LINEAR:
+        Tc = x.shape[1]
+        sc = min(
+            cfg.delta_seq_chunk_t or Tc, cfg.delta_seq_chunk_eval, Tc
+        )
+        if Tc % sc:
+            sc = Tc
+        attn, new_carry = delta_forward_seq_chunked(
+            p, cfg, h, segment_ids, sc, carry=carry, return_carry=True
+        )
+    else:
+        raise NotImplementedError(
+            f"sequence-axis pipeline supports sliding/linear layers only "
+            f"(got {role!r})"
+        )
+    x = resid + attn
+    resid = x
+    h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+    ct = cfg.mlp_chunk_t
+    if ct and h.shape[1] > ct and h.shape[1] % ct == 0:
+        x = resid + mlp_forward_chunked(p["mlp"], h, ct)
+    else:
+        x = resid + mlp_forward(p["mlp"], h)
+    return x, new_carry
 
 
 def text_forward(

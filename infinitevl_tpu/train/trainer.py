@@ -861,12 +861,33 @@ def _run_sft_pipeline(args: AllArgs, cfg, data, tokenizer, mm: bool, dtype):
     if args.model.quantization_bit is not None:
         raise ValueError("pipeline_stages > 1 does not compose with QLoRA")
     S, M = args.train.pipeline_stages, args.train.n_microbatches
-    B = args.train.per_device_train_batch_size * max(args.train.data_parallel, 1)
-    if B % M:
+    axis = args.train.pp_microbatch_axis
+    if axis not in ("batch", "sequence"):
         raise ValueError(
-            f"global batch {B} (= per_device x data_parallel) must be "
-            f"divisible by n_microbatches {M}"
+            f"unknown pp_microbatch_axis {axis!r} (batch | sequence)"
         )
+    if axis == "sequence":
+        if args.train.pipeline_schedule != "gpipe":
+            raise ValueError(
+                "pp_microbatch_axis: sequence supports the gpipe schedule "
+                "only (the 1f1b hand-schedule is batch-axis)"
+            )
+        T = args.data.cutoff_len
+        if T % M or (T // M) % tcfg.sliding_window:
+            raise ValueError(
+                f"sequence microbatching needs cutoff_len ({T}) divisible "
+                f"by n_microbatches ({M}) into chunks that are multiples "
+                f"of the sliding window ({tcfg.sliding_window})"
+            )
+    else:
+        B = args.train.per_device_train_batch_size * max(
+            args.train.data_parallel, 1
+        )
+        if B % M:
+            raise ValueError(
+                f"global batch {B} (= per_device x data_parallel) must be "
+                f"divisible by n_microbatches {M}"
+            )
     mesh = create_pp_mesh(
         pipe=S,
         data=args.train.data_parallel,
@@ -884,13 +905,18 @@ def _run_sft_pipeline(args: AllArgs, cfg, data, tokenizer, mm: bool, dtype):
     )
     tx = _make_tx(args, steps)
     opt_state = tx.init(pp)
-    step_fn = jax.jit(
-        make_pp_sft_train_step(
+    if axis == "sequence":
+        from ..parallel.pipeline_seq import make_seq_pp_sft_train_step
+
+        raw_step = make_seq_pp_sft_train_step(
+            tcfg, tx, n_microbatches=M, mesh=mesh, remat=args.train.remat
+        )
+    else:
+        raw_step = make_pp_sft_train_step(
             tcfg, tx, n_microbatches=M, mesh=mesh, remat=args.train.remat,
             schedule=args.train.pipeline_schedule,
-        ),
-        donate_argnums=(0, 1),
-    )
+        )
+    step_fn = jax.jit(raw_step, donate_argnums=(0, 1))
     trainer = Trainer(
         step_fn, pp, opt_state, args.train.output_dir,
         args.train.logging_steps, args.train.save_steps,
